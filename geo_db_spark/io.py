@@ -1,0 +1,54 @@
+"""Table loading for the driver's synthetic TPC-H-ish tables (TESTDATA.md).
+
+All reads go through ``spark.read.parquet`` so Catalyst gets column pruning
+and predicate pushdown into the scan for free — at 100 TB the scan is the
+dominant cost and `PushedFilters`/`ReadSchema` in the explain output are the
+first thing to check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast when joined against
+# a fact table. At sf0.1 region=5, nation=25, supplier=100, customer=1.5k —
+# at any realistic scale-up these stay far under the broadcast threshold.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which the
+    Spark vectorized reader rejects. Read nanos as long
+    (spark.sql.legacy.parquet.nanosAsLong) and truncate to microsecond
+    timestamps — the data is µs-aligned, so no information is lost and the
+    values match DuckDB's TIMESTAMP view of the same file."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

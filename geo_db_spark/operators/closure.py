@@ -1,0 +1,124 @@
+"""Transitive closure over an edge DataFrame.
+
+Replaces the reference's SQLite recursive CTE
+(src/post/find_subdivision.sql:12-22, per_city.sql:6-19; SURVEY.md §2 D3),
+run set-based over ALL seeds at once instead of once per city
+(the reference drives it row-at-a-time, src/post/mod.rs:96-107 — the
+single biggest algorithmic win of the Spark rewrite, SURVEY.md §4).
+
+Two implementations:
+
+- ``transitive_closure`` (default): Spark's native recursive CTE
+  (Spark >= 4.0, UNION ALL semantics) — ONE declarative plan, the engine
+  manages the iteration; exactly the reference's CTE including the
+  `step < max_steps` bound and all-paths multiplicity on diamond DAGs.
+- ``transitive_closure_loop``: driver-side iterative join with per-level
+  dedup and first-visit (min-step) semantics. Use for engines without
+  recursive CTEs, or when cycle-heavy data makes all-paths enumeration
+  explode before the step bound (the loop's visited-set makes each node
+  expand at most once per seed).
+
+Scale notes: the edge table of a real hierarchy (WikiData admin tree,
+~1e6 edges) is broadcast-small next to the seed set; with broadcast edges
+each CTE iteration / loop level is shuffle-free on the frontier side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_steps: int = 100,
+    child_col: str = "id",
+    parent_col: str = "parent",
+    seed_col: str = "id",
+) -> DataFrame:
+    """All (seed, id, step) rows reachable via parent edges; step=0 is the
+    seed itself (matching the reference CTE seed row,
+    find_subdivision.sql:13). UNION ALL semantics: one row per path, as in
+    the reference."""
+    spark = edges.sparkSession
+    return spark.sql(
+        f"""
+        WITH RECURSIVE cl(seed, id, step) AS (
+            SELECT {seed_col}, {seed_col}, 0 FROM {{seeds}}
+            UNION ALL
+            SELECT cl.seed, e.{parent_col}, cl.step + 1
+            FROM cl JOIN {{edges}} e ON cl.id = e.{child_col}
+            WHERE cl.step < {int(max_steps)}
+        )
+        SELECT seed, id, step FROM cl
+        """,
+        seeds=seeds,
+        edges=edges,
+    )
+
+
+def transitive_closure_loop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_steps: int = 100,
+    child_col: str = "id",
+    parent_col: str = "parent",
+    seed_col: str = "id",
+    broadcast_edges: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Iterative-join closure with first-visit semantics: each (seed, id)
+    is recorded at its minimal step and never re-expanded — terminates on
+    cycles without enumerating paths. Deterministic, cycle-safe."""
+    e = edges.select(F.col(child_col).alias("__c"), F.col(parent_col).alias("__p"))
+    if broadcast_edges:
+        e = F.broadcast(e)
+
+    frontier = (
+        seeds.select(F.col(seed_col).alias("seed")).distinct().withColumn("id", F.col("seed"))
+    )
+    result = frontier.withColumn("step", F.lit(0)).localCheckpoint(eager=True)
+    frontier = result.select("seed", "id")
+
+    step = 0
+    while step < max_steps:
+        step += 1
+        nxt = (
+            frontier.join(e, frontier["id"] == e["__c"], "inner")
+            .select("seed", F.col("__p").alias("id"))
+            .dropDuplicates(["seed", "id"])
+            .join(result.select("seed", "id"), ["seed", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        frontier = nxt
+        result = result.unionByName(nxt.withColumn("step", F.lit(step)))
+        if checkpoint_every and step % checkpoint_every == 0:
+            result = result.localCheckpoint(eager=True)
+    return result
+
+
+def deepest_qualifying_ancestor(
+    closure: DataFrame,
+    qualifying: DataFrame,
+    qualify_col: str = "id",
+    tiebreak_asc: str = "id",
+) -> DataFrame:
+    """From a closure, pick per seed the DEEPEST ancestor present in
+    ``qualifying`` — the reference's 2nd-level-subdivision pick
+    (src/post/find_subdivision.sql:8-35, ORDER BY step DESC LIMIT 1;
+    SURVEY.md §2 D4). Ties at equal depth are resolved by ascending
+    ``tiebreak_asc`` (documented divergence: SQLite picks arbitrarily).
+    """
+    from pyspark.sql import Window
+
+    q = qualifying.select(F.col(qualify_col).alias("id"))
+    cand = closure.join(F.broadcast(q), "id", "left_semi")
+    w = Window.partitionBy("seed").orderBy(F.col("step").desc(), F.col(tiebreak_asc).asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

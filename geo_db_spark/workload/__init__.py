@@ -1,0 +1,34 @@
+"""Named analytics workload: every implemented operator/query surfaced as
+``name -> (spark, sf_dir) -> DataFrame``, each with a DuckDB oracle SQL
+(the driver's correctness gate, see __spark_entry__.py).
+
+Numeric-determinism convention (so value hashes match the oracle exactly):
+monetary/quantity aggregates are computed in DECIMAL (exact, order-
+independent) and cast to double only at the output; averages are one IEEE
+division of two exact numbers. Floating sums over arbitrary doubles are
+quantized to DECIMAL(18,6) first. See workload/tpch.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from geo_db_spark.workload import dedup, graph, ops, similarity, text, tpch
+
+_MODULES = (tpch, ops, graph, dedup, text, similarity)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out

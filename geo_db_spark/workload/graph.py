@@ -1,0 +1,89 @@
+"""Graph-closure workload entries (SURVEY.md §2 D3/D4).
+
+The driver's tables have no edge list, so we derive a deterministic
+hierarchy from `part`: node p_partkey has parent p_partkey // 2 (a binary
+tree rooted at 1, depth ~log2(N)). The closure semantics under test are
+exactly the reference's recursive CTE (src/post/find_subdivision.sql:12-22)
+run set-based over ALL seeds at once instead of per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geo_db_spark.io import load
+from geo_db_spark.operators.closure import deepest_qualifying_ancestor, transitive_closure
+from geo_db_spark.session import tune
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("id"),
+        (F.col("p_partkey") / 2).cast("long").alias("parent"),
+    )
+
+
+def d3_part_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ancestor closure (seed, ancestor id, step) over the derived
+    part tree, via Spark's native recursive CTE (one declarative plan)."""
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    seeds = part.select(F.col("p_partkey").alias("id"))
+    out = transitive_closure(_edges(spark, sf_dir), seeds, max_steps=100)
+    return out.select("seed", "id", F.col("step").cast("int").alias("step"))
+
+
+ORACLE_D3 = """
+WITH RECURSIVE cl(seed, id, step) AS (
+    SELECT p_partkey, p_partkey, 0 FROM part
+    UNION ALL
+    SELECT cl.seed, e.parent, cl.step + 1
+    FROM cl JOIN (SELECT p_partkey AS id, p_partkey // 2 AS parent
+                  FROM part WHERE p_partkey >= 2) e ON cl.id = e.id
+    WHERE cl.step < 100
+)
+SELECT seed, id, CAST(step AS INT) AS step FROM cl
+"""
+
+
+def d4_deepest_qualifying_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per seed, the deepest ancestor whose partkey is divisible by 8 —
+    the find-2nd-subdivision pick (ORDER BY step DESC LIMIT 1,
+    src/post/find_subdivision.sql:31) with tiebreak id ASC."""
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    seeds = part.select(F.col("p_partkey").alias("id"))
+    closure = transitive_closure(_edges(spark, sf_dir), seeds, max_steps=100)
+    qualifying = part.filter(F.col("p_partkey") % 8 == 0).select(
+        F.col("p_partkey").alias("id")
+    )
+    out = deepest_qualifying_ancestor(closure, qualifying)
+    return out.select("seed", F.col("id").alias("ancestor"), F.col("step").cast("int").alias("step"))
+
+
+ORACLE_D4A = """
+WITH RECURSIVE cl(seed, id, step) AS (
+    SELECT p_partkey, p_partkey, 0 FROM part
+    UNION ALL
+    SELECT cl.seed, e.parent, cl.step + 1
+    FROM cl JOIN (SELECT p_partkey AS id, p_partkey // 2 AS parent
+                  FROM part WHERE p_partkey >= 2) e ON cl.id = e.id
+    WHERE cl.step < 100
+)
+SELECT seed, id AS ancestor, CAST(step AS INT) AS step FROM cl
+WHERE id % 8 = 0
+QUALIFY row_number() OVER (PARTITION BY seed ORDER BY step DESC, id) = 1
+"""
+
+
+QUERIES = {
+    "d3_part_hierarchy_closure": d3_part_hierarchy_closure,
+    "d4_deepest_qualifying_ancestor": d4_deepest_qualifying_ancestor,
+}
+
+ORACLES = {
+    "d3_part_hierarchy_closure": ORACLE_D3,
+    "d4_deepest_qualifying_ancestor": ORACLE_D4A,
+}

@@ -1,0 +1,282 @@
+"""The reference's post-phase operators (SURVEY.md §2 D1-D12) surfaced in
+generic form over the driver's synthetic tables, each backed by the
+operator library in geo_db_spark.operators.relational and paired with a
+DuckDB oracle.
+
+Reference parity map (file:line cites into /root/reference/):
+- d1_customers_without_orders  -> anti-join delete, src/post/city_countries.sql:2-7
+- d2_argmin_order_per_customer -> MIN(priority) pick, src/post/city_countries.sql:9-23
+- d4_top2_orders_per_customer  -> ORDER BY .. LIMIT k per group, src/post/per_city.sql:39-40
+- d5_customer_names_per_nation -> DISTINCT + GROUP_CONCAT, src/post/city_labels.sql:5-25
+- d8_preferred_lineitem        -> prioritized pick, src/post/esperanto_city_labels.sql:5-21
+- d9_customer_nation_name      -> join-update, src/post/subdivision_iso.sql:5-12
+- d10_dedup_order_part         -> dedup by re-key, src/post/cleanup/02.sql:1-17
+- d11_orders_with_big_lineitem -> EXISTS semi-join keep, src/post/cleanup/05.sql:2-6
+- w1/w2                        -> engine-growth window/event-time ops (not in
+                                  reference; SURVEY.md §2-E "not present" list)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geo_db_spark.io import load
+from geo_db_spark.operators.relational import (
+    anti_join,
+    argmin_per_group,
+    dedup_by_key,
+    join_replace_column,
+    ordered_group_concat,
+    prioritized_pick,
+    semi_join,
+    top_k_per_group,
+)
+from geo_db_spark.session import tune
+
+
+def d1_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    cust = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(cust, urgent, "c_custkey").select("c_custkey", "c_name")
+
+
+ORACLE_D1 = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def d2_argmin_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    return argmin_per_group(
+        orders,
+        "o_custkey",
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+ORACLE_D2 = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) = 1
+"""
+
+
+def d4_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders,
+        "o_custkey",
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=2,
+        rank_col="rank",
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+
+
+ORACLE_D4 = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+FROM orders
+QUALIFY rank <= 2
+"""
+
+
+def d5_customer_names_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    enriched = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return ordered_group_concat(
+        enriched,
+        "n_name",
+        value="c_name",
+        order_by=["c_name"],
+        sep=" / ",
+        out_col="names",
+    )
+
+
+ORACLE_D5 = """
+SELECT n_name, string_agg(DISTINCT c_name, ' / ' ORDER BY c_name) AS names
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def d8_preferred_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order pick one lineitem, preferring returned ('R') lines —
+    the eo-first pick shape with a deterministic tiebreak."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return prioritized_pick(
+        li,
+        "l_orderkey",
+        preference=(F.col("l_returnflag") == "R").cast("int"),
+        # (orderkey, linenumber) is NOT unique in the synthetic data —
+        # extend the tiebreak until the order is total, or the winner
+        # is engine-dependent (caught by the sf0.01 oracle sweep)
+        tiebreak=[
+            F.col("l_linenumber").asc(),
+            F.col("l_returnflag").asc(),
+            F.col("l_partkey").asc(),
+            F.col("l_suppkey").asc(),
+            F.col("l_extendedprice").asc(),
+        ],
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+ORACLE_D8 = """
+SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+QUALIFY row_number() OVER (
+    PARTITION BY l_orderkey
+    ORDER BY CAST(l_returnflag = 'R' AS INT) DESC,
+             l_linenumber, l_returnflag, l_partkey, l_suppkey, l_extendedprice) = 1
+"""
+
+
+def d9_customer_nation_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-update: rewrite the FK column to the dimension's name, the
+    Q-id -> ISO rewrite shape (cleanup/05.sql:8-14)."""
+    tune(spark)
+    cust = load(spark, sf_dir, "customer").withColumn(
+        "nation", F.col("c_nationkey").cast("string")
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("nation_key"), "n_name"
+    )
+    out = join_replace_column(
+        cust.withColumnRenamed("nation", "nation_key"),
+        nation,
+        on="nation_key",
+        replace="nation_key",
+        with_col="n_name",
+    )
+    return out.select("c_custkey", "c_name", F.col("nation_key").alias("nation"))
+
+
+ORACLE_D9 = """
+SELECT c_custkey, c_name, n_name AS nation
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def d10_dedup_order_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup by re-key: one lineitem per (orderkey, partkey), keeping the
+    lowest line number — deterministic winner (SQLite's is arbitrary)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return dedup_by_key(
+        li,
+        key=["l_orderkey", "l_partkey"],
+        prefer_order=[F.col("l_linenumber").asc()],
+    ).select("l_orderkey", "l_partkey", "l_linenumber")
+
+
+ORACLE_D10 = """
+SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) = 1
+"""
+
+
+def d11_orders_with_big_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load(spark, sf_dir, "orders")
+    big = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return semi_join(orders, big, "o_orderkey").select("o_orderkey", "o_totalprice")
+
+
+ORACLE_D11 = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+"""
+
+
+def w1_running_sum_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum of event value per user in event-time
+    order. Engine-growth op: window functions as a user surface
+    (absent from the reference, SURVEY.md §2-E)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    return ev.select(
+        "event_id", "user_id", "ts", run.cast("double").alias("running_value")
+    )
+
+
+ORACLE_W1 = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def w2_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event_type: the batch
+    equivalent of the streaming windowed agg (geo_db_spark.streaming)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    sum_dec = F.sum(F.col("value").cast("decimal(18,6)"))
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), sum_dec.alias("_sv"))
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_W2 = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "d1_customers_without_urgent_orders": d1_customers_without_urgent_orders,
+    "d2_argmin_order_per_customer": d2_argmin_order_per_customer,
+    "d4_top2_orders_per_customer": d4_top2_orders_per_customer,
+    "d5_customer_names_per_nation": d5_customer_names_per_nation,
+    "d8_preferred_lineitem": d8_preferred_lineitem,
+    "d9_customer_nation_name": d9_customer_nation_name,
+    "d10_dedup_order_part": d10_dedup_order_part,
+    "d11_orders_with_big_lineitem": d11_orders_with_big_lineitem,
+    "w1_running_sum_per_user": w1_running_sum_per_user,
+    "w2_tumbling_window_counts": w2_tumbling_window_counts,
+}
+
+ORACLES = {
+    "d1_customers_without_urgent_orders": ORACLE_D1,
+    "d2_argmin_order_per_customer": ORACLE_D2,
+    "d4_top2_orders_per_customer": ORACLE_D4,
+    "d5_customer_names_per_nation": ORACLE_D5,
+    "d8_preferred_lineitem": ORACLE_D8,
+    "d9_customer_nation_name": ORACLE_D9,
+    "d10_dedup_order_part": ORACLE_D10,
+    "d11_orders_with_big_lineitem": ORACLE_D11,
+    "w1_running_sum_per_user": ORACLE_W1,
+    "w2_tumbling_window_counts": ORACLE_W2,
+}

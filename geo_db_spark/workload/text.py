@@ -1,0 +1,114 @@
+"""Text-analysis workload entries over the `documents` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geo_db_spark.io import load
+from geo_db_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_scores,
+    quality_metrics,
+)
+from geo_db_spark.session import tune
+
+
+def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return quality_metrics(docs, "text").select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "alpha_ratio",
+        "space_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+    )
+
+
+ORACLE_QUALITY = r"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+       CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS DOUBLE) / length(text) AS space_ratio,
+       CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+       CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID. Argmax over per-language scores with a
+    fixed preference order on ties (en > fr > es > de > unknown)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", *lang_scores(F.col("text")))
+    s = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
+    best = F.greatest(*s.values())
+    pred = (
+        F.when(best == 0, F.lit("unknown"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["fr"] == best, F.lit("fr"))
+        .when(s["es"] == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+_SCORES_SQL = {
+    "en": r"len(regexp_extract_all(lower(text), '\b(the|and|of|is|with)\b'))",
+    "fr": r"len(regexp_extract_all(lower(text), '\b(le|la|les|et|est)\b'))",
+    "es": r"len(regexp_extract_all(lower(text), '\b(el|los|las|y|es)\b'))",
+    "de": r"len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))",
+}
+
+ORACLE_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_SCORES_SQL['en']} AS s_en, {_SCORES_SQL['fr']} AS s_fr,
+         {_SCORES_SQL['es']} AS s_es, {_SCORES_SQL['de']} AS s_de
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+            WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+            WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+            WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+            ELSE 'de' END AS pred_lang
+FROM s
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (sorted distinct tokens -> md5)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))), ' ')) AS fp
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_quality_metrics": text_quality_metrics,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "text_quality_metrics": ORACLE_QUALITY,
+    "text_lang_id": ORACLE_LANG_ID,
+    "text_fingerprint": ORACLE_FINGERPRINT,
+}

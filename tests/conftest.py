@@ -1,0 +1,21 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECTNESS = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from geo_db_spark.session import get_spark
+
+    s = get_spark("geo_db_spark_tests", shuffle_partitions=8)
+    yield s
+    s.stop()

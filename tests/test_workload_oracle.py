@@ -1,0 +1,30 @@
+"""Mirror of the driver's correctness gate at sf0.001 (fast) — every
+workload query must match its DuckDB oracle on count, columns, and
+order-insensitive values."""
+
+from __future__ import annotations
+
+import pytest
+
+from geo_db_spark import workload
+from geo_db_spark.verify import run_all
+from tests.conftest import SF_SMOKE
+
+NAMES = sorted(workload.queries().keys())
+
+
+def test_every_query_has_oracle():
+    qs = workload.queries()
+    oracles = workload.oracle_sql()
+    missing = [n for n in qs if n not in oracles]
+    # non-SQL-expressible ops may be missing; keep the list explicit
+    assert missing == [], f"queries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(spark, name):
+    results = run_all(spark, SF_SMOKE, only=[name])
+    assert len(results) == 1
+    r = results[0]
+    assert r.ok, f"{name}: {r.errors}"
+    assert r.spark_rows > 0, f"{name}: empty result"
