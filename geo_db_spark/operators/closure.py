@@ -44,7 +44,7 @@ def transitive_closure(
     spark = edges.sparkSession
     return spark.sql(
         f"""
-        WITH RECURSIVE cl(seed, id, step) AS (
+        WITH RECURSIVE cl(seed, id, step) MAX RECURSION LEVEL {int(max_steps) + 2} AS (
             SELECT {seed_col}, {seed_col}, 0 FROM {{seeds}}
             UNION ALL
             SELECT cl.seed, e.{parent_col}, cl.step + 1

@@ -1,0 +1,67 @@
+"""Unit tests for the closure operators: cycle termination, step bound,
+diamond dedup (SURVEY.md §5 property tests; FIXTURES.md §1 graph cases)."""
+
+from __future__ import annotations
+
+from geo_db_spark.operators.closure import (
+    deepest_qualifying_ancestor,
+    transitive_closure,
+    transitive_closure_loop,
+)
+
+EDGES = [  # chain + diamond + 2-cycle + self-loop
+    ("a", "b"),
+    ("b", "c"),
+    ("d", "b"),
+    ("d", "e"),
+    ("e", "c"),
+    ("x", "y"),
+    ("y", "x"),
+    ("s", "s"),
+]
+
+
+def _dfs(spark):
+    edges = spark.createDataFrame(EDGES, "id string, parent string")
+    seeds = spark.createDataFrame([("a",), ("d",), ("x",), ("s",)], "id string")
+    return edges, seeds
+
+
+def test_loop_closure_first_visit_semantics(spark):
+    edges, seeds = _dfs(spark)
+    out = transitive_closure_loop(edges, seeds, max_steps=100)
+    rows = {(r["seed"], r["id"]): r["step"] for r in out.collect()}
+    # each (seed, node) appears exactly once, at its minimal distance
+    assert len(rows) == len(out.collect())
+    assert rows[("a", "c")] == 2
+    assert rows[("d", "c")] == 2  # via either diamond arm, recorded once
+    # cycles terminate without the step bound being the only guard
+    assert rows[("x", "y")] == 1 and rows[("x", "x")] == 0
+    assert rows[("s", "s")] == 0
+
+
+def test_cte_closure_all_paths_bounded(spark):
+    edges, seeds = _dfs(spark)
+    out = transitive_closure(edges, seeds, max_steps=6)
+    rows = [(r["seed"], r["id"], r["step"]) for r in out.collect()]
+    # diamond: 'd' reaches c via two paths -> two rows at step 2
+    assert rows.count(("d", "c", 2)) == 2
+    # 2-cycle enumerates alternating paths up to the bound
+    assert ("x", "x", 6) in rows and ("x", "y", 5) in rows
+    assert max(s for _, _, s in rows) == 6
+
+
+def test_deepest_qualifying_ancestor_tiebreak(spark):
+    edges = spark.createDataFrame(
+        [("c1", "p1"), ("c1", "p2"), ("p2", "p3")], "id string, parent string"
+    )
+    seeds = spark.createDataFrame([("c1",)], "id string")
+    closure = transitive_closure(edges, seeds, max_steps=10)
+    # p1 and p2 both qualify at step 1; p3 qualifies at step 2 -> deepest
+    qual = spark.createDataFrame([("p1",), ("p2",), ("p3",)], "id string")
+    got = deepest_qualifying_ancestor(closure, qual).collect()
+    assert [(r["seed"], r["id"], r["step"]) for r in got] == [("c1", "p3", 2)]
+    # only the equal-depth candidates -> ascending-id tiebreak
+    qual2 = spark.createDataFrame([("p1",), ("p2",)], "id string")
+    got2 = deepest_qualifying_ancestor(closure, qual2).collect()
+    assert [(r["seed"], r["id"], r["step"]) for r in got2] == [("c1", "p1", 1)]
