@@ -25,9 +25,13 @@ HEADLINE = [
     "d4_top2_orders_per_customer",
     "d5_customer_names_per_nation",
     "d3_part_hierarchy_closure",
+    "w3_sessionize",
+    "g1_rollup_revenue",
     "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
     "text_quality_metrics",
     "ann_cosine_topk",
+    "ann_lsh_topk",
 ]
 
 

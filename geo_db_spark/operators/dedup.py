@@ -45,9 +45,127 @@ def exact_dedup(
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array from raw text (lowercased, whitespace
-    tokenized). Used by MinHash / Jaccard dedup."""
+    tokenized); documents shorter than n tokens yield no shingles.
+    Used by MinHash / Jaccard dedup."""
     toks = F.split(normalize_text(col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
     )
+
+
+# ---------------------------------------------------------------- MinHash
+
+# Fixed odd coefficients for the 12 universal-hash minhash functions
+# h_i(x) = (a_i * x + b_i) mod P — shared verbatim with the DuckDB oracle
+# so signatures match bit-for-bit. 12 hashes = 6 bands x 2 rows: bucket
+# collision probability 1-(1-j^2)^6 (~0.79 at j=0.5, ~0.99 at j=0.7).
+MINHASH_P = (1 << 61) - 1
+MINHASH_COEFFS = [
+    (1610612741, 805306457),
+    (402653189, 201326611),
+    (100663319, 50331653),
+    (25165843, 12582917),
+    (6291469, 3145739),
+    (1572869, 786433),
+    (393241, 196613),
+    (98317, 49157),
+    (24593, 12289),
+    (6151, 3079),
+    (1543, 769),
+    (389, 193),
+]
+MINHASH_ROWS_PER_BAND = 2
+
+
+def minhash_signature(shingle_arr: Column) -> list[Column]:
+    """One min-hash per coefficient pair over the shingle array. The base
+    hash is the first 8 md5 hex chars as an integer (same in DuckDB)."""
+    h = lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")  # noqa: E731
+    return [
+        F.array_min(
+            F.transform(shingle_arr, lambda s: (F.lit(a) * h(s) + F.lit(b)) % F.lit(MINHASH_P))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash + LSH banding + exact-Jaccard
+    verification: shingle -> 12 minhashes -> 6 band buckets -> bucket-local
+    candidate pairs -> exact Jaccard on the candidates only.
+
+    Scale shape: the only joins are (a) the band-bucket self-join, which
+    is local to each bucket (LSH keeps buckets tiny for non-duplicates),
+    and (b) recovering the two shingle sets per CANDIDATE pair — never an
+    all-pairs product over the corpus. Deterministic: fixed coefficients,
+    md5 base hash, exact integer arithmetic.
+    """
+    r = MINHASH_ROWS_PER_BAND
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = sh.select("id", "sh", *minhash_signature(F.col("sh"))).cache()
+
+    n_bands = len(MINHASH_COEFFS) // r
+    bands = F.array(
+        *[
+            F.concat_ws(",", F.lit(k), *[F.col(f"m{k * r + j}") for j in range(r)])
+            for k in range(n_bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(bands).alias("bucket"))
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = sig.select("id", "sh")
+    pairs = (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 60  # 15 md5 hex chars -> 60-bit token hashes
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over distinct tokens: bit j of the fingerprint is
+    the majority vote of bit j across token hashes (ties -> 1). Exact
+    integer arithmetic, identical in the DuckDB oracle."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
+    toks = toks.select("id", h.alias("h"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(((F.shiftright(F.col("h"), j) % 2) * 2 - 1)).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return votes.select(F.col("id").alias(id_col), fp.alias("simhash"))

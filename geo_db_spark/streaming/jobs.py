@@ -1,0 +1,129 @@
+"""Structured Streaming jobs over the events stream.
+
+The reference has no event-time semantics — its "streaming" is a
+resumable single-pass batch ingest (SURVEY.md §2-E note). These are
+engine-growth operators: watermarked tumbling windows, session windows,
+and a custom stateful operator (applyInPandasWithState), each written so
+the SAME transformation runs on a batch DataFrame (tests/oracles) and on
+a readStream DataFrame (production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see io._load_events)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files
+    (nano timestamps read as longs, truncated to µs like io.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type with a watermark
+    for late data. Works identically on batch and streaming inputs
+    (the batch twin is workload.ops.w2_tumbling_window_counts)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_GAP_MINUTES = 30
+
+_SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Custom stateful operator: per-user sessionization with an
+    inactivity gap, via applyInPandasWithState (streaming) — the pattern
+    for operators Spark's built-ins can't express. For batch inputs the
+    equivalent is F.session_window (see workload.ops.w3_sessionize).
+
+    Emits closed sessions (user_id, session_start, session_end, n_events,
+    sum_value) when the processing-time timeout fires after the gap.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, end, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [sv],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns -> µs
+        vals = rows["value"].tolist()
+        if state.exists:
+            start, end, n, sv = state.get
+        else:
+            start, end, n, sv = min(ts_us), max(ts_us), 0, 0.0
+        closed = []
+        for t, v in sorted(zip(ts_us, vals)):
+            if n > 0 and t - end > gap_ms * 1000:
+                closed.append((start, end, n, sv))
+                start, end, n, sv = t, t, 0, 0.0
+            start, end = min(start, t), max(end, t)
+            n += 1
+            sv += v
+        state.update((start, end, n, sv))
+        state.setTimeoutDuration(gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
+                    "n_events": [c for _, _, c, _ in closed],
+                    "sum_value": [v for _, _, _, v in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESSION_SCHEMA,
+        stateStructType="start long, end long, n long, sv double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -42,7 +42,8 @@ def _norm_cell(v):
 def _norm_rows(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(type(v)), v) for v in t),
     )
 
 

@@ -44,12 +44,109 @@ WHERE doc_id IN (
 """
 
 
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle -> 12 minhashes -> 6 band
+    buckets -> bucket-join -> exact-Jaccard verify >= 0.5)."""
+    tune(spark)
+    from geo_db_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+def _minhash_oracle() -> str:
+    from geo_db_spark.operators.dedup import (
+        MINHASH_COEFFS,
+        MINHASH_P,
+        MINHASH_ROWS_PER_BAND,
+    )
+
+    h = "(('0x'||substr(md5(s),1,8))::BIGINT)"
+    sigs = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> ({a} * {h} + {b}) % {MINHASH_P})) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    r = MINHASH_ROWS_PER_BAND
+    n_bands = len(MINHASH_COEFFS) // r
+    band_exprs = ", ".join(
+        "'" + str(k) + ",'||" + "||','||".join(f"CAST(m{k * r + j} AS VARCHAR)" for j in range(r))
+        for k in range(n_bands)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT id, list_distinct(list_filter(list_transform(list_zip(t, t[2:], t[3:]),
+      p -> CASE WHEN p[3] IS NULL THEN NULL ELSE p[1]||' '||p[2]||' '||p[3] END),
+      x -> x IS NOT NULL)) AS sh
+  FROM toks
+),
+nz AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+sig AS (
+  SELECT id, sh,
+    {sigs}
+  FROM nz
+),
+buckets AS (SELECT id, unnest([{band_exprs}]) AS bucket FROM sig),
+cand AS (
+  SELECT DISTINCT a.id AS ia, b.id AS ib
+  FROM buckets a JOIN buckets b USING (bucket) WHERE a.id < b.id
+),
+pairs AS (
+  SELECT ia AS id_a, ib AS id_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+  FROM cand JOIN nz x ON x.id = ia JOIN nz y ON y.id = ib
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (majority vote over md5
+    token hashes; ties -> 1)."""
+    tune(spark)
+    from geo_db_spark.operators.dedup import simhash
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash(docs, "text", "doc_id")
+
+
+def _simhash_oracle() -> str:
+    from geo_db_spark.operators.dedup import SIMHASH_BITS
+
+    votes = ",\n    ".join(
+        f"SUM(((h >> {j}) % 2) * 2 - 1) AS v{j}" for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{j} >= 0 THEN (1::BIGINT << {j}) ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(regexp_split_to_array(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS tok
+  FROM documents
+),
+h AS (SELECT id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+votes AS (SELECT id, {votes} FROM h GROUP BY id)
+SELECT id AS doc_id, {fp} AS simhash FROM votes
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_exact_survivors": dedup_exact_survivors,
+    "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_simhash": dedup_simhash,
 }
 
 ORACLES = {
     "dedup_exact_documents": ORACLE_EXACT,
     "dedup_exact_survivors": ORACLE_SURVIVORS,
+    "dedup_minhash_lsh_pairs": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
 }

@@ -255,6 +255,149 @@ GROUP BY 1, 2
 """
 
 
+def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via
+    F.session_window — the batch twin of streaming.sessionize_stateful.
+    Oracle reproduces the gap semantics with lag + cumulative-sum."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_W3 = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, order-year) revenue — grouping-sets surface."""
+    tune(spark)
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    enriched = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("o_year"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
+    )
+    return (
+        enriched.rollup("n_name", "o_year")
+        .agg(F.sum("p").cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_G1 = """
+SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_year)
+"""
+
+
+def g2_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op surface: BUILDING-segment customers minus those with
+    an urgent order."""
+    tune(spark)
+    cust = load(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.exceptAll(urgent.distinct().join(building, "c_custkey", "left_semi"))
+
+
+ORACLE_G2 = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def g3_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join shape: for every event, the user's latest purchase
+    timestamp at-or-before it (running max over event time)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return ev.select("event_id", "user_id", "ts", last_purchase.alias("last_purchase_ts"))
+
+
+ORACLE_G3 = """
+SELECT event_id, user_id, ts,
+       MAX(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+FROM events
+"""
+
+
+def g4_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column access (get_json_object path probing —
+    the F9 scalar surface) + grouped agg on the extracted value."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_G4 = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "d1_customers_without_urgent_orders": d1_customers_without_urgent_orders,
     "d2_argmin_order_per_customer": d2_argmin_order_per_customer,
@@ -266,6 +409,11 @@ QUERIES = {
     "d11_orders_with_big_lineitem": d11_orders_with_big_lineitem,
     "w1_running_sum_per_user": w1_running_sum_per_user,
     "w2_tumbling_window_counts": w2_tumbling_window_counts,
+    "w3_sessionize": w3_sessionize,
+    "g1_rollup_revenue": g1_rollup_revenue,
+    "g2_except_customers": g2_except_customers,
+    "g3_asof_last_purchase": g3_asof_last_purchase,
+    "g4_json_props": g4_json_props,
 }
 
 ORACLES = {
@@ -279,4 +427,9 @@ ORACLES = {
     "d11_orders_with_big_lineitem": ORACLE_D11,
     "w1_running_sum_per_user": ORACLE_W1,
     "w2_tumbling_window_counts": ORACLE_W2,
+    "w3_sessionize": ORACLE_W3,
+    "g1_rollup_revenue": ORACLE_G1,
+    "g2_except_customers": ORACLE_G2,
+    "g3_asof_last_purchase": ORACLE_G3,
+    "g4_json_props": ORACLE_G4,
 }

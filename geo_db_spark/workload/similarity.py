@@ -87,12 +87,76 @@ WHERE CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS
 """
 
 
+# sign-LSH: one bucket bit per probed dimension (0-based dims; DuckDB
+# lists are 1-based, hence d+1 in the oracle). At corpus scale the join
+# is bucket-local: 8 bits ~ 256 buckets -> ~n/256 candidates per query
+# instead of n.
+LSH_DIMS = (0, 8, 16, 24, 32, 40, 48, 56)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 cosine neighbors via sign-LSH bucketing: only
+    candidates in the query's bucket are scored (recall < exact by
+    design; the oracle runs the same algorithm)."""
+    from pyspark.sql import Window
+
+    from geo_db_spark.operators.similarity import cosine_from_quantized, int_dot, with_quantized
+
+    tune(spark)
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    bucket = None
+    for i, d in enumerate(LSH_DIMS):
+        bit = F.when(F.get(F.col("embedding"), d) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    emb = emb.withColumn("bucket", bucket.cast("long"))
+    c = emb.select(F.col("bucket"), F.col("vec_id").alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n"))
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("bucket"), F.col("vec_id").alias("q_id"), F.col("q").alias("q_q"), F.col("qnorm").alias("q_n")
+    )
+    pairs = c.join(F.broadcast(qs), "bucket").filter(F.col("c_id") != F.col("q_id"))
+    cos = cosine_from_quantized(int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i, d in enumerate(LSH_DIMS)
+)
+
+ORACLE_ANN_LSH = f"""
+WITH qe AS (
+  SELECT vec_id, CAST({_BUCKET_SQL} AS BIGINT) AS bucket, {_QUANT_SQL} AS q
+  FROM embeddings
+),
+normed AS (
+  SELECT vec_id, bucket, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n
+  FROM qe
+)
+SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) DESC,
+                    b.vec_id) AS INT) AS rank
+FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+QUALIFY rank <= 3
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
 }
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN,
+    "ann_lsh_topk": ORACLE_ANN_LSH,
     "embedding_near_dup_pairs": ORACLE_NEAR_DUP,
 }
