@@ -79,13 +79,22 @@ MINHASH_COEFFS = [
 MINHASH_ROWS_PER_BAND = 2
 
 
-def minhash_signature(shingle_arr: Column) -> list[Column]:
-    """One min-hash per coefficient pair over the shingle array. The base
-    hash is the first 8 md5 hex chars as an integer (same in DuckDB)."""
-    h = lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long")  # noqa: E731
+def base_hashes(shingle_arr: Column) -> Column:
+    """First 8 md5 hex chars of each shingle as an integer (same value in
+    DuckDB). Materialize this as a real column before fanning out into
+    the 12 min-hash expressions: Column trees duplicate per reference,
+    so inlining the md5 into each would 12x the codegen size."""
+    return F.transform(
+        shingle_arr,
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def minhash_signature(hash_arr: Column) -> list[Column]:
+    """One min-hash per coefficient pair over a base-hash array."""
     return [
         F.array_min(
-            F.transform(shingle_arr, lambda s: (F.lit(a) * h(s) + F.lit(b)) % F.lit(MINHASH_P))
+            F.transform(hash_arr, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
         ).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
@@ -112,7 +121,8 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    sig = sh.select("id", "sh", *minhash_signature(F.col("sh"))).cache()
+    hashed = sh.withColumn("hs", base_hashes(F.col("sh")))
+    sig = hashed.select("id", "sh", *minhash_signature(F.col("hs"))).cache()
 
     n_bands = len(MINHASH_COEFFS) // r
     bands = F.array(

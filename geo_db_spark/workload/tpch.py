@@ -246,12 +246,108 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join (orders having a late lineitem)
+    + grouped count."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 30).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 30)
+GROUP BY o_orderpriority
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a dim join
+    (promo-branded parts' share of revenue)."""
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    revenue = _price("l_extendedprice") * (_one() - _pct("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+        F.lit(0).cast("decimal(14,2)")
+    )
+    out = (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .agg(F.sum(promo).alias("_pr"), F.sum(revenue).alias("_r"))
+        .select(
+            F.col("_pr").cast("double").alias("promo_revenue"),
+            F.col("_r").cast("double").alias("total_revenue"),
+        )
+    )
+    return out
+
+
+ORACLE_Q14 = """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+             CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped fact, semi-joined back."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_price("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select(F.col("l_orderkey").alias("o_orderkey"), F.col("_q").cast("double").alias("total_qty"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        orders.join(big, "o_orderkey")
+        .join(F.broadcast(cust.select("c_custkey", "c_name")), orders.o_custkey == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 150
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_revenue_forecast": q6_revenue_forecast,
     "q10_returned_items": q10_returned_items,
+    "q4_order_priority": q4_order_priority,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
 }
 
 ORACLES = {
@@ -260,4 +356,7 @@ ORACLES = {
     "q5_local_supplier_volume": ORACLE_Q5,
     "q6_revenue_forecast": ORACLE_Q6,
     "q10_returned_items": ORACLE_Q10,
+    "q4_order_priority": ORACLE_Q4,
+    "q14_promo_revenue": ORACLE_Q14,
+    "q18_large_orders": ORACLE_Q18,
 }
