@@ -45,6 +45,20 @@ def main() -> None:
     spark = get_spark("geo_db_spark_bench")
     qs = workload.queries()
 
+    from pyspark.sql import functions as F
+
+    def force(df):
+        """Full-evaluation action: checksum EVERY output column so Catalyst
+        cannot prune computed projections — a bare count() lets
+        pure-projection queries (e.g. text_quality_metrics) skip the regex
+        work they claim to measure. xxhash64 over all columns is JVM-side
+        and cheap relative to the query itself."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("chk"),
+        ).collect()[0]
+        return row["n"]
+
     # warm the JVM + parquet footers once with the cheapest query
     qs["q6_revenue_forecast"](spark, sf_dir).collect()
 
@@ -52,8 +66,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count() if name != "q6_revenue_forecast" else len(df.collect())
+        n = force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
     total = round(sum(timings.values()), 4)

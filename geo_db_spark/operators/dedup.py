@@ -100,30 +100,27 @@ def minhash_signature(hash_arr: Column) -> list[Column]:
     ]
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Near-duplicate pairs by MinHash + LSH banding + exact-Jaccard
-    verification: shingle -> 12 minhashes -> 6 band buckets -> bucket-local
-    candidate pairs -> exact Jaccard on the candidates only.
+# Buckets with more members than this are dropped from candidate
+# generation: boilerplate-heavy corpora (the common 100 TB case) produce
+# mega-buckets whose in-bucket self-join is quadratic. Members of a
+# dropped bucket can still pair through their other 5 bands, and true
+# near-dups agree on many bands, so recall loss is confined to documents
+# that ONLY collide inside hot (i.e. low-information) buckets.
+MINHASH_MAX_BUCKET = 64
 
-    Scale shape: the only joins are (a) the band-bucket self-join, which
-    is local to each bucket (LSH keeps buckets tiny for non-duplicates),
-    and (b) recovering the two shingle sets per CANDIDATE pair — never an
-    all-pairs product over the corpus. Deterministic: fixed coefficients,
-    md5 base hash, exact integer arithmetic.
-    """
+
+def _minhash_buckets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, bucket) pairs: shingle -> 12 minhashes -> 6 banded buckets."""
     r = MINHASH_ROWS_PER_BAND
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
     hashed = sh.withColumn("hs", base_hashes(F.col("sh")))
-    sig = hashed.select("id", "sh", *minhash_signature(F.col("hs"))).cache()
-
+    # signature rows are (id, 12 longs) — the shingle payload is NOT
+    # carried past this projection (and nothing is cached: the bucket
+    # self-join reuses one shuffle exchange, and at corpus scale caching
+    # shingle arrays is a storage leak, not a win)
+    sig = hashed.select("id", *minhash_signature(F.col("hs")))
     n_bands = len(MINHASH_COEFFS) // r
     bands = F.array(
         *[
@@ -131,15 +128,66 @@ def minhash_lsh_pairs(
             for k in range(n_bands)
         ]
     )
-    buckets = sig.select("id", F.explode(bands).alias("bucket"))
+    return sig.select("id", F.explode(bands).alias("bucket"))
+
+
+def minhash_hot_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_bucket: int = MINHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Observability side-output: the buckets excluded by the hot-bucket
+    cap, with their member counts. Empty on healthy corpora."""
+    b = _minhash_buckets(df, text_col, id_col, n)
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > max_bucket)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = MINHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash + LSH banding + exact-Jaccard
+    verification: shingle -> 12 minhashes -> 6 band buckets -> bucket-local
+    candidate pairs -> exact Jaccard on the candidates only.
+
+    Scale shape: the only joins are (a) the band-bucket self-join, which
+    is local to each bucket AND capped at max_bucket members (hot buckets
+    from boilerplate corpora would otherwise go quadratic — use
+    minhash_hot_buckets to observe what was dropped), and (b) recovering
+    the two shingle sets per CANDIDATE pair from the source — never an
+    all-pairs product over the corpus, and never a cached/shuffled
+    shingle payload. Deterministic: fixed coefficients, md5 base hash,
+    exact integer arithmetic.
+    """
+    buckets = _minhash_buckets(df, text_col, id_col, n)
+    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    # hot buckets are FEW by definition — broadcast-anti-join against that
+    # small set (broadcasting the kept set would ship ~|corpus|*6 ids)
+    hot = sizes.filter(F.col("__bn") > max_bucket).select("bucket")
+    kept = buckets.join(F.broadcast(hot), "bucket", "left_anti")
     cand = (
-        buckets.alias("a")
-        .join(buckets.alias("b"), "bucket")
+        kept.alias("a")
+        .join(kept.alias("b"), "bucket")
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sets = sig.select("id", "sh")
+    # candidates are a small fraction of the corpus: join the shingle
+    # sets back from source (AQE broadcasts the candidate side), so the
+    # payload never shuffles
+    sets = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
     pairs = (
         cand.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

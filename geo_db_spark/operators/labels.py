@@ -33,8 +33,13 @@ SEP = " / "
 
 def _lang_match(label_lang: Column, code: Column) -> Column:
     """label.lang = code OR label.lang LIKE family(code) || '-%'
-    (reference per_city.sql:35, city_labels_by_country.sql:46,55)."""
-    return (label_lang == code) | label_lang.startswith(F.concat(lang_family(code), F.lit("-")))
+    (reference per_city.sql:35, city_labels_by_country.sql:46,55).
+    SQLite's LIKE is ASCII case-insensitive, so the prefix arm lowercases
+    both sides ('ZH-hant' matches family 'zh'); the `=` arm stays
+    case-sensitive exactly like SQLite's `=`."""
+    return (label_lang == code) | F.lower(label_lang).startswith(
+        F.concat(lang_family(F.lower(code)), F.lit("-"))
+    )
 
 
 def native_label_concat(
@@ -101,7 +106,9 @@ def resolve_labels_via_ancestors(
         )
         .join(languages.select(F.col("id").alias("__lid"), "code"), F.col("lang_id") == F.col("__lid"))
         .select("seed", "step", "anc_id", "lang_id", "lang_index", "code")
-        .withColumn("family", lang_family(F.col("code")))
+        # lowercased family key so the equi-join covers BOTH arms of
+        # _lang_match (exact equality implies equal lowercase families)
+        .withColumn("family", lang_family(F.lower(F.col("code"))))
     )
 
     labels = object_labels.select(
@@ -109,7 +116,7 @@ def resolve_labels_via_ancestors(
         F.col("lang"),
         F.col("native_order"),
         F.col("label"),
-        lang_family(F.col("lang")).alias("family"),
+        lang_family(F.lower(F.col("lang"))).alias("family"),
     )
 
     matched = anc_langs.join(
@@ -171,9 +178,16 @@ def labels_by_country(
     reference's UPDATE writes NULL too).
     """
     def country_lang(rank: int, code_col: str) -> DataFrame:
+        # ONE row per country: extract_all can emit two different lang_ids
+        # at the same index when an entity routes through both the country
+        # and TE branches (their kept-sets differ via the snaktype guard).
+        # The reference's UPDATE picks an arbitrary winner but never
+        # multiplies rows — pick min(lang_id) deterministically so _fill's
+        # left join can't duplicate city spine rows.
         return (
             object_languages.filter(F.col("lang_index") == rank)
-            .select(F.col("id").alias("country"), "lang_id")
+            .groupBy(F.col("id").alias("country"))
+            .agg(F.min("lang_id").alias("lang_id"))
             .join(
                 languages.select(F.col("id").alias("__lid"), F.col("code").alias(code_col)),
                 F.col("lang_id") == F.col("__lid"),
@@ -186,7 +200,7 @@ def labels_by_country(
         F.col("lang"),
         F.col("native_order"),
         F.col("label"),
-        lang_family(F.col("lang")).alias("lfam"),
+        lang_family(F.lower(F.col("lang"))).alias("lfam"),
     )
 
     def owner_label(with_code: DataFrame, code_col: str, out: str) -> DataFrame:
@@ -195,7 +209,7 @@ def labels_by_country(
         m = with_code.join(
             labels,
             (with_code["owner"] == labels["owner"])
-            & (F.col("lfam") == lang_family(F.col(code_col))),
+            & (F.col("lfam") == lang_family(F.lower(F.col(code_col)))),
         ).filter(_lang_match(F.col("lang"), F.col(code_col)))
         w = Window.partitionBy(with_code["owner"], F.col(code_col)).orderBy(
             F.col("lang"), F.col("native_order").asc_nulls_first(), F.col("label")

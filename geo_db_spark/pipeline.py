@@ -22,10 +22,19 @@ from geo_db_spark.sources.wikidata import read_entity_dump
 FINAL_TABLES = ("cities", "cities_labels", "cities_languages")
 
 
+def _as_class_tags(spark: SparkSession, class_sets) -> DataFrame:
+    """Accept any A7 provider output: a precomputed dict, or a tagged
+    (class_id, set_name) DataFrame from sources.classes
+    (class_sets_from_p279_edges / fetch_class_sets_sparql)."""
+    if isinstance(class_sets, DataFrame):
+        return class_sets
+    return class_sets_from_dict(spark, class_sets)
+
+
 def ingest(
     spark: SparkSession,
     dump_path: str,
-    class_sets: dict[str, list[str]],
+    class_sets,
     out_dir: str | None = None,
     now_key: int = NOW_KEY_DEFAULT,
 ) -> dict[str, DataFrame]:
@@ -33,7 +42,7 @@ def ingest(
     tables. With ``out_dir`` each table is persisted to parquet and
     re-read (a durable stage barrier, replacing the SQLite sink A9)."""
     entities = read_entity_dump(spark, dump_path)
-    tags = class_sets_from_dict(spark, class_sets)
+    tags = _as_class_tags(spark, class_sets)
     outs = extract_all(entities, tags, now_key)
     if out_dir:
         persisted = {}
@@ -48,7 +57,7 @@ def ingest(
 def build_geo_db(
     spark: SparkSession,
     dump_path: str,
-    class_sets: dict[str, list[str]],
+    class_sets,
     out_dir: str | None = None,
     now_key: int = NOW_KEY_DEFAULT,
     max_steps: int = 100,

@@ -95,12 +95,17 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTE
         rows = pd.concat(list(pdfs))
         ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns -> µs
         vals = rows["value"].tolist()
+        pairs = sorted(zip(ts_us, vals))
         if state.exists:
             start, end, n, sv = state.get
         else:
-            start, end, n, sv = min(ts_us), max(ts_us), 0, 0.0
+            # fresh state anchors to the FIRST event, not max(ts): seeding
+            # end=max(batch) would make `t - end > gap` unreachable inside
+            # the first micro-batch, collapsing a new user's multi-gap
+            # events into one session (diverging from F.session_window).
+            start, end, n, sv = pairs[0][0], pairs[0][0], 0, 0.0
         closed = []
-        for t, v in sorted(zip(ts_us, vals)):
+        for t, v in pairs:
             if n > 0 and t - end > gap_ms * 1000:
                 closed.append((start, end, n, sv))
                 start, end, n, sv = t, t, 0, 0.0

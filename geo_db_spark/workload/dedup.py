@@ -57,6 +57,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle() -> str:
     from geo_db_spark.operators.dedup import (
         MINHASH_COEFFS,
+        MINHASH_MAX_BUCKET,
         MINHASH_P,
         MINHASH_ROWS_PER_BAND,
     )
@@ -91,9 +92,11 @@ sig AS (
   FROM nz
 ),
 buckets AS (SELECT id, unnest([{band_exprs}]) AS bucket FROM sig),
+hot AS (SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) > {MINHASH_MAX_BUCKET}),
+kept AS (SELECT * FROM buckets WHERE bucket NOT IN (SELECT bucket FROM hot)),
 cand AS (
   SELECT DISTINCT a.id AS ia, b.id AS ib
-  FROM buckets a JOIN buckets b USING (bucket) WHERE a.id < b.id
+  FROM kept a JOIN kept b USING (bucket) WHERE a.id < b.id
 ),
 pairs AS (
   SELECT ia AS id_a, ib AS id_b,

@@ -43,9 +43,12 @@ QUALIFY rank <= 5
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs (cosine > 0.3) blocked by the label column —
-    the blocked-join shape that keeps near-dup detection feasible at
-    corpus scale (all-pairs only within a block, never globally)."""
+    """Near-duplicate pairs (cosine > 0.3) blocked by the label column.
+
+    DEMO variant: label blocking is only safe when block sizes are
+    bounded by construction (one hot label at corpus scale is quadratic).
+    The general/scale path is embedding_near_dup_lsh below — sign-LSH
+    banding with a per-bucket cap."""
     tune(spark)
     emb = with_quantized(load(spark, sf_dir, "embeddings"))
     a = emb.select(
@@ -92,6 +95,98 @@ WHERE CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS
 # is bucket-local: 8 bits ~ 256 buckets -> ~n/256 candidates per query
 # instead of n.
 LSH_DIMS = (0, 8, 16, 24, 32, 40, 48, 56)
+
+# Banded sign-LSH for near-dup pairs: two 4-bit bands. A pair is a
+# candidate if it agrees on ALL bits of at least one band; near-identical
+# vectors agree on most sign bits, so banding recovers the recall a
+# single 8-bit bucket would lose. Band ids are offset (bi*16) so buckets
+# from different bands never collide.
+NEARDUP_BANDS = ((0, 8, 16, 24), (32, 40, 48, 56))
+
+# Per-bucket member cap for near-dup candidate generation — bounds the
+# in-bucket self-join at corpus scale exactly like MINHASH_MAX_BUCKET.
+NEARDUP_MAX_BUCKET = 512
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs (cosine > 0.3) via banded sign-LSH: the
+    GENERAL scale path (VERDICT r1 'what's wrong' #2). Candidates come
+    from per-band bucket self-joins bounded by NEARDUP_MAX_BUCKET; exact
+    quantized cosine verifies candidates only. No label dependence, no
+    unbounded block."""
+    tune(spark)
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    band_cols = []
+    for bi, dims in enumerate(NEARDUP_BANDS):
+        acc = None
+        for i, d in enumerate(dims):
+            bit = F.when(F.get(F.col("embedding"), d) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            acc = bit if acc is None else acc + bit
+        band_cols.append((acc + F.lit(bi * 16)).cast("long"))
+    buckets = emb.select(F.col("vec_id").alias("id"), F.explode(F.array(*band_cols)).alias("bucket"))
+    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    hot = sizes.filter(F.col("__bn") > NEARDUP_MAX_BUCKET).select("bucket")
+    kept = buckets.join(F.broadcast(hot), "bucket", "left_anti")
+    cand = (
+        kept.alias("a")
+        .join(kept.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = emb.select("vec_id", "q", "qnorm")
+    pairs = (
+        cand.join(
+            vecs.select(F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("qnorm").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("qnorm").alias("n_b")),
+            "id_b",
+        )
+    )
+    cos = int_dot(F.col("q_a"), F.col("q_b")).cast("double") / (
+        F.sqrt(F.col("n_a").cast("double")) * F.sqrt(F.col("n_b").cast("double"))
+    )
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") > 0.3)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _near_dup_lsh_oracle() -> str:
+    band_sqls = []
+    for bi, dims in enumerate(NEARDUP_BANDS):
+        bits = " + ".join(
+            f"CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+            for i, d in enumerate(dims)
+        )
+        band_sqls.append(f"({bits}) + {bi * 16}")
+    bands = ", ".join(band_sqls)
+    return f"""
+WITH qe AS (
+  SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n
+  FROM qe
+),
+buckets AS (
+  SELECT vec_id AS id, CAST(unnest([{bands}]) AS BIGINT) AS bucket FROM embeddings
+),
+hot AS (SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) > {NEARDUP_MAX_BUCKET}),
+kept AS (SELECT * FROM buckets WHERE bucket NOT IN (SELECT bucket FROM hot)),
+cand AS (
+  SELECT DISTINCT a.id AS ia, b.id AS ib
+  FROM kept a JOIN kept b USING (bucket) WHERE a.id < b.id
+)
+SELECT ia AS id_a, ib AS id_b,
+       CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine
+FROM cand JOIN normed a ON a.vec_id = ia JOIN normed b ON b.vec_id = ib
+WHERE CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) > 0.3
+"""
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,10 +248,12 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
 }
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "embedding_near_dup_pairs": ORACLE_NEAR_DUP,
+    "embedding_near_dup_lsh": _near_dup_lsh_oracle(),
 }

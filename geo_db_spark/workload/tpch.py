@@ -81,9 +81,12 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter (customer segment) broadcast
-    into orders⋈lineitem, grouped revenue. customer/orders are the small
-    sides — broadcast them; the lineitem scan keeps only 3 columns."""
+    """TPC-H Q3 shape: selective dim filter (customer segment) pruning
+    orders⋈lineitem, grouped revenue. customer and orders grow with scale
+    factor, so no forced broadcast on either side: AQE converts to
+    broadcast at runtime when (and only when) the filtered side is small
+    enough. At 100x the filtered orders side exceeds driver memory and the
+    right plan is a shuffle join — hardcoding F.broadcast would OOM."""
     tune(spark)
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(
@@ -95,10 +98,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _price("l_extendedprice") * (_one() - _pct("l_discount"))
     out = (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust.select("c_custkey")), orders.o_custkey == cust.c_custkey)
-                .select("o_orderkey", "o_orderdate", "o_orderpriority")
-            ),
+            orders.join(cust.select("c_custkey"), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -128,7 +129,10 @@ GROUP BY o_orderkey, o_orderdate, o_orderpriority
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: snowflake join region→nation→(customer,supplier)
-    with the co-nation constraint; all dims broadcast, lineitem streams."""
+    with the co-nation constraint. Only true dimensions (region, nation,
+    supplier) carry broadcast hints; orders/customer scale with the fact
+    data, so their join strategy is left to AQE (shuffle join at 100x,
+    dynamic broadcast conversion when the runtime size qualifies)."""
     tune(spark)
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
@@ -144,8 +148,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name"
     )
     out = (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -204,7 +208,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: fact→fact join (orders⋈lineitem) then dim enrich."""
+    """TPC-H Q10 shape: fact→fact join (orders⋈lineitem) then dim enrich.
+    orders and customer are fact-scale: no broadcast hints on them (AQE
+    decides); only nation — a true dim — keeps the hint."""
     tune(spark)
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -215,8 +221,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     revenue = _price("l_extendedprice") * (_one() - _pct("l_discount"))
     out = (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(revenue).alias("_rev"))
@@ -324,7 +330,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     return (
         orders.join(big, "o_orderkey")
-        .join(F.broadcast(cust.select("c_custkey", "c_name")), orders.o_custkey == F.col("c_custkey"))
+        .join(cust.select("c_custkey", "c_name"), orders.o_custkey == F.col("c_custkey"))
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
 
