@@ -15,9 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from geo_db_spark.workload import dedup, graph, ops, similarity, text, tpch
+from geo_db_spark.workload import dedup, extraction, graph, ops, similarity, text, tpch
 
-_MODULES = (tpch, ops, graph, dedup, text, similarity)
+_MODULES = (tpch, ops, graph, dedup, text, similarity, extraction)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
