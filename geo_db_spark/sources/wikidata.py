@@ -136,5 +136,8 @@ def read_entity_dump(spark: SparkSession, path: str) -> DataFrame:
     parallelizes — improvement over the reference's serial decompress,
     SURVEY.md §2 A1-A5). Download-to-storage replaces the reference's
     resumable-HTTP source (A1): at cluster scale the dump lives in object
-    storage, not behind a flaky socket."""
+    storage, not behind a flaky socket. Use
+    ``geo_db_spark.sources.download.download_resumable`` for the
+    download step (Range+ETag resume, 32x8s retry — the reference's
+    resilience semantics, src/input/http.rs:10-11, 48-152)."""
     return parse_entity_lines(spark.read.text(path))
