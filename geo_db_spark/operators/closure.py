@@ -42,10 +42,17 @@ def transitive_closure(
     find_subdivision.sql:13). UNION ALL semantics: one row per path, as in
     the reference."""
     spark = edges.sparkSession
+    # Give the anchor's seed/id DISTINCT attribute ids (two Aliases) —
+    # `SELECT id, id, 0` duplicates one attribute reference, and the
+    # loop's per-iteration LogicalRDD then logs "output columns differ
+    # between logical and optimized plan" (benign but noisy; SCALE.md).
+    anchor = seeds.select(
+        F.col(seed_col).alias("seed"), F.col(seed_col).alias("id")
+    )
     return spark.sql(
         f"""
         WITH RECURSIVE cl(seed, id, step) MAX RECURSION LEVEL {int(max_steps) + 2} AS (
-            SELECT {seed_col}, {seed_col}, 0 FROM {{seeds}}
+            SELECT seed, id, 0 FROM {{seeds}}
             UNION ALL
             SELECT cl.seed, e.{parent_col}, cl.step + 1
             FROM cl JOIN {{edges}} e ON cl.id = e.{child_col}
@@ -53,7 +60,7 @@ def transitive_closure(
         )
         SELECT seed, id, step FROM cl
         """,
-        seeds=seeds,
+        seeds=anchor,
         edges=edges,
     )
 

@@ -373,6 +373,80 @@ FROM events
 """
 
 
+def g5_asof_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE two-table as-of join: for each event, the user's latest order
+    (o_orderdate <= ts; ties by max o_orderkey), events without a prior
+    order kept with NULLs.
+
+    Scale shape — the union + running-max pattern: tag both inputs, union
+    them, ONE window partitioned by the join key ordered by time (orders
+    sort before events at equal timestamps so 'at-or-before' includes
+    same-instant orders), take the running max of the (date, orderkey)
+    struct, keep event rows. One shuffle total, no range-join row
+    explosion, no per-key memory beyond the window's running state —
+    unlike a t1.key=t2.key AND t1.t<=t2.t join whose intermediate is
+    |matches| rows. Skew = one hot user's events land in one partition;
+    acceptable because state is O(1) per row.
+    """
+    tune(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+    )
+    o_struct = "struct<od:timestamp,ok:bigint>"
+    tagged = orders.select(
+        "user_id",
+        "t",
+        F.lit(1).alias("is_order"),
+        F.struct(F.col("t").alias("od"), F.col("o_orderkey").alias("ok")).alias("o"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    ).unionByName(
+        ev.select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.lit(0).alias("is_order"),
+            F.lit(None).cast(o_struct).alias("o"),
+            "event_id",
+            "ts",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_order").desc(), F.col("o.ok"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("asof", F.max("o").over(w))
+        .filter(F.col("is_order") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("asof.ok").alias("asof_orderkey"),
+            F.col("asof.od").alias("asof_orderdate"),
+        )
+    )
+
+
+ORACLE_G5 = """
+WITH ranked AS (
+  SELECT e.event_id,
+         o.o_orderkey AS asof_orderkey,
+         o.o_orderdate AS asof_orderdate,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id, e.user_id, e.ts, m.asof_orderkey, m.asof_orderdate
+FROM events e LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) m
+  ON e.event_id = m.event_id
+"""
+
+
 def g4_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON column access (get_json_object path probing —
     the F9 scalar surface) + grouped agg on the extracted value."""
@@ -414,6 +488,7 @@ QUERIES = {
     "g2_except_customers": g2_except_customers,
     "g3_asof_last_purchase": g3_asof_last_purchase,
     "g4_json_props": g4_json_props,
+    "g5_asof_two_table": g5_asof_two_table,
 }
 
 ORACLES = {
@@ -432,4 +507,5 @@ ORACLES = {
     "g2_except_customers": ORACLE_G2,
     "g3_asof_last_purchase": ORACLE_G3,
     "g4_json_props": ORACLE_G4,
+    "g5_asof_two_table": ORACLE_G5,
 }

@@ -51,6 +51,34 @@ def test_cte_closure_all_paths_bounded(spark):
     assert max(s for _, _, s in rows) == 6
 
 
+def test_loop_closure_depth100_with_cycles(spark):
+    """Deep-and-cyclic guard (VERDICT r1 #7): a 105-deep chain with a
+    back-edge every 10 nodes (many overlapping cycles). The CTE variant
+    enumerates alternating cycle paths — row count grows exponentially
+    with the bound — so on this shape the LOOP variant is the only
+    viable plan; it must terminate in exactly one pass per level with
+    first-visit steps and respect the step<=100 bound."""
+    import time
+
+    chain = [(i, i + 1) for i in range(105)]
+    back = [(i, i - 10) for i in range(10, 105, 10)]
+    edges = spark.createDataFrame(chain + back, "id long, parent long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+
+    t0 = time.perf_counter()
+    out = transitive_closure_loop(edges, seeds, max_steps=100)
+    rows = {r["id"]: r["step"] for r in out.collect()}
+    wall = time.perf_counter() - t0
+
+    assert rows[100] == 100  # deepest node inside the bound
+    assert 101 not in rows  # step bound enforced
+    assert rows[50] == 50  # back-edges never shorten forward distances
+    # every reachable node recorded exactly once (first visit)
+    assert len(rows) == 101
+    # termination guard: 100 sequential tiny jobs, not path enumeration
+    assert wall < 180, f"loop closure too slow: {wall:.1f}s"
+
+
 def test_deepest_qualifying_ancestor_tiebreak(spark):
     edges = spark.createDataFrame(
         [("c1", "p1"), ("c1", "p2"), ("p2", "p3")], "id string, parent string"
