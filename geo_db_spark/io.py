@@ -42,12 +42,16 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark vectorized reader rejects. Read nanos as long
     (spark.sql.legacy.parquet.nanosAsLong) and truncate to microsecond
     timestamps — the data is µs-aligned, so no information is lost and the
-    values match DuckDB's TIMESTAMP view of the same file."""
+    values match DuckDB's TIMESTAMP view of the same file. Files already
+    written with µs timestamps (e.g. the scale-test copies DuckDB emits)
+    read through unchanged: nanosAsLong only rewrites NANOS columns."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

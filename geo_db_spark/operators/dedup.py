@@ -46,12 +46,18 @@ def exact_dedup(
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingle array from raw text (lowercased, whitespace
     tokenized); documents shorter than n tokens yield no shingles.
-    Used by MinHash / Jaccard dedup."""
-    toks = F.split(normalize_text(col), " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    Used by MinHash / Jaccard dedup.
+
+    Implementation: one regex pass — a lookbehind anchors at token
+    starts, a zero-width lookahead CAPTURES the n-token window, so
+    overlapping shingles come out of a single codegen'd
+    regexp_extract_all. The obvious transform(sequence, slice+join)
+    formulation runs its lambda interpreted per position and was ~5 s
+    per pass over 260k shingles at sf0.1 (r2 bench profile) — the regex
+    is the same semantics at JVM regex-loop speed."""
+    pat = r"(?<= |^)(?=(" + r"\S+ " * (n - 1) + r"\S+))"
     return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+        F.regexp_extract_all(normalize_text(col), F.lit(pat), 1)
     )
 
 
@@ -79,25 +85,29 @@ MINHASH_COEFFS = [
 MINHASH_ROWS_PER_BAND = 2
 
 
-def base_hashes(shingle_arr: Column) -> Column:
-    """First 8 md5 hex chars of each shingle as an integer (same value in
-    DuckDB). Materialize this as a real column before fanning out into
-    the 12 min-hash expressions: Column trees duplicate per reference,
-    so inlining the md5 into each would 12x the codegen size."""
-    return F.transform(
-        shingle_arr,
-        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("long"),
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(id, sh: array<string>) -> (id, m0..m11): explode the shingles to
+    rows, hash each in whole-stage codegen (md5 prefix as integer — same
+    value as DuckDB's ('0x'||substr(md5(s),1,8))::BIGINT), then compute
+    all 12 min-hashes as grouped MIN aggregates.
+
+    Why rows, not array lambdas: higher-order functions (transform /
+    aggregate over arrays) evaluate their lambda INTERPRETED per element
+    — an md5 per shingle through that path dominated the r1 bench
+    (~15 s/5k docs). The explode+groupBy shape keeps every expression
+    inside Tungsten codegen, and map-side partial MIN collapses the
+    exploded rows back to |docs| * 12 longs before the shuffle — the
+    same scale shape as the simhash operator below.
+    """
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    h = F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 8), 16, 10).cast("long")
+    hashed = ex.select("id", h.alias("h"))
+    return hashed.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
     )
-
-
-def minhash_signature(hash_arr: Column) -> list[Column]:
-    """One min-hash per coefficient pair over a base-hash array."""
-    return [
-        F.array_min(
-            F.transform(hash_arr, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
 
 
 # Buckets with more members than this are dropped from candidate
@@ -109,18 +119,24 @@ def minhash_signature(hash_arr: Column) -> list[Column]:
 MINHASH_MAX_BUCKET = 64
 
 
+# The signature DataFrame feeds three plan branches (bucket sizes, both
+# sides of the bucket self-join); caching it avoids recomputing the
+# md5+minhash tree per branch. Cached rows are (id, 12 longs) ONLY —
+# never the shingle payload (ADVICE r1: caching shingle arrays is a
+# storage leak at corpus scale). One cached signature set per session:
+# each call unpersists the previous one.
+_SIG_CACHE: list[DataFrame] = []
+
+
 def _minhash_buckets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, bucket) pairs: shingle -> 12 minhashes -> 6 banded buckets."""
     r = MINHASH_ROWS_PER_BAND
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    hashed = sh.withColumn("hs", base_hashes(F.col("sh")))
-    # signature rows are (id, 12 longs) — the shingle payload is NOT
-    # carried past this projection (and nothing is cached: the bucket
-    # self-join reuses one shuffle exchange, and at corpus scale caching
-    # shingle arrays is a storage leak, not a win)
-    sig = hashed.select("id", *minhash_signature(F.col("hs")))
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    sig = minhash_signatures(sh)
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist(False)
+    sig = sig.cache()
+    _SIG_CACHE.append(sig)
     n_bands = len(MINHASH_COEFFS) // r
     bands = F.array(
         *[
@@ -182,12 +198,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # candidates are a small fraction of the corpus: join the shingle
-    # sets back from source (AQE broadcasts the candidate side), so the
-    # payload never shuffles
-    sets = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # cand feeds three branches (both arms of cand_ids + the pair join);
+    # it is tiny by construction (bucket-cap-bounded), so cache it in the
+    # same session-bounded registry as the signatures
+    cand = cand.cache()
+    _SIG_CACHE.append(cand)
+    # candidates are a small fraction of the corpus: recompute shingles
+    # ONLY for documents appearing in a candidate pair (semi-join first),
+    # then attach both sides. The payload is never cached and never
+    # computed corpus-wide a second time; with `sets` small, AQE plans
+    # both attach joins as broadcasts.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = (
+        df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    )
     pairs = (
         cand.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -11,6 +11,8 @@ from geo_db_spark.operators.text import (
     fingerprint,
     lang_scores,
     quality_metrics,
+    token_count,
+    word_tokens,
 )
 from geo_db_spark.session import tune
 
@@ -101,14 +103,40 @@ FROM documents
 """
 
 
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for LLM-data budgeting: whitespace tokens plus the
+    BPE-ish regex tokenization (words / number runs / punctuation marks)
+    and its distinct-token count. Pure expressions, one scan."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = word_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS n_distinct_tokens
+FROM documents
+"""
+
+
 QUERIES = {
     "text_quality_metrics": text_quality_metrics,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_token_stats": text_token_stats,
 }
 
 ORACLES = {
     "text_quality_metrics": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
+    "text_token_stats": ORACLE_TOKEN_STATS,
 }
