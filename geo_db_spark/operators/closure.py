@@ -42,6 +42,15 @@ def transitive_closure(
     find_subdivision.sql:13). UNION ALL semantics: one row per path, as in
     the reference."""
     spark = edges.sparkSession
+    # The engine's recursion ROW limit defaults to 1e6 — a toy-scale
+    # safeguard: a closure's output grows with the data (10x the seeds
+    # tripped it, found by the r2 scale-envelope run). Depth is already
+    # bounded by MAX RECURSION LEVEL / the step predicate, which is the
+    # semantically meaningful guard, so lift the row cap out of the way.
+    try:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
+    except Exception:
+        pass  # older builds without the conf
     # Give the anchor's seed/id DISTINCT attribute ids (two Aliases) —
     # `SELECT id, id, 0` duplicates one attribute reference, and the
     # loop's per-iteration LogicalRDD then logs "output columns differ

@@ -15,9 +15,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from geo_db_spark.workload import dedup, extraction, graph, ops, similarity, text, tpch
+from geo_db_spark.workload import (
+    dedup,
+    extraction,
+    graph,
+    multimodal,
+    ops,
+    similarity,
+    sketches,
+    text,
+    tpch,
+)
 
-_MODULES = (tpch, ops, graph, dedup, text, similarity, extraction)
+_MODULES = (tpch, ops, graph, dedup, text, similarity, extraction, multimodal, sketches)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
