@@ -6,7 +6,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geo_db_spark.io import load
-from geo_db_spark.operators.similarity import cosine_topk_bruteforce, int_dot, with_quantized
+from geo_db_spark.operators.similarity import (
+    cosine_from_quantized,
+    cosine_topk_bruteforce,
+    int_dot,
+    with_quantized,
+)
 from geo_db_spark.session import tune
 
 _QUANT_SQL = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
@@ -244,9 +249,99 @@ QUALIFY rank <= 3
 """
 
 
+# IVF: deterministic "trained" centroids = the first IVF_C vectors by id
+# (a real pipeline would k-means; the index STRUCTURE — assign to nearest
+# centroid, probe the query's cell — is what we exercise, and the fixed
+# centroid rule keeps both engines bit-identical).
+IVF_C = 16
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via an IVF (inverted-file) index:
+    corpus vectors are assigned to their max-cosine centroid cell; each
+    query probes ONLY its own cell (nprobe=1 — recall < exact by
+    design, like ann_lsh_topk).
+
+    Scale shape: the centroid table (IVF_C rows) broadcasts; assignment
+    scores compute scan-side and only skinny (vec_id, cell, score) rows
+    shuffle for the per-vector argmax; the probe join is cell-local.
+    """
+    from pyspark.sql import Window
+
+    tune(spark)
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_C).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
+    )
+    scored = emb.select("vec_id", "q", "qnorm").join(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        cosine_from_quantized(
+            int_dot(F.col("q"), F.col("c_q")), F.col("qnorm"), F.col("c_n")
+        ).alias("c_score"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("c_score").desc(), F.col("cent_id"))
+    cells = (
+        scored.withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    assigned = emb.join(cells, "vec_id")
+    c = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
+    )
+    qs = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("cell"), F.col("vec_id").alias("q_id"), F.col("q").alias("q_q"), F.col("qnorm").alias("q_n")
+    )
+    pairs = c.join(F.broadcast(qs), "cell").filter(F.col("c_id") != F.col("q_id"))
+    cos = cosine_from_quantized(int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH qe AS (
+  SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n
+  FROM qe
+),
+cent AS (SELECT vec_id AS cent_id, q AS c_q, n AS c_n FROM normed WHERE vec_id < {IVF_C}),
+scored AS (
+  SELECT v.vec_id, cent.cent_id,
+         CAST(CAST(list_sum(list_transform(list_zip(v.q, cent.c_q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(v.n AS DOUBLE)) * sqrt(CAST(cent.c_n AS DOUBLE))) AS c_score
+  FROM normed v, cent
+),
+cells AS (
+  SELECT vec_id, cent_id AS cell FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) = 1
+),
+assigned AS (
+  SELECT n2.vec_id, n2.q, n2.n, cells.cell FROM normed n2 JOIN cells USING (vec_id)
+)
+SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+       CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) DESC,
+                    b.vec_id) AS INT) AS rank
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+QUALIFY rank <= 3
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
 }
@@ -254,6 +349,7 @@ QUERIES = {
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN,
     "ann_lsh_topk": ORACLE_ANN_LSH,
+    "ann_ivf_topk": ORACLE_ANN_IVF,
     "embedding_near_dup_pairs": ORACLE_NEAR_DUP,
     "embedding_near_dup_lsh": _near_dup_lsh_oracle(),
 }

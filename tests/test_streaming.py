@@ -47,6 +47,14 @@ def test_windowed_counts_stream_matches_batch(spark, events_dir, tmp_path):
 
 
 def test_stateful_sessionize_stream(spark, events_dir):
+    """Value-level check (ADVICE r1: the old shape-only test could not
+    catch the first-batch gap bug): within ONE micro-batch, a user's
+    events spanning inactivity gaps must split into sessions matching
+    the F.session_window batch twin — every session except each user's
+    LAST (which stays open awaiting the processing-time timeout)."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
     from geo_db_spark.streaming import read_events_stream, sessionize_stateful
 
     stream = read_events_stream(spark, events_dir)
@@ -59,10 +67,29 @@ def test_stateful_sessionize_stream(spark, events_dir):
         .start()
     )
     q.awaitTermination(180)
-    rows = spark.sql("select * from sessions").collect()
-    # availableNow processes one batch; open sessions only close via the
-    # processing-time timeout, so a single-batch run may emit only the
-    # sessions closed WITHIN the batch. Validate shape + invariants.
-    for r in rows:
-        assert r["session_start"] <= r["session_end"]
-        assert r["n_events"] >= 1
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    }
+
+    ev = load(spark, SF_SMOKE, "events")
+    tw = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in tw:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = set()
+    for user, sessions in by_user.items():
+        sessions.sort(key=lambda r: r["s"])
+        for r in sessions[:-1]:  # last session stays open in the stream
+            want.add((user, r["s"], r["e"], r["n_events"]))
+
+    assert len(want) > 0
+    assert got == want

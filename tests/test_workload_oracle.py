@@ -13,11 +13,16 @@ from tests.conftest import SF_SMOKE
 NAMES = sorted(workload.queries().keys())
 
 
+# Genuinely non-SQL-expressible ops (Pandas-batch math): the driver
+# records a rows-only check for these. Keep the list EXPLICIT so a
+# forgotten oracle still fails the test.
+ROWS_ONLY = {"mm_feature_extract"}
+
+
 def test_every_query_has_oracle():
     qs = workload.queries()
     oracles = workload.oracle_sql()
-    missing = [n for n in qs if n not in oracles]
-    # non-SQL-expressible ops may be missing; keep the list explicit
+    missing = [n for n in qs if n not in oracles and n not in ROWS_ONLY]
     assert missing == [], f"queries without oracle: {missing}"
 
 
