@@ -415,3 +415,34 @@ def explain_entity(
     entities = parse_entity_lines(lines)
     outs = extract_all(entities, class_tags, now_key)
     return {name: df.collect() for name, df in outs.items()}
+
+
+ENTITY_DATA_URL = "https://www.wikidata.org/wiki/Special:EntityData/{qid}.json"
+
+
+def fetch_entity_json(qid: str, timeout: float = 30.0) -> str:
+    """Fetch one live entity document — the HTTP half of the reference's
+    ``geo-db entity`` subcommand (src/main.rs:241-255: GET
+    Special:EntityData/{id}.json, unwrap ``.entities[id]``). Dev-only
+    (network required); feed the result to :func:`explain_entity`."""
+    import json as _json
+    import urllib.request
+
+    from geo_db_spark.sources.download import USER_AGENT
+
+    req = urllib.request.Request(
+        ENTITY_DATA_URL.format(qid=qid), headers={"User-Agent": USER_AGENT}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        doc = _json.load(resp)
+    return _json.dumps(doc["entities"][qid])
+
+
+def explain_entity_live(
+    spark: SparkSession,
+    qid: str,
+    class_tags: DataFrame,
+    now_key: int = NOW_KEY_DEFAULT,
+) -> dict[str, list]:
+    """``geo-db entity Qxx`` end-to-end: live fetch + rule trace."""
+    return explain_entity(spark, fetch_entity_json(qid), class_tags, now_key)

@@ -125,6 +125,40 @@ def test_complete_file_hits_416_and_returns(flaky_server, tmp_path):
     assert n == len(PAYLOAD)
 
 
+def test_fetch_entity_json_unwraps_entities(monkeypatch):
+    """A8's HTTP half (src/main.rs:241-255): GET Special:EntityData,
+    unwrap .entities[qid] — against a local server."""
+    import json
+
+    doc = {"entities": {"Q64": {"id": "Q64", "claims": {}}}}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            body = json.dumps(doc).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from geo_db_spark import extract
+
+        monkeypatch.setattr(
+            extract,
+            "ENTITY_DATA_URL",
+            f"http://127.0.0.1:{srv.server_address[1]}/{{qid}}.json",
+        )
+        out = extract.fetch_entity_json("Q64")
+        assert json.loads(out) == {"id": "Q64", "claims": {}}
+    finally:
+        srv.shutdown()
+
+
 def test_open_failure_exhausts_retries(tmp_path):
     from geo_db_spark.sources.download import DownloadError
 
