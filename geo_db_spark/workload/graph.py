@@ -78,12 +78,40 @@ QUALIFY row_number() OVER (PARTITION BY seed ORDER BY step DESC, id) = 1
 """
 
 
+def d3_closure_loop_minstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOOP closure variant (first-visit semantics: each (seed, id)
+    at its minimal step, cycle-safe) under the driver's gate — on a DAG
+    it must equal the all-paths CTE collapsed by MIN(step)."""
+    tune(spark)
+    from geo_db_spark.operators.closure import transitive_closure_loop
+
+    part = load(spark, sf_dir, "part")
+    seeds = part.select(F.col("p_partkey").alias("id"))
+    out = transitive_closure_loop(_edges(spark, sf_dir), seeds, max_steps=100)
+    return out.select("seed", "id", F.col("step").cast("int").alias("step"))
+
+
+ORACLE_D3_LOOP = """
+WITH RECURSIVE cl(seed, id, step) AS (
+    SELECT p_partkey, p_partkey, 0 FROM part
+    UNION ALL
+    SELECT cl.seed, e.parent, cl.step + 1
+    FROM cl JOIN (SELECT p_partkey AS id, p_partkey // 2 AS parent
+                  FROM part WHERE p_partkey >= 2) e ON cl.id = e.id
+    WHERE cl.step < 100
+)
+SELECT seed, id, CAST(MIN(step) AS INT) AS step FROM cl GROUP BY seed, id
+"""
+
+
 QUERIES = {
     "d3_part_hierarchy_closure": d3_part_hierarchy_closure,
+    "d3_closure_loop_minstep": d3_closure_loop_minstep,
     "d4_deepest_qualifying_ancestor": d4_deepest_qualifying_ancestor,
 }
 
 ORACLES = {
     "d3_part_hierarchy_closure": ORACLE_D3,
+    "d3_closure_loop_minstep": ORACLE_D3_LOOP,
     "d4_deepest_qualifying_ancestor": ORACLE_D4A,
 }
