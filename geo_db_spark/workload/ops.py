@@ -472,6 +472,62 @@ FROM events GROUP BY event_type
 """
 
 
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def g6_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per user, one summed-value column per event
+    type. Explicit pivot values keep the plan a single groupBy (Spark
+    skips the extra distinct-scan job); DECIMAL sums for hash stability."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")))
+    )
+    return out.select(
+        "user_id",
+        *[F.col(t).cast("double").alias(f"sum_{t}") for t in EVENT_TYPES],
+    )
+
+
+ORACLE_G6 = f"""
+SELECT user_id,
+       {", ".join(
+           "CAST(SUM(CASE WHEN event_type = '" + t + "' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_" + t
+           for t in EVENT_TYPES)}
+FROM events GROUP BY user_id
+"""
+
+
+def g7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p95) per event type. Inputs quantized
+    to DECIMAL so both engines interpolate over identical doubles; exact
+    percentile is deterministic (unlike approx sketches — see
+    sk_kmv_distinct_* for the approximate path)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile(v, F.lit(0.5)).alias("p50"),
+            F.percentile(v, F.lit(0.95)).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_G7 = """
+SELECT event_type,
+       quantile_cont(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE), 0.5) AS p50,
+       quantile_cont(CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE), 0.95) AS p95,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "d1_customers_without_urgent_orders": d1_customers_without_urgent_orders,
     "d2_argmin_order_per_customer": d2_argmin_order_per_customer,
@@ -489,6 +545,8 @@ QUERIES = {
     "g3_asof_last_purchase": g3_asof_last_purchase,
     "g4_json_props": g4_json_props,
     "g5_asof_two_table": g5_asof_two_table,
+    "g6_pivot_event_values": g6_pivot_event_values,
+    "g7_percentiles": g7_percentiles,
 }
 
 ORACLES = {
@@ -508,4 +566,6 @@ ORACLES = {
     "g3_asof_last_purchase": ORACLE_G3,
     "g4_json_props": ORACLE_G4,
     "g5_asof_two_table": ORACLE_G5,
+    "g6_pivot_event_values": ORACLE_G6,
+    "g7_percentiles": ORACLE_G7,
 }
