@@ -11,6 +11,8 @@ DuckDB) so results are oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -123,20 +125,36 @@ MINHASH_MAX_BUCKET = 64
 # sides of the bucket self-join); caching it avoids recomputing the
 # md5+minhash tree per branch. Cached rows are (id, 12 longs) ONLY —
 # never the shingle payload (ADVICE r1: caching shingle arrays is a
-# storage leak at corpus scale). One cached signature set per session:
-# each call unpersists the previous one.
-_SIG_CACHE: list[DataFrame] = []
+# storage leak at corpus scale).
+#
+# Registry semantics (ADVICE r2): keyed per SparkSession — concurrent
+# sessions never touch each other's entries — and evicted FIFO with a
+# small window instead of unpersist-on-next-call, so the common pattern
+# (minhash_lsh_pairs + minhash_hot_buckets lazily consumed side by side)
+# keeps both plans cached; only entries >_SIG_CACHE_KEEP calls old are
+# unpersisted (their lazy consumers silently recompute, which is
+# correct, just not free). Guarded by a lock for multi-threaded drivers.
+_SIG_CACHE: dict[int, list[DataFrame]] = {}
+_SIG_CACHE_KEEP = 4
+_SIG_CACHE_LOCK = threading.Lock()
+
+
+def _cache_session_scoped(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    key = id(df.sparkSession)
+    with _SIG_CACHE_LOCK:
+        reg = _SIG_CACHE.setdefault(key, [])
+        reg.append(df)
+        while len(reg) > _SIG_CACHE_KEEP:
+            reg.pop(0).unpersist(False)
+    return df
 
 
 def _minhash_buckets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, bucket) pairs: shingle -> 12 minhashes -> 6 banded buckets."""
     r = MINHASH_ROWS_PER_BAND
     sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-    sig = minhash_signatures(sh)
-    while _SIG_CACHE:
-        _SIG_CACHE.pop().unpersist(False)
-    sig = sig.cache()
-    _SIG_CACHE.append(sig)
+    sig = _cache_session_scoped(minhash_signatures(sh))
     n_bands = len(MINHASH_COEFFS) // r
     bands = F.array(
         *[
@@ -200,9 +218,8 @@ def minhash_lsh_pairs(
     )
     # cand feeds three branches (both arms of cand_ids + the pair join);
     # it is tiny by construction (bucket-cap-bounded), so cache it in the
-    # same session-bounded registry as the signatures
-    cand = cand.cache()
-    _SIG_CACHE.append(cand)
+    # same session-scoped registry as the signatures
+    cand = _cache_session_scoped(cand)
     # candidates are a small fraction of the corpus: recompute shingles
     # ONLY for documents appearing in a candidate pair (semi-join first),
     # then attach both sides. The payload is never cached and never

@@ -96,15 +96,21 @@ def fetch_class_sets_sparql(
 
     Mirrors src/wiki_sparql.rs:9-67: one ``P279+`` query per root, the
     trailing URI segment is the Q-id, the root itself is added to the
-    set. Cached results are reused verbatim so ingest runs are
-    reproducible offline after one fetch.
+    set. Cached results are reused so ingest runs are reproducible
+    offline after one fetch — but only when the cache was built for the
+    SAME roots (ADVICE r2: a stale cache for different roots must
+    trigger a refetch, not be returned verbatim). Legacy caches without
+    a recorded roots dict are treated as stale.
     """
     from geo_db_spark.extract import class_sets_from_dict
 
     roots = roots or CLASS_SET_ROOTS
+    roots_norm = {name: sorted(qids) for name, qids in roots.items()}
     if os.path.exists(cache_path):
         with open(cache_path) as f:
-            return class_sets_from_dict(spark, json.load(f))
+            cached = json.load(f)
+        if isinstance(cached, dict) and cached.get("roots") == roots_norm:
+            return class_sets_from_dict(spark, cached["sets"])
 
     try:
         import requests
@@ -131,6 +137,6 @@ def fetch_class_sets_sparql(
 
     tmp = f"{cache_path}.tmp"
     with open(tmp, "w") as f:
-        json.dump(sets, f)
+        json.dump({"roots": roots_norm, "sets": sets}, f)
     os.replace(tmp, cache_path)
     return class_sets_from_dict(spark, sets)

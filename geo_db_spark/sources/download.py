@@ -34,6 +34,11 @@ USER_AGENT = "geo-db-spark downloader"
 MAX_OPEN_TRIES = 32  # reference src/input/http.rs:10
 OPEN_RETRY_INTERVAL_SECS = 8.0  # reference src/input/http.rs:11
 _SKIP_CHUNK = 1024  # reference seeks forward in 1 KiB reads (http.rs:123)
+# A server that ignores Range restarts the file from scratch each open;
+# without a cap that's an unbounded loop (ADVICE r2). The reference
+# never hits this (it errors on offset mismatch); we allow a few full
+# restarts for flaky CDN fronts, then fail loudly.
+MAX_FULL_RESTARTS = 4
 
 
 class DownloadError(RuntimeError):
@@ -69,6 +74,28 @@ def _open(url: str, offset: int, timeout: float):
     return urllib.request.urlopen(req, timeout=timeout)
 
 
+def _verify_complete(url: str, offset: int, etag: str | None, timeout: float) -> int:
+    """A 416 only means "file complete" if the remote really is `offset`
+    bytes of the same object — a replaced/shrunk remote also answers 416
+    (ADVICE r2). HEAD the resource and compare ETag + Content-Length
+    before declaring success."""
+    req = urllib.request.Request(
+        url, method="HEAD", headers={"User-Agent": USER_AGENT}
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        head_etag = resp.headers.get("ETag", "") or ""
+        clen = resp.headers.get("Content-Length")
+    if etag is not None and head_etag != etag:
+        raise EtagMismatch(
+            f"416 but etag changed {etag!r} -> {head_etag!r}: remote replaced"
+        )
+    if clen is not None and int(clen) != offset:
+        raise ContentRangeError(
+            f"416 but remote is {clen} bytes, local {offset}: size mismatch"
+        )
+    return offset
+
+
 def download_resumable(
     url: str,
     dest: str,
@@ -88,6 +115,7 @@ def download_resumable(
     if offset > 0 and os.path.exists(etag_path):
         etag = open(etag_path).read() or None
 
+    full_restarts = 0
     while True:
         resp = None
         tries = 0
@@ -99,9 +127,10 @@ def download_resumable(
                 resp = _open(url, offset, timeout)
             except urllib.error.HTTPError as e:
                 if e.code == 416 and offset > 0:
-                    # range not satisfiable: file is complete (or shrank —
-                    # the ETag check on the next plain open would catch it)
-                    return offset
+                    # range not satisfiable: complete — but only after a
+                    # HEAD confirms same ETag and exact size (a replaced
+                    # or shrunk remote answers 416 too)
+                    return _verify_complete(url, offset, etag, timeout)
                 if tries >= max_open_tries:
                     raise DownloadError(f"open failed after {tries} tries: {e}") from e
                 sleep(retry_interval)
@@ -116,7 +145,17 @@ def download_resumable(
                 if etag is not None and new_etag != etag:
                     raise EtagMismatch(f"etag changed {etag!r} -> {new_etag!r}")
                 if resp.status == 200:
-                    # server ignored the Range header: start over
+                    # server ignored the Range header: start over — but a
+                    # Range-ignoring server that also drops connections
+                    # mid-body would loop restart-from-zero forever, so
+                    # cap the restarts (the per-open retry budget doesn't
+                    # cover this: every open "succeeds")
+                    full_restarts += 1
+                    if full_restarts > MAX_FULL_RESTARTS:
+                        raise DownloadError(
+                            f"server ignored Range {full_restarts} times; "
+                            "no resume progress possible"
+                        )
                     offset = 0
                     res_offset = 0
                 else:

@@ -25,9 +25,21 @@ from geo_db_spark.workload import (
     sketches,
     text,
     tpch,
+    tpch_ext,
 )
 
-_MODULES = (tpch, ops, graph, dedup, text, similarity, extraction, multimodal, sketches)
+_MODULES = (
+    tpch,
+    tpch_ext,
+    ops,
+    graph,
+    dedup,
+    text,
+    similarity,
+    extraction,
+    multimodal,
+    sketches,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

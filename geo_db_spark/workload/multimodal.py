@@ -71,12 +71,25 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction (the model-forward-pass shape):
     per-doc byte-statistics vector. Registered WITHOUT an oracle — the
     float32 batch math is the non-SQL-expressible Pandas path; the
-    driver's rows-only check covers it."""
+    driver's rows-only check covers it.
+
+    The raw array column is reduced to canonicalizable scalars here
+    (ADVICE r2: pandas can't factorize ndarray cells, so returning the
+    array made the rows-only check crash — a digest verifies the same
+    computation AND actually runs). Rounding to 2 decimals absorbs
+    float32 summation jitter; the exact element values are pinned by
+    tests/test_multimodal.py against numpy."""
     tune(spark)
     media = with_binary_payload(load(spark, sf_dir, "documents"))
     feats = extract_features(media)
+    feat_sum = F.aggregate(
+        "features", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
     return feats.select(
-        "doc_id", F.size("features").alias("n_features"), "features"
+        "doc_id",
+        F.size("features").alias("n_features"),
+        F.round(feat_sum, 2).alias("feat_sum"),
+        F.round(F.element_at("features", 1).cast("double"), 2).alias("feat_first"),
     )
 
 

@@ -112,14 +112,69 @@ def test_e2e_build_from_p279_edges(spark, tmp_path):
     assert cities["QV1"]["country"] == "aa"
 
 
+def _cache_payload(roots, sets):
+    return json.dumps(
+        {"roots": {k: sorted(v) for k, v in roots.items()}, "sets": sets}
+    )
+
+
 def test_sparql_fetch_uses_cache_offline(spark, tmp_path):
-    """With a populated cache file the fetch path never touches the
-    network and matches class_sets_from_dict output."""
-    from geo_db_spark.sources.classes import fetch_class_sets_sparql
+    """With a cache built for the SAME roots the fetch path never touches
+    the network and matches class_sets_from_dict output."""
+    from geo_db_spark.sources.classes import CLASS_SET_ROOTS, fetch_class_sets_sparql
 
     cache = tmp_path / "class_sets.json"
-    cache.write_text(json.dumps(CLASS_SETS))
+    cache.write_text(_cache_payload(CLASS_SET_ROOTS, CLASS_SETS))
     tags = fetch_class_sets_sparql(spark, str(cache))
     got = {(r["class_id"], r["set_name"]) for r in tags.collect()}
     want = {(qid, name) for name, qids in CLASS_SETS.items() for qid in qids}
     assert got == want
+
+
+def test_sparql_fetch_refetches_on_roots_mismatch(spark, tmp_path, monkeypatch):
+    """A cache built for DIFFERENT roots (or the legacy roots-less format)
+    is stale: the fetch must go back to the endpoint and rewrite the
+    cache (ADVICE r2)."""
+    import sys
+    import types
+
+    from geo_db_spark.sources import classes as mod
+
+    calls = []
+
+    class _Resp:
+        status_code = 200
+
+        def raise_for_status(self):
+            pass
+
+        def json(self):
+            return {
+                "results": {
+                    "bindings": [
+                        {"s": {"value": "http://www.wikidata.org/entity/QFETCHED"}}
+                    ]
+                }
+            }
+
+    fake_requests = types.SimpleNamespace(
+        get=lambda *a, **k: calls.append(a) or _Resp()
+    )
+    monkeypatch.setitem(sys.modules, "requests", fake_requests)
+
+    cache = tmp_path / "class_sets.json"
+    # legacy format: sets only, no recorded roots -> stale
+    cache.write_text(json.dumps(CLASS_SETS))
+    roots = {"only_set": ("Q1",)}
+    tags = mod.fetch_class_sets_sparql(spark, str(cache), roots=roots)
+    got = {(r["class_id"], r["set_name"]) for r in tags.collect()}
+    assert got == {("Q1", "only_set"), ("QFETCHED", "only_set")}
+    assert len(calls) == 1
+
+    # the rewritten cache now records the roots: second call is offline
+    mod.fetch_class_sets_sparql(spark, str(cache), roots=roots)
+    assert len(calls) == 1
+
+    # different roots again -> refetch
+    mod.fetch_class_sets_sparql(spark, str(cache), roots={"other": ("Q2",)})
+    assert len(calls) == 2

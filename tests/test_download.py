@@ -52,6 +52,13 @@ class _FlakyHandler(http.server.BaseHTTPRequestHandler):
         self.wfile.write(body)
         # close without sending the rest -> client sees early EOF
 
+    def do_HEAD(self):  # noqa: N802 (stdlib naming)
+        cls = type(self)
+        self.send_response(200)
+        self.send_header("ETag", cls.etag)
+        self.send_header("Content-Length", str(len(PAYLOAD)))
+        self.end_headers()
+
     def log_message(self, *a):  # silence
         pass
 
@@ -123,6 +130,47 @@ def test_complete_file_hits_416_and_returns(flaky_server, tmp_path):
         f.write('"v1"')
     n = download_resumable(flaky_server, dest, retry_interval=0, sleep=lambda s: None)
     assert n == len(PAYLOAD)
+
+
+def test_416_with_shrunk_remote_is_an_error(flaky_server, tmp_path):
+    """Local file LONGER than the remote: the server answers 416, but the
+    HEAD size check must refuse to call that complete (ADVICE r2)."""
+    dest = str(tmp_path / "dump.bz2")
+    with open(dest, "wb") as f:
+        f.write(PAYLOAD + b"extra-bytes")
+    with open(dest + ".etag", "w") as f:
+        f.write('"v1"')
+    with pytest.raises(ContentRangeError):
+        download_resumable(flaky_server, dest, retry_interval=0, sleep=lambda s: None)
+
+
+def test_416_with_changed_etag_is_an_error(flaky_server, tmp_path):
+    """416 from a REPLACED remote (different ETag) must raise, not return
+    success — the promised ETag catch on 416 (ADVICE r2)."""
+    dest = str(tmp_path / "dump.bz2")
+    with open(dest, "wb") as f:
+        f.write(PAYLOAD)
+    with open(dest + ".etag", "w") as f:
+        f.write('"v0"')
+    with pytest.raises(EtagMismatch):
+        download_resumable(flaky_server, dest, retry_interval=0, sleep=lambda s: None)
+
+
+def test_range_ignoring_dropping_server_caps_restarts(flaky_server, tmp_path):
+    """A server that both ignores Range AND drops mid-body makes no
+    resume progress; the full-restart cap turns the would-be infinite
+    loop into a loud error (ADVICE r2)."""
+    from geo_db_spark.sources.download import DownloadError
+
+    _FlakyHandler.honor_range = False
+    _FlakyHandler.per_request = 20_000  # drops before the 128 KiB end
+    dest = str(tmp_path / "dump.bz2")
+    with open(dest, "wb") as f:
+        f.write(b"junk" * 1000)
+    with open(dest + ".etag", "w") as f:
+        f.write('"v1"')
+    with pytest.raises(DownloadError, match="ignored Range"):
+        download_resumable(flaky_server, dest, retry_interval=0, sleep=lambda s: None)
 
 
 def test_fetch_entity_json_unwraps_entities(monkeypatch):

@@ -50,6 +50,42 @@ def test_frame_sample_explodes_rows(spark):
         assert r["count"] == expected
 
 
+def test_feature_values_match_numpy(spark):
+    """Pin the feature math to numpy ground truth — the workload query
+    only exposes scalar digests (ADVICE r2), so the element-level check
+    lives here."""
+    import numpy as np
+
+    docs = load(spark, SF_SMOKE, "documents").limit(20)
+    media = with_binary_payload(docs)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    feats = {r["doc_id"]: r["features"] for r in extract_features(media).collect()}
+    assert set(feats) == set(payloads)
+    for doc_id, payload in payloads.items():
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        expected = [float(c.mean()) for c in np.array_split(arr, N_FEATURES)]
+        got = feats[doc_id]
+        assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_mm_feature_extract_digest_is_canonical(spark):
+    """The registered query must return only hashable scalar columns
+    (pandas sort/factorize chokes on ndarray cells — CORRECTNESS_r02)."""
+    from geo_db_spark.workload.multimodal import mm_feature_extract
+
+    out = mm_feature_extract(spark, SF_SMOKE)
+    kinds = dict(out.dtypes)
+    assert kinds == {
+        "doc_id": "bigint",
+        "n_features": "int",
+        "feat_sum": "double",
+        "feat_first": "double",
+    }
+    rows = out.limit(10).collect()
+    assert all(r["n_features"] == N_FEATURES for r in rows)
+    assert all(isinstance(r["feat_sum"], float) for r in rows)
+
+
 def test_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
