@@ -21,6 +21,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q10_returned_items",
+    "q7_volume_shipping",
+    "q13_customer_order_distribution",
     "d2_argmin_order_per_customer",
     "d4_top2_orders_per_customer",
     "d5_customer_names_per_nation",
@@ -29,6 +31,7 @@ HEADLINE = [
     "g1_rollup_revenue",
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
     "text_quality_metrics",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import threading
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 8 hex chars of md5 -> fits int32 range in a BIGINT, same value in DuckDB
@@ -204,11 +204,20 @@ def minhash_lsh_pairs(
     exact integer arithmetic.
     """
     buckets = _minhash_buckets(df, text_col, id_col, n)
-    sizes = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
-    # hot buckets are FEW by definition — broadcast-anti-join against that
-    # small set (broadcasting the kept set would ship ~|corpus|*6 ids)
-    hot = sizes.filter(F.col("__bn") > max_bucket).select("bucket")
-    kept = buckets.join(F.broadcast(hot), "bucket", "left_anti")
+    # bucket-size cap via a count window over the SAME shuffle the
+    # self-join needs: the window's hashpartitioning(bucket) satisfies
+    # the join's distribution requirement, so sizing + filtering + both
+    # join sides ride ONE shuffle (the r2 shape — groupBy sizes + a
+    # broadcast anti-join — paid an extra aggregate and join stage; ~2 s
+    # of the bench at sf0.1 was that plumbing). A count-only window over
+    # a mega-bucket partition spills harmlessly; nothing materializes
+    # per-bucket arrays.
+    w = Window.partitionBy("bucket")
+    kept = (
+        buckets.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
     cand = (
         kept.alias("a")
         .join(kept.alias("b"), "bucket")
@@ -233,6 +242,71 @@ def minhash_lsh_pairs(
     sets = (
         df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi")
         .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    )
+    pairs = (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_block: int = MINHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate pairs by raw n-gram Jaccard with MIN-SHINGLE
+    blocking: each document is keyed by the minimum md5 hash of its
+    shingles (a 1-function MinHash), candidates share that key, exact
+    Jaccard verifies.
+
+    This is the cheap single-shuffle cousin of ``minhash_lsh_pairs``:
+    P(two docs share their min shingle) equals their true Jaccard, so
+    recall at threshold j is ~j (vs ~1-(1-j^2)^6 for the 6-band LSH) —
+    the right first pass when one pass over the corpus is the budget.
+    Blocks are capped at ``max_block`` members by the same count-window
+    trick as the LSH buckets (a boilerplate shingle that becomes the min
+    for millions of docs would otherwise go quadratic). Deterministic:
+    the block key is the numeric min hash, ties don't exist, and hash
+    collisions between distinct shingles only add candidates that the
+    exact-Jaccard filter re-checks anyway.
+    """
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    h = F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 8), 16, 10).cast("long")
+    keyed = ex.select("id", h.alias("h")).groupBy("id").agg(F.min("h").alias("block"))
+    w = Window.partitionBy("block")
+    kept = (
+        keyed.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_block)
+        .drop("__bn")
+    )
+    # one block per doc -> pairs are already unique, no distinct needed
+    cand = (
+        kept.alias("a")
+        .join(kept.alias("b"), "block")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = df.join(cand_ids, df[id_col] == cand_ids["id"], "left_semi").select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
     )
     pairs = (
         cand.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

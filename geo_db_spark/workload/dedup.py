@@ -108,6 +108,57 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
 """
 
 
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs with min-shingle (1-hash MinHash)
+    blocking — the single-shuffle first-pass dedup; see
+    operators/dedup.py ngram_jaccard_pairs for the recall trade-off vs
+    the 6-band LSH."""
+    tune(spark)
+    from geo_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+def _ngram_jaccard_oracle() -> str:
+    from geo_db_spark.operators.dedup import MINHASH_MAX_BUCKET
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT id, list_distinct(list_filter(list_transform(list_zip(t, t[2:], t[3:]),
+      p -> CASE WHEN p[3] IS NULL THEN NULL ELSE p[1]||' '||p[2]||' '||p[3] END),
+      x -> x IS NOT NULL)) AS sh
+  FROM toks
+),
+nz AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+keyed AS (
+  SELECT id,
+         list_min(list_transform(sh, s -> ('0x'||substr(md5(s),1,8))::BIGINT)) AS block
+  FROM nz
+),
+kept AS (
+  SELECT id, block FROM keyed
+  QUALIFY count(*) OVER (PARTITION BY block) <= {MINHASH_MAX_BUCKET}
+),
+cand AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM kept a JOIN kept b USING (block) WHERE a.id < b.id
+),
+pairs AS (
+  SELECT ia AS id_a, ib AS id_b,
+         CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+  FROM cand JOIN nz x ON x.id = ia JOIN nz y ON y.id = ib
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document (majority vote over md5
     token hashes; ties -> 1)."""
@@ -144,6 +195,7 @@ QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
 }
 
@@ -151,5 +203,6 @@ ORACLES = {
     "dedup_exact_documents": ORACLE_EXACT,
     "dedup_exact_survivors": ORACLE_SURVIVORS,
     "dedup_minhash_lsh_pairs": _minhash_oracle(),
+    "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
     "dedup_simhash": _simhash_oracle(),
 }
