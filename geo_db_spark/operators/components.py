@@ -1,0 +1,82 @@
+"""Connected components over an undirected edge DataFrame.
+
+The dedup pipeline's third act: near-dup PAIRS (minhash/ngram/embedding
+passes, operators/dedup.py + similarity.py) are edges of a similarity
+graph; the unit of deduplication is its connected COMPONENT (a re-posted
+article chain A~B~C must collapse to one survivor even when A~C was
+never emitted as a pair). Not in the reference (its dedup is PK-conflict
+-ignore at the SQLite sink, src/database.rs:101-134); this is the
+engine-growth path SURVEY.md §2's dedup block calls for.
+
+Algorithm: min-label propagation with pointer jumping (path halving).
+Each round every node takes the min label over {itself} ∪ neighbors,
+then compresses one pointer hop (label <- label's label). Plain
+propagation needs O(diameter) rounds — a 1M-doc boilerplate chain would
+take 1M shuffles; the jump makes label trees halve each round, so
+convergence is O(log diameter) rounds of pure equi-joins. Convergence
+is detected by the (monotonically decreasing) SUM of labels going
+stable — one cheap 1-row aggregate per round, no row-wise diff join.
+
+All joins are hash equi-joins keyed on node id / label; nothing is ever
+all-pairs, and per-round state is (id, label) pairs only — at 100 TB
+the state is 16 bytes/node regardless of document size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) for every node in ``edges``; cluster_id is the
+    MINIMUM node id of the component — deterministic, oracle-checkable
+    against a recursive-CTE reachability query.
+
+    Nodes not present in any edge are absent (callers union singletons
+    back if they need total coverage; see workload/dedup.dedup_clusters).
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # edge list is iterated over many rounds: materialize it once
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .groupBy(F.col("b").alias("nid"))
+            .agg(F.min("label").alias("nl"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["id"] == F.col("nid"), "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        # pointer jump: a label is itself a node id, so its own current
+        # label exists in `stepped`; one extra hop halves label-tree depth
+        hop = stepped.select(F.col("id").alias("jid"), F.col("label").alias("jl"))
+        jumped = (
+            stepped.join(hop, stepped["label"] == hop["jid"], "left")
+            .select("id", F.coalesce(F.col("jl"), F.col("label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
+        labels = jumped
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -159,6 +159,74 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: minhash-LSH pairs -> connected components
+    (min-label propagation with pointer jumping, operators/components.py).
+    One row per clustered document: (doc_id, cluster_id), cluster_id =
+    min doc_id of the component. Documents in no pair are absent."""
+    tune(spark)
+    from geo_db_spark.operators.components import connected_components
+    from geo_db_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
+def _clusters_oracle() -> str:
+    # the pairs CTE is the (nested-WITH) minhash oracle verbatim; on top,
+    # undirected reachability via a recursive CTE, min start-node per node
+    return rf"""
+WITH RECURSIVE p AS ({_minhash_oracle()}),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT a AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: drop every clustered document except its
+    component's min doc_id. Anti-join of the corpus against non-min
+    cluster members — the final act of the pairs->clusters->survivors
+    pipeline; at 100 TB the anti-join side is |clustered docs| only."""
+    tune(spark)
+    from geo_db_spark.operators.components import connected_components
+    from geo_db_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b")
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+def _cluster_survivors_oracle() -> str:
+    return rf"""
+WITH RECURSIVE p AS ({_minhash_oracle()}),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT a AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+),
+cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document (majority vote over md5
     token hashes; ties -> 1)."""
@@ -196,10 +264,14 @@ QUERIES = {
     "dedup_exact_survivors": dedup_exact_survivors,
     "dedup_minhash_lsh_pairs": dedup_minhash_lsh_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
+    "dedup_cluster_survivors": dedup_cluster_survivors,
     "dedup_simhash": dedup_simhash,
 }
 
 ORACLES = {
+    "dedup_clusters": _clusters_oracle(),
+    "dedup_cluster_survivors": _cluster_survivors_oracle(),
     "dedup_exact_documents": ORACLE_EXACT,
     "dedup_exact_survivors": ORACLE_SURVIVORS,
     "dedup_minhash_lsh_pairs": _minhash_oracle(),

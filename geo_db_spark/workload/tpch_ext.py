@@ -494,7 +494,268 @@ GROUP BY c_nationkey
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted: no partsupp — the (part, supplier) supply cost
+    becomes the minimum extended price at which that supplier has shipped
+    that part. For SMALL parts of size 15, find the EUROPE supplier(s)
+    with the per-part minimum cost.
+
+    Shape: correlated-min subquery -> grouped MIN joined back on the
+    group key (one shuffle over the brand-filtered lineitems). region/
+    nation/part/supplier are true dimensions -> broadcast; the per-pair
+    cost agg and the min-cost join are AQE's call."""
+    tune(spark)
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load(spark, sf_dir, "nation")
+    nat = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    pair_cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(_price("l_extendedprice")).alias("_cost"))
+    )
+    min_cost = pair_cost.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("_cost").alias("_mc")
+    )
+    return (
+        pair_cost.join(
+            min_cost,
+            (pair_cost.p_partkey == F.col("_pk")) & (pair_cost._cost == F.col("_mc")),
+        )
+        .join(F.broadcast(supp), pair_cost.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("_cost").cast("double").alias("supply_cost"),
+        )
+    )
+
+
+ORACLE_Q2 = """
+WITH euro_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), pair_cost AS (
+  SELECT p_partkey, l_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(14,2))) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN euro_supp ON l_suppkey = s_suppkey
+  WHERE p_size = 15 AND p_type = 'SMALL'
+  GROUP BY p_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       CAST(cost AS DOUBLE) AS supply_cost
+FROM pair_cost
+JOIN euro_supp ON l_suppkey = s_suppkey
+WHERE cost = (SELECT MIN(cost) FROM pair_cost p2
+              WHERE p2.p_partkey = pair_cost.p_partkey)
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: no partsupp availqty — a part's 'stock value'
+    for one nation's suppliers is the total extendedprice*quantity those
+    suppliers have shipped. Keep parts whose value exceeds 0.01% of the
+    nation total.
+
+    Shape: grouped agg + global scalar threshold. The 1-row global sum is
+    broadcast back (never a single-partition window); the threshold
+    compare stays in exact DECIMAL on both engines."""
+    tune(spark)
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    value = _price("l_extendedprice") * _price("l_quantity")
+    natl = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    per_part = natl.groupBy("l_partkey").agg(F.sum(value).alias("_v"))
+    total = natl.agg(F.sum(value).alias("_t"))
+    # threshold compare in double on BOTH engines (a decimal-vs-double
+    # mixed compare could disagree exactly at the boundary)
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("_v").cast("double") > F.col("_t").cast("double") * F.lit(0.0001)
+        )
+        .select("l_partkey", F.col("_v").cast("double").alias("part_value"))
+    )
+
+
+ORACLE_Q11 = """
+WITH natl AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_quantity AS DECIMAL(14,2)) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT l_partkey, CAST(SUM(v) AS DOUBLE) AS part_value
+FROM natl
+GROUP BY l_partkey
+HAVING CAST(SUM(v) AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) * 0.0001 FROM natl)
+"""
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: no partsupp availqty — a supplier qualifies if
+    it shipped more than 45 units of 'red'-named parts during 1996.
+    Nested semi-join chain: part-name filter -> per-(supp,part) quantity
+    agg -> HAVING -> semi-join into the supplier dimension, nation-
+    filtered. The quantity agg shuffles only the red-part lineitems."""
+    tune(spark)
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("red")).select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1996-01-01"))
+        & (F.col("l_shipdate") < _TS("1997-01-01"))
+    )
+    qualifying = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_price("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 45)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+
+
+ORACLE_Q20 = """
+SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_4'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(14,2))) > 45
+  )
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted: no commit/receipt dates — a lineitem is 'late'
+    when it ships more than 100 days after the order date. For finished
+    orders, count per supplier the orders where it was the ONLY late
+    supplier among several: EXISTS (another supplier on the order) AND
+    NOT EXISTS (another LATE supplier on the order).
+
+    Shape: fact⋈fact self semi- and anti-joins on orderkey, all riding
+    the same hashpartitioning(l_orderkey) exchange; supplier/nation are
+    broadcast dimensions. At 100 TB the three orderkey-keyed legs
+    co-partition — no all-pairs, no windows over skewed keys."""
+    tune(spark)
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    l1 = late.join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey).select(
+        "l_orderkey", "l_suppkey", "s_name"
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waited = (
+        l1.join(
+            other,
+            (l1.l_orderkey == other.o2_orderkey)
+            & (l1.l_suppkey != other.o2_suppkey),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (l1.l_orderkey == other_late.o3_orderkey)
+            & (l1.l_suppkey != other_late.o3_suppkey),
+            "left_anti",
+        )
+        # a supplier can have several late lineitems on one order; Q21
+        # counts orders, not lineitems
+        .select("l_orderkey", "l_suppkey", "s_name")
+        .distinct()
+    )
+    return waited.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+ORACLE_Q21 = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 100 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey, s_name
+  FROM late l1
+  JOIN supplier ON l1.l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_2'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey)
+) t
+GROUP BY s_name
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q20_promotion_suppliers": q20_promotion_suppliers,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -508,6 +769,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": ORACLE_Q2,
+    "q11_important_parts": ORACLE_Q11,
+    "q20_promotion_suppliers": ORACLE_Q20,
+    "q21_suppliers_kept_waiting": ORACLE_Q21,
     "q7_volume_shipping": ORACLE_Q7,
     "q8_market_share": ORACLE_Q8,
     "q9_product_profit": ORACLE_Q9,

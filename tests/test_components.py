@@ -1,0 +1,42 @@
+"""Unit tests for connected_components (operators/components.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geo_db_spark.operators.components import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(df, "src", "dst")
+    return {(r["id"], r["cluster_id"]) for r in out.collect()}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_chain_converges_via_pointer_jumping(spark):
+    # a 40-node path: plain propagation needs 40 rounds; pointer jumping
+    # must close it within the 50-iteration cap with room to spare
+    edges = [(i, i + 1) for i in range(1, 40)]
+    got = _cc(spark, edges)
+    assert got == {(i, 1) for i in range(1, 41)}
+
+
+def test_cycle_terminates(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (3, 1)])
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_edge_direction_irrelevant(spark):
+    # min id appearing on the dst side still wins
+    got = _cc(spark, [(5, 2), (9, 5)])
+    assert got == {(2, 2), (5, 2), (9, 2)}
+
+
+def test_self_loop_singleton(spark):
+    got = _cc(spark, [(7, 7)])
+    assert got == {(7, 7)}
