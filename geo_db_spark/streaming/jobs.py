@@ -14,24 +14,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see io._load_events)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over a directory of events parquet files
-    (nano timestamps read as longs, truncated to µs like io.load)."""
+    """File-source stream over a directory of events parquet files.
+
+    Events files come in two encodings (TESTDATA.md changed between
+    rounds): parquet TIMESTAMP(NANOS), which Spark's reader only accepts
+    as long (spark.sql.legacy.parquet.nanosAsLong), and plain µs
+    timestamps. readStream needs the schema up front, so probe the
+    directory with a footer-only batch read — exactly io._load_events'
+    dtype switch — and truncate nanos to µs when needed so both
+    encodings stream identical TimestampType rows."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    nanos = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
+    if nanos:
+        raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(events_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(_events_schema(T.TimestampType())).parquet(events_dir)
 
 
 def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
