@@ -65,6 +65,62 @@ def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
+def rate_limit_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming dedup: keep at most one event per (user_id, event_type,
+    minute). On a stream this is dropDuplicatesWithinWatermark — state
+    per key is retained only until the watermark passes the key's
+    minute, so state size is bounded by the watermark horizon, not the
+    stream length (the 100 TB/day requirement). On batch input the twin
+    is the deterministic min-(ts,event_id) pick per key
+    (workload.ops.w4_rate_limit_dedup, oracle-gated); WITHIN a
+    micro-batch the streaming winner is arrival-order-dependent, so
+    stream==batch tests compare the surviving KEY set."""
+    keyed = events.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+    if keyed.isStreaming:
+        return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "minute"]
+        )
+    return keyed.dropDuplicates(["user_id", "event_type", "minute"])
+
+
+def purchase_click_stream_join(
+    purchases: DataFrame, clicks: DataFrame, lookback_hours: int = 24
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``lookback_hours``. Both sides are
+    watermarked so the engine can bound join state: clicks older than
+    the lookback plus slack are evicted, purchases after 1 hour. The
+    batch twin (same semantics, bucketed equi-join plan) is
+    workload.ops.g9_range_join_clicks, oracle-gated."""
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", f"{lookback_hours + 1} hours")
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user_id = c_user_id AND "
+            f"c_ts BETWEEN p_ts - INTERVAL {lookback_hours} HOURS AND p_ts"
+        ),
+        "inner",
+    ).select("p_event_id", "p_user_id", "p_ts", "c_event_id", "c_ts", "c_value")
+
+
 SESSION_GAP_MINUTES = 30
 
 _SESSION_SCHEMA = (

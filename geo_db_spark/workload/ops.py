@@ -298,6 +298,31 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def w4_rate_limit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.rate_limit_dedup: at most one event per
+    (user_id, event_type, minute), deterministic min-(ts, event_id)
+    winner. One shuffle on the dedup key; the streaming variant bounds
+    the same state by watermark instead of corpus size."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+    w = Window.partitionBy("user_id", "event_type", "minute").orderBy("ts", "event_id")
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_id", "user_id", "event_type", "minute")
+    )
+
+
+ORACLE_W4 = """
+SELECT event_id, user_id, event_type, date_trunc('minute', ts) AS minute
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type, date_trunc('minute', ts)
+    ORDER BY ts, event_id) = 1
+"""
+
+
 def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (nation, order-year) revenue — grouping-sets surface."""
     tune(spark)
@@ -528,6 +553,94 @@ FROM events GROUP BY event_type
 """
 
 
+def g8_window_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window surface in one pass: per-user lag (previous event
+    time + gap), lead (next event id), and global-by-type ntile quartile.
+    Both windows order by a UNIQUE key tuple (ts, event_id) so every
+    function is deterministic; the two partitionings are separate
+    shuffles by design (user_id and event_type are different keys)."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("event_type").orderBy("value", "event_id")
+    prev_ts = F.lag("ts").over(w_user)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        prev_ts.alias("prev_ts"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(prev_ts.cast("timestamp"))).alias("gap_us"),
+        F.lead("event_id").over(w_user).alias("next_event_id"),
+        F.ntile(4).over(w_type).alias("value_quartile"),
+    )
+
+
+ORACLE_G8 = """
+SELECT event_id, user_id, event_type,
+       LAG(ts) OVER w_user AS prev_ts,
+       epoch_us(ts) - epoch_us(LAG(ts) OVER w_user) AS gap_us,
+       LEAD(event_id) OVER w_user AS next_event_id,
+       NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS value_quartile
+FROM events
+WINDOW w_user AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def g9_range_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval correlation via the bucketed range join
+    (operators/rangejoin.py): for every purchase event, the count and
+    summed value of the same user's clicks in the preceding 24 hours.
+    The join key is (user_id, time bucket) — a hash equi-join whose
+    intermediate is O(matches) even under user skew; the exact interval
+    is a residual predicate. Purchases with no clicks return via the
+    aggregate-then-left-join, not an outer bucket join."""
+    tune(spark)
+    from geo_db_spark.operators.rangejoin import bucketed_range_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    matches = bucketed_range_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        lower_s=-86400.0,
+        upper_s=0.0,
+    )
+    agg = matches.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("c_value").cast("decimal(18,6)")).alias("_sv"),
+    )
+    return purchases.join(agg, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("_sv").cast("double"), F.lit(0.0)).alias("click_value"),
+    )
+
+
+ORACLE_G9 = """
+SELECT p.event_id, p.user_id, p.ts,
+       COUNT(c.user_id) AS n_clicks,
+       COALESCE(CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS click_value
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 24 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
 QUERIES = {
     "d1_customers_without_urgent_orders": d1_customers_without_urgent_orders,
     "d2_argmin_order_per_customer": d2_argmin_order_per_customer,
@@ -540,6 +653,7 @@ QUERIES = {
     "w1_running_sum_per_user": w1_running_sum_per_user,
     "w2_tumbling_window_counts": w2_tumbling_window_counts,
     "w3_sessionize": w3_sessionize,
+    "w4_rate_limit_dedup": w4_rate_limit_dedup,
     "g1_rollup_revenue": g1_rollup_revenue,
     "g2_except_customers": g2_except_customers,
     "g3_asof_last_purchase": g3_asof_last_purchase,
@@ -547,9 +661,14 @@ QUERIES = {
     "g5_asof_two_table": g5_asof_two_table,
     "g6_pivot_event_values": g6_pivot_event_values,
     "g7_percentiles": g7_percentiles,
+    "g8_window_pack": g8_window_pack,
+    "g9_range_join_clicks": g9_range_join_clicks,
 }
 
 ORACLES = {
+    "w4_rate_limit_dedup": ORACLE_W4,
+    "g8_window_pack": ORACLE_G8,
+    "g9_range_join_clicks": ORACLE_G9,
     "d1_customers_without_urgent_orders": ORACLE_D1,
     "d2_argmin_order_per_customer": ORACLE_D2,
     "d4_top2_orders_per_customer": ORACLE_D4,

@@ -46,6 +46,77 @@ def test_windowed_counts_stream_matches_batch(spark, events_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_rate_limit_dedup_stream_matches_batch_keys(spark, events_dir):
+    """dropDuplicatesWithinWatermark keeps an arrival-order-dependent
+    winner WITHIN a micro-batch, so parity is on the surviving key set
+    (the batch twin w4 picks deterministically and is oracle-gated)."""
+    from geo_db_spark.io import load
+    from geo_db_spark.streaming import rate_limit_dedup, read_events_stream
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        rate_limit_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("rl_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_type"], r["minute"])
+        for r in spark.sql("select * from rl_dedup").collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"], r["minute"])
+        for r in rate_limit_dedup(load(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_purchase_click_stream_join_matches_batch(spark, events_dir):
+    """Stream-stream interval self-join: within one availableNow batch
+    the match set must equal the batch interval join's."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
+    from geo_db_spark.streaming import purchase_click_stream_join, read_events_stream
+
+    s1 = read_events_stream(spark, events_dir)
+    s2 = read_events_stream(spark, events_dir)
+    q = (
+        purchase_click_stream_join(s1, s2, lookback_hours=24)
+        .writeStream.format("memory")
+        .queryName("pc_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["p_event_id"], r["c_event_id"])
+        for r in spark.sql("select * from pc_join").collect()
+    }
+
+    ev = load(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    want = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("cts") <= F.col("pts")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stateful_sessionize_stream(spark, events_dir):
     """Value-level check (ADVICE r1: the old shape-only test could not
     catch the first-batch gap bug): within ONE micro-batch, a user's
