@@ -641,6 +641,77 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
+def g10_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per event_type counts and
+    value sums at THREE time resolutions (minute, hour, day) from one
+    scan — GROUPING SETS over pre-computed time buckets, so Spark plans
+    a single aggregate (with partial map-side combine) instead of three
+    scans + a union. `resolution` disambiguates rows; the finer buckets
+    are NULL at coarser grain exactly as in the SQL twin."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("minute", "ts").alias("minute"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    out = (
+        b.groupingSets(
+            [
+                ["event_type", "day", "hour", "minute"],
+                ["event_type", "day", "hour"],
+                ["event_type", "day"],
+            ],
+            "event_type",
+            "day",
+            "hour",
+            "minute",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "hour",
+            "minute",
+            F.when(F.col("minute").isNotNull(), "minute")
+            .when(F.col("hour").isNotNull(), "hour")
+            .otherwise("day")
+            .alias("resolution"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return out
+
+
+ORACLE_G10 = """
+SELECT event_type, day, hour, minute,
+       CASE WHEN minute IS NOT NULL THEN 'minute'
+            WHEN hour IS NOT NULL THEN 'hour'
+            ELSE 'day' END AS resolution,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT event_type,
+         date_trunc('minute', ts) AS minute,
+         date_trunc('hour', ts) AS hour,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         value
+  FROM events
+) b
+GROUP BY GROUPING SETS (
+  (event_type, day, hour, minute),
+  (event_type, day, hour),
+  (event_type, day)
+)
+"""
+
+
 QUERIES = {
     "d1_customers_without_urgent_orders": d1_customers_without_urgent_orders,
     "d2_argmin_order_per_customer": d2_argmin_order_per_customer,
@@ -663,9 +734,11 @@ QUERIES = {
     "g7_percentiles": g7_percentiles,
     "g8_window_pack": g8_window_pack,
     "g9_range_join_clicks": g9_range_join_clicks,
+    "g10_multi_resolution_rollup": g10_multi_resolution_rollup,
 }
 
 ORACLES = {
+    "g10_multi_resolution_rollup": ORACLE_G10,
     "w4_rate_limit_dedup": ORACLE_W4,
     "g8_window_pack": ORACLE_G8,
     "g9_range_join_clicks": ORACLE_G9,
