@@ -56,3 +56,35 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def save_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    sort_within: tuple[str, ...] = (),
+    mode: str = "overwrite",
+    max_records_per_file: int = 0,
+    compression: str = "zstd",
+) -> None:
+    """Parquet sink with the 100 TB layout knobs in one place:
+
+    - ``partition_by``: hive-style directory partitioning — later reads
+      with a filter on these columns prune entire directories
+      (PartitionFilters in the scan, no file even opened);
+    - ``sort_within``: sortWithinPartitions before write so parquet
+      min/max page stats are tight and row-group skipping works for
+      range predicates on these columns;
+    - ``max_records_per_file``: caps file size so a skewed partition
+      value does not produce one giant file (the small-file/giant-file
+      balance is set here, not by downstream readers);
+    - zstd: best scan-speed-per-byte of the built-in codecs.
+    """
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    w = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

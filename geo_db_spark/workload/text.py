@@ -127,7 +127,50 @@ FROM documents
 """
 
 
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams (every occurrence, not per-doc
+    distinct). The map-reduce canary: explode -> map-side partial count
+    -> one shuffle on the ngram -> TakeOrderedAndProject (per-partition
+    top-k + driver merge of 50-row heaps — NOT a single-partition global
+    sort). Total order (n DESC, ngram ASC) makes the cut deterministic."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    # overlapping bigrams via the lookahead-capture regex (dedup.shingles
+    # without the per-doc distinct: frequency wants every occurrence)
+    pat = r"(?<= |^)(?=(\S+ \S+))"
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    grams = docs.select(
+        F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(50)
+    )
+
+
+ORACLE_TOP_NGRAMS = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_filter(list_transform(list_zip(t, t[2:]),
+      p -> CASE WHEN p[2] IS NULL THEN NULL ELSE p[1]||' '||p[2] END),
+      x -> x IS NOT NULL)) AS ngram
+  FROM toks
+)
+SELECT ngram, COUNT(*) AS n
+FROM grams
+GROUP BY ngram
+ORDER BY n DESC, ngram
+LIMIT 50
+"""
+
+
 QUERIES = {
+    "text_top_ngrams": text_top_ngrams,
     "text_quality_metrics": text_quality_metrics,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -135,6 +178,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_top_ngrams": ORACLE_TOP_NGRAMS,
     "text_quality_metrics": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
