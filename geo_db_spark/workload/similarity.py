@@ -338,7 +338,68 @@ QUALIFY rank <= 3
 """
 
 
+def emb_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector Euclidean distance to its label's centroid — the
+    embedding-space outlier score a cluster-pruning / mislabel-detection
+    pass needs. All arithmetic before the final sqrt is EXACT:
+    per-dimension terms are (q*n - s)^2 over quantized integers (scaled
+    by n to avoid rational means), summed as DECIMAL, so the result is
+    order-independent and oracle-identical.
+
+    Scale shape: explode to (vec, dim) rows, ONE groupBy(label, dim) for
+    centroids (64*|labels| rows -> broadcast back), one groupBy(vec) for
+    the distance — shuffles carry scalars, never vectors."""
+    tune(spark)
+    from geo_db_spark.operators.similarity import QUANT, quantized
+
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(quantized(F.col("embedding"))).alias("idx", "q"),
+    )
+    cent = ex.groupBy("label", "idx").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    diff = (F.col("q") * F.col("n") - F.col("s")).cast("decimal(19,0)")
+    per_dim = ex.join(F.broadcast(cent), ["label", "idx"]).select(
+        "vec_id", "label", "n", (diff * diff).alias("t")
+    )
+    return (
+        per_dim.groupBy("vec_id", "label")
+        .agg(F.sum("t").alias("ssq"), F.max("n").alias("n"))
+        .select(
+            "vec_id",
+            "label",
+            (
+                F.sqrt(F.col("ssq").cast("double"))
+                / (F.col("n").cast("double") * F.lit(float(QUANT)))
+            ).alias("centroid_dist"),
+        )
+    )
+
+
+ORACLE_CENTROID = """
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT))) AS q,
+         unnest(range(len(embedding))) AS idx
+  FROM embeddings
+),
+cent AS (
+  SELECT label, idx, SUM(q) AS s, COUNT(*) AS n
+  FROM ex GROUP BY label, idx
+)
+SELECT vec_id, ex.label,
+       sqrt(CAST(SUM(CAST(q * n - s AS HUGEINT) * CAST(q * n - s AS HUGEINT)) AS DOUBLE))
+         / (CAST(MAX(n) AS DOUBLE) * 1048576.0) AS centroid_dist
+FROM ex JOIN cent ON ex.label = cent.label AND ex.idx = cent.idx
+GROUP BY vec_id, ex.label
+"""
+
+
 QUERIES = {
+    "emb_centroid_dist": emb_centroid_dist,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -347,6 +408,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_centroid_dist": ORACLE_CENTROID,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,

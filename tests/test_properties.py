@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis): the Spark-side expression twins
+must agree with their Python references over generated inputs, run
+batch-wise through one DataFrame per property so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from geo_db_spark.functions.wiki_time import wiki_time_key, wiki_time_key_py
+
+# -------------------------------------------------------------- helpers
+
+_settings = settings(max_examples=12, deadline=None)
+
+
+def _spark_keys(spark, rows):
+    df = spark.createDataFrame([(s, tz) for s, tz in rows], ["t", "tz"])
+    out = df.select(wiki_time_key(F.col("t"), F.col("tz")).alias("k")).collect()
+    return [r["k"] for r in out]
+
+
+# a mix of well-formed (incl. year 0, month/day 00, negative years) and
+# malformed time strings
+_year = st.integers(min_value=-(2**33), max_value=2**33)
+_mm = st.integers(min_value=0, max_value=13)
+_dd = st.integers(min_value=0, max_value=32)
+_hms = st.tuples(
+    st.integers(min_value=0, max_value=23),
+    st.integers(min_value=0, max_value=59),
+    st.integers(min_value=0, max_value=59),
+)
+_tz = st.integers(min_value=-720, max_value=720)
+
+
+@st.composite
+def _wiki_time(draw):
+    y = draw(_year)
+    m = draw(_mm)
+    d = draw(_dd)
+    h, mi, s = draw(_hms)
+    sign = "-" if y < 0 else draw(st.sampled_from(["+", ""]))
+    return f"{sign}{abs(y)}-{m:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}Z"
+
+
+_malformed = st.sampled_from(
+    ["", "not a time", "2024-01-01", "+2024-1-1T00:00:00Z",
+     "+2024-01-01T00:00:00", "++2024-01-01T00:00:00Z"]
+)
+
+
+@given(st.lists(st.tuples(st.one_of(_wiki_time(), _malformed), _tz),
+                min_size=1, max_size=25))
+@_settings
+def test_wiki_time_key_matches_python_twin(spark, rows):
+    got = _spark_keys(spark, rows)
+    want = [wiki_time_key_py(s, tz) for s, tz in rows]
+    assert got == want
+
+
+_year_i32 = st.integers(min_value=-(2**31) + 1, max_value=2**31 - 1)
+
+
+@st.composite
+def _wiki_time_i32(draw):
+    # years beyond i32 are rejected (NULL) by design — the ORDER property
+    # only makes sense over parseable keys
+    y = draw(_year_i32)
+    m = draw(_mm)
+    d = draw(_dd)
+    h, mi, s = draw(_hms)
+    sign = "-" if y < 0 else draw(st.sampled_from(["+", ""]))
+    return f"{sign}{abs(y)}-{m:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}Z"
+
+
+@given(st.lists(st.tuples(_wiki_time_i32(), _tz), min_size=2, max_size=20))
+@_settings
+def test_wiki_time_key_order_matches_tuple_order(spark, rows):
+    """The linear key must order exactly like the reference's normalized
+    (year, month0, day0, h, m, s)+tz carry-chain tuples."""
+
+    def tup(s, tz):
+        body = s.lstrip("+")
+        neg = body.startswith("-")
+        body = body.lstrip("-")
+        date, time = body.split("T")
+        y, m, d = (int(x) for x in date.split("-"))
+        h, mi, sec = (int(x) for x in time[:-1].split(":"))
+        y = -y if neg else y
+        total = (
+            ((((y * 12 + max(m - 1, 0)) * 31 + max(d - 1, 0)) * 24 + h) * 60 + mi) * 60
+            + sec + tz * 60
+        )
+        return total
+
+    keys = _spark_keys(spark, rows)
+    totals = [tup(s, tz) for s, tz in rows]
+    assert all(k is not None for k in keys)
+    order_a = sorted(range(len(rows)), key=lambda i: (keys[i], i))
+    order_b = sorted(range(len(rows)), key=lambda i: (totals[i], i))
+    assert order_a == order_b
+
+
+@given(st.lists(st.text(
+    alphabet=st.sampled_from("ab \t\n.,!?xyz0123456789"), max_size=60),
+    min_size=1, max_size=25))
+@_settings
+def test_shingles_match_python_reference(spark, texts):
+    """The lookahead-regex shingler must equal the obvious tokenize-and-
+    slide Python implementation (distinct 3-gram word shingles over
+    normalized text)."""
+    from geo_db_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r["sh"] for r in df.select(shingles(F.col("text"), 3).alias("sh")).collect()]
+
+    def ref(t):
+        toks = " ".join(t.lower().split()).split(" ") if t.strip() else []
+        out, seen = [], set()
+        for i in range(len(toks) - 2):
+            s = " ".join(toks[i : i + 3])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    assert got == [ref(t) for t in texts]
