@@ -183,3 +183,41 @@ def join_replace_column(
         m = F.broadcast(m)
     out = df.join(m, on=_keys(on), how=how)
     return out.withColumn(replace, F.col("__new")).drop("__new")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 8,
+    salt_by: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual salting for extreme key skew.
+
+    ``skewed`` (the big side with hot keys) gets a deterministic salt —
+    xxhash64 of ``salt_by`` (default: all its columns) mod ``n_salts`` —
+    and ``other`` is replicated once per salt value; the join key becomes
+    (on..., salt), splitting each hot key's rows across ``n_salts``
+    shuffle partitions. Result set is IDENTICAL to the plain join
+    (every skewed row finds its replica), at the cost of an
+    ``n_salts``-fold replication of the other side.
+
+    When to reach for this instead of AQE's skew-join split
+    (spark.sql.adaptive.skewJoin, on by default in session.tune): AQE
+    only splits SORT-MERGE join partitions after seeing runtime sizes,
+    and cannot split an aggregation that follows the join on the same
+    key; salting moves the fix into the plan itself — it also de-skews
+    a downstream groupBy on (on..., salt) before the final re-combine.
+
+    Deterministic: the salt is a pure function of row content, never
+    rand(); identical reruns produce identical partitioning (and so do
+    the driver's hash checks).
+    """
+    keys = _keys(on)
+    salt_cols = [F.col(c) for c in (salt_by or skewed.columns)]
+    left = skewed.withColumn("__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))
+    right = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return left.join(right, [*keys, "__salt"], how).drop("__salt")

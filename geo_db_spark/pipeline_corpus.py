@@ -1,0 +1,91 @@
+"""Training-corpus curation pipeline: the composition the individual
+operators exist for.
+
+    raw documents
+      -> exact dedup        (content-digest winners; dedup.exact_dedup)
+      -> near-dup clusters  (MinHash+LSH pairs -> connected components)
+      -> cluster survivors  (min doc_id per component)
+      -> quality gate       (text.quality_metrics thresholds)
+      -> language split     (partitioned parquet, io.save_partitioned)
+
+Every stage is a DataFrame transformation — one lazy plan per stage
+boundary, no driver-side loops; the only materializations are the
+connected-components iteration (inherent) and the final write. At
+100 TB each arrow above is the same shuffle structure as its
+oracle-checked workload twin (dedup_exact_documents, dedup_clusters,
+dedup_cluster_survivors, text_quality_metrics), so the pipeline's
+correctness decomposes into the per-stage gates the driver already
+verifies.
+
+The reference has no corpus pipeline (it is a geo ETL); this is the
+engine-growth deliverable SURVEY.md §2's training-data block points at.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geo_db_spark.io import save_partitioned
+from geo_db_spark.operators.components import connected_components
+from geo_db_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from geo_db_spark.operators.text import quality_metrics
+
+
+@dataclass(frozen=True)
+class QualityGate:
+    min_tokens: int = 5
+    min_alpha_ratio: float = 0.5
+    max_mean_token_len: float = 20.0
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    gate: QualityGate = QualityGate(),
+) -> DataFrame:
+    """The curated corpus as a DataFrame (call ``write_curated`` to
+    persist). Keeps every original column of the surviving documents."""
+    # 1. exact dedup: winner doc_id per normalized-content digest
+    exact_winners = exact_dedup(docs, text_col, id_col).select(id_col)
+    exact_kept = docs.join(exact_winners, id_col, "left_semi")
+
+    # 2-3. near-dup clusters on the exact-deduped corpus; drop every
+    # clustered doc except its component's min id
+    pairs = minhash_lsh_pairs(
+        exact_kept, text_col, id_col, n=3, threshold=jaccard_threshold
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    near_kept = exact_kept.join(losers, id_col, "left_anti")
+
+    # 4. quality gate: pure-expression metrics, thresholds as one filter
+    q = quality_metrics(near_kept, text_col)
+    return q.filter(
+        (F.col("n_tokens") >= gate.min_tokens)
+        & (F.col("alpha_ratio") >= gate.min_alpha_ratio)
+        & (F.col("mean_token_len") <= gate.max_mean_token_len)
+    ).select(*[F.col(c) for c in docs.columns])
+
+
+def write_curated(
+    curated: DataFrame,
+    out_dir: str,
+    partition_col: str = "lang",
+) -> None:
+    """Persist the curated corpus partitioned by language (the training
+    loader's access pattern), sorted within partitions by doc_id for
+    tight parquet stats."""
+    save_partitioned(
+        curated,
+        out_dir,
+        partition_by=(partition_col,),
+        sort_within=("doc_id",),
+        max_records_per_file=5_000_000,
+    )

@@ -1,4 +1,5 @@
 from geo_db_spark.streaming.jobs import (  # noqa: F401
+    maintain_windowed_rollup,
     purchase_click_stream_join,
     rate_limit_dedup,
     read_events_stream,

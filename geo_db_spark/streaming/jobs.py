@@ -121,6 +121,41 @@ def purchase_click_stream_join(
     ).select("p_event_id", "p_user_id", "p_ts", "c_event_id", "c_ts", "c_value")
 
 
+def maintain_windowed_rollup(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Continuous-aggregate maintenance: keep a parquet rollup of
+    windowed_event_counts up to date from the stream via foreachBatch.
+
+    Complete-mode aggregate + atomic overwrite per micro-batch is the
+    simple-and-correct maintenance strategy while the aggregate is
+    dimension-table-sized (windows x event_types); readers always see a
+    consistent snapshot. When the rollup itself outgrows overwrite,
+    switch the writer to update-mode upserts keyed on (w_start,
+    event_type) against a table format with row-level ops — the
+    transformation side stays identical. Checkpointing makes the
+    maintenance resumable: a restarted job continues from the last
+    committed batch instead of reprocessing the stream.
+    """
+    agg = windowed_event_counts(stream, watermark=watermark)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(out_dir)
+
+    writer = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 SESSION_GAP_MINUTES = 30
 
 _SESSION_SCHEMA = (

@@ -1,0 +1,66 @@
+"""End-to-end corpus curation: stage semantics verified against an
+independent DuckDB computation of the same pipeline."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+from geo_db_spark.io import load
+from geo_db_spark.pipeline_corpus import QualityGate, curate_corpus, write_curated
+from tests.conftest import SF_SMOKE
+
+
+def test_curate_corpus_e2e(spark, tmp_path):
+    docs = load(spark, SF_SMOKE, "documents")
+    curated = curate_corpus(docs, gate=QualityGate(min_tokens=5, min_alpha_ratio=0.5))
+    got = {r["doc_id"] for r in curated.select("doc_id").collect()}
+
+    # independent oracle: exact dedup + (minhash pairs reused from the
+    # oracle-gated workload SQL) + CC + quality thresholds, in DuckDB
+    from geo_db_spark.workload.dedup import _minhash_oracle
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    con.sql(
+        r"""CREATE VIEW exact_kept AS
+        SELECT * FROM documents WHERE doc_id IN (
+          SELECT MIN(doc_id) FROM documents
+          GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))"""
+    )
+    # the minhash oracle reads `documents`; the pipeline runs it on the
+    # exact-deduped corpus — swap the view
+    pairs_sql = _minhash_oracle().replace("FROM documents", "FROM exact_kept")
+    want = {
+        r[0]
+        for r in con.sql(
+            rf"""
+WITH RECURSIVE p AS ({pairs_sql}),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT a AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+),
+cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id FROM exact_kept
+WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+  AND len(regexp_split_to_array(trim(text), '\s+')) >= 5
+  AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        / length(text) >= 0.5
+  AND CAST(length(text) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\s+')) <= 20.0
+""").fetchall()
+    }
+    assert got == want and len(got) > 0
+
+    out = str(tmp_path / "curated")
+    write_curated(curated, out)
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert langs
+    back = spark.read.parquet(out)
+    assert back.count() == len(got)

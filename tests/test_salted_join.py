@@ -1,0 +1,42 @@
+"""salted_join must equal the plain join and key the shuffle on (k, salt)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geo_db_spark.operators.relational import salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    # 90% of the big side shares one hot key
+    big = spark.createDataFrame(
+        [(i, 1 if i % 10 else i) for i in range(1000)], ["row_id", "k"]
+    )
+    dim = spark.createDataFrame([(k, f"v{k}") for k in range(0, 1000, 10)], ["k", "v"])
+    plain = {(r["row_id"], r["v"]) for r in big.join(dim, "k").collect()}
+    salted = salted_join(big, dim, "k", n_salts=4, salt_by=["row_id"])
+    got = {(r["row_id"], r["v"]) for r in salted.collect()}
+    assert got == plain and len(got) > 0
+
+
+def test_salted_join_left_outer(spark):
+    big = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], ["row_id", "k"])
+    dim = spark.createDataFrame([(10, "a"), (20, "b")], ["k", "v"])
+    got = {
+        (r["row_id"], r["v"])
+        for r in salted_join(big, dim, "k", n_salts=3, how="left").collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, None)}
+
+
+def test_salt_splits_hot_key(spark):
+    big = spark.createDataFrame([(i, 7) for i in range(100)], ["row_id", "k"])
+    dim = spark.createDataFrame([(7, "x")], ["k", "v"])
+    out = salted_join(big, dim, "k", n_salts=4, salt_by=["row_id"])
+    # the deterministic salt must actually spread the hot key
+    n_salts = (
+        big.withColumn("__salt", F.pmod(F.xxhash64("row_id"), F.lit(4)))
+        .select("__salt").distinct().count()
+    )
+    assert n_salts == 4
+    assert out.count() == 100

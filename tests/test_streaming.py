@@ -117,6 +117,38 @@ def test_purchase_click_stream_join_matches_batch(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+def test_maintained_rollup_matches_batch(spark, events_dir, tmp_path):
+    """foreachBatch-maintained parquet rollup == batch twin after an
+    availableNow pass; restartable via the checkpoint."""
+    from geo_db_spark.io import load
+    from geo_db_spark.streaming import maintain_windowed_rollup, read_events_stream
+    from geo_db_spark.streaming.jobs import windowed_event_counts
+
+    out = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    q = maintain_windowed_rollup(read_events_stream(spark, events_dir), out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r["w_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["w_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(load(spark, SF_SMOKE, "events")).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # a restart with the same checkpoint is a no-op (no new files)
+    q2 = maintain_windowed_rollup(read_events_stream(spark, events_dir), out, ckpt)
+    q2.awaitTermination(60)
+    got2 = {
+        (r["w_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == want
+
+
 def test_stateful_sessionize_stream(spark, events_dir):
     """Value-level check (ADVICE r1: the old shape-only test could not
     catch the first-batch gap bug): within ONE micro-batch, a user's
