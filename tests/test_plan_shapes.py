@@ -1,0 +1,74 @@
+"""Plan-shape regression tests: lock in the scale rules VERDICT r1/r2
+established — pushdown reaches the scan, dimensions broadcast, fact-fact
+joins are left to AQE (no forced broadcast of growing tables).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from geo_db_spark import workload
+
+    return workload.queries()
+
+
+def test_q1_filter_pushed_and_pruned(spark, qs):
+    plan = _plan(qs["q1_pricing_summary"](spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan's column list must not include unused
+    # columns (ReadSchema prints truncated, so parse the bracket list)
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and "l_orderkey" not in m.group(1) and "l_partkey" not in m.group(1)
+
+
+def test_q6_aggregate_is_partial(spark, qs):
+    plan = _plan(qs["q6_revenue_forecast"](spark, SF_SMOKE))
+    # map-side partial aggregation before the single-row exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan
+
+
+def test_q3_no_forced_fact_broadcast(spark):
+    """The r1 fix: q3's orders/customer sides must not carry an explicit
+    broadcast hint — the LOGICAL plan must be hint-free on fact tables
+    (AQE may still choose broadcast at runtime from actual sizes)."""
+    from geo_db_spark import workload
+
+    df = workload.queries()["q3_shipping_priority"](spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # no ResolvedHint survives on the fact side (dimension hints are
+    # stripped by now into join strategies; a forced fact broadcast
+    # would appear as a hint node in the analyzed plan)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    for line in analyzed.splitlines():
+        if "UnresolvedHint" in line or "ResolvedHint" in line:
+            assert "orders" not in line.lower() and "customer" not in line.lower(), line
+
+
+def test_dim_broadcast_in_q5(spark, qs):
+    plan = _plan(qs["q5_local_supplier_volume"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan  # region/nation/supplier dims
+
+
+def test_minhash_no_python_udf(spark, qs):
+    """The whole minhash path stays JVM-side: no BatchEvalPython /
+    ArrowEvalPython nodes anywhere in the plan."""
+    plan = _plan(qs["dedup_minhash_lsh_pairs"](spark, SF_SMOKE))
+    assert "EvalPython" not in plan
+
+
+def test_g9_rangejoin_is_hash_join_not_cartesian(spark, qs):
+    plan = _plan(qs["g9_range_join_clicks"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,47 @@
+"""Streamed dump ingest == batch ingest, including resume idempotence."""
+
+from __future__ import annotations
+
+import bz2
+
+from tests.fixtures_wikidata import CLASS_SETS
+from tests.test_pipeline_e2e import _mini_dump
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_stream_ingest_matches_batch(spark, tmp_path):
+    from geo_db_spark.pipeline import finalize_stream_ingest, ingest, stream_ingest
+
+    docs = _mini_dump()
+    # two shards, JSON-array framing split across them like a chunked dump
+    half = len(docs) // 2
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    (shard_dir / "part-0.json").write_text("[\n" + ",\n".join(docs[:half]) + ",\n")
+    (shard_dir / "part-1.json").write_text(",\n".join(docs[half:]) + "\n]\n")
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ingest(spark, str(shard_dir), CLASS_SETS, out, ckpt)
+    q.awaitTermination(120)
+    streamed = finalize_stream_ingest(spark, out)
+
+    # batch reference over the same full dump
+    dump = tmp_path / "dump.json.bz2"
+    dump.write_bytes(bz2.compress(("[\n" + ",\n".join(docs) + "\n]\n").encode()))
+    batch = ingest(spark, str(dump), CLASS_SETS)
+
+    for name, bdf in batch.items():
+        assert _rows(streamed[name]) == _rows(bdf), name
+
+    # restart with the same checkpoint: committed shards are not re-read,
+    # so the finalized tables are unchanged (resume idempotence)
+    q2 = stream_ingest(spark, str(shard_dir), CLASS_SETS, out, ckpt)
+    q2.awaitTermination(60)
+    streamed2 = finalize_stream_ingest(spark, out)
+    for name, bdf in batch.items():
+        assert _rows(streamed2[name]) == _rows(bdf), name
