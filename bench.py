@@ -28,7 +28,10 @@ HEADLINE = [
     "d5_customer_names_per_nation",
     "d3_part_hierarchy_closure",
     "w3_sessionize",
+    "w4_rate_limit_dedup",
     "g1_rollup_revenue",
+    "g9_range_join_clicks",
+    "g10_multi_resolution_rollup",
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",

@@ -142,7 +142,14 @@ def stream_ingest(
 
 def finalize_stream_ingest(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     """Global PK pass over the appended tables (idempotence guard for
-    re-delivered shards), returning the same dict shape as ``ingest``."""
+    re-delivered shards), returning the same dict shape as ``ingest``.
+
+    Documented divergence: object_labels' dedup key includes ``label``
+    (the SQLite UNIQUE treats NULL native_order rows as distinct, so the
+    reference can hold IDENTICAL duplicate label rows); a re-delivered
+    shard is indistinguishable from such an in-dump duplicate, and
+    resume-idempotence is the property worth keeping — post-phase D5
+    dedups labels anyway."""
     tables = {}
     for name, pk in _STREAM_PKS.items():
         df = spark.read.parquet(f"{out_dir}/{name}")

@@ -169,7 +169,68 @@ LIMIT 50
 """
 
 
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf — the retrieval
+    /keyword-extraction primitive. idf is the RATIONAL form (N+1)/(df+1)
+    rather than its log: same ranking (log is monotone), but one IEEE
+    division of exact integers — ln() is not correctly-rounded and may
+    differ in the last ulp across libms, which would flap the hash gate.
+
+    Scale shape: tokenize -> explode once; per-(doc,term) counts and
+    per-term doc frequencies are two aggregates over that one exploded
+    set; df joins back term-keyed (dimension-sized: the vocabulary);
+    per-doc top-3 is one window with a total-order tiebreak."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    n_docs = docs.count()  # driver-side scalar: one count job, reused as a literal
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs + 1)) / (F.col("df").cast("double") + F.lit(1.0)))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+),
+nz AS (SELECT * FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM nz GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM nz GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term,
+       CAST(tf AS DOUBLE) * (CAST(n_docs + 1 AS DOUBLE) / (CAST(df AS DOUBLE) + 1.0)) AS tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY
+            CAST(tf AS DOUBLE) * (CAST(n_docs + 1 AS DOUBLE) / (CAST(df AS DOUBLE) + 1.0)) DESC,
+            term) AS INT) AS rank
+FROM tf JOIN df USING (term), n
+QUALIFY rank <= 3
+"""
+
+
 QUERIES = {
+    "text_tfidf_topterms": text_tfidf_topterms,
     "text_top_ngrams": text_top_ngrams,
     "text_quality_metrics": text_quality_metrics,
     "text_lang_id": text_lang_id,
@@ -178,6 +239,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_tfidf_topterms": ORACLE_TFIDF,
     "text_top_ngrams": ORACLE_TOP_NGRAMS,
     "text_quality_metrics": ORACLE_QUALITY,
     "text_lang_id": ORACLE_LANG_ID,
