@@ -15,6 +15,13 @@ Covered rules and their reference sources:
 - x4_native_labels       C8  src/wiki_data_line.rs:286-331
 - x5_time_keys           F6  src/wiki_time.rs:99-137 (year 0, negative,
                              month/day 00, i32 guard, tz offset)
+- x6_country_languages   C3  src/wiki_data_line.rs:392-407 (index over
+                             KEPT entries; no snaktype guard — the
+                             faithful asymmetry vs the TE branch)
+- x7_te_languages_fallback C5 src/wiki_data_line.rs:58-85 (array-level
+                             P37-else-P2936 coalesce; empty P37 wins)
+- x8_class_membership    B4  src/wiki_data_line.rs:464-497 (active P31,
+                             no P1366 qualifier, set join -> flags)
 """
 
 from __future__ import annotations
@@ -370,7 +377,160 @@ SELECT tid, {_tkey_sql('t', 'tz')} AS tkey FROM fixtures
 """
 
 
+# C3 vs C5 asymmetry fixtures: country branch has NO snaktype guard but
+# requires a P297 key; TE branch coalesces P37-else-P2936 at ARRAY level
+# and guards snaktype.
+_C3_ENTITIES = {
+    "L1": {
+        "P297": [_q("AA")],
+        "P37": [
+            _q("QL0"),                                 # kept -> index 0
+            _q("QLX", {"P582": [_t(_PAST)]}),          # ended -> skipped
+            {"mainsnak": {"snaktype": "somevalue"}},   # no id -> skipped
+            _q("QLY", {"P580": [_t(_FUTURE)]}),        # not started -> skipped
+            _q("QL1"),                                 # kept -> index 1
+        ],
+    },
+    "L2": {"P37": [_q("QL9")]},  # no P297 key -> country branch skips entirely
+}
+
+_C5_ENTITIES = {
+    "W1": {"P37": [_q("QA")], "P2936": [_q("QB")]},   # P37 wins
+    "W2": {"P2936": [_q("QC"), _q("QD")]},            # fallback path
+    "W3": {"P37": [], "P2936": [_q("QE")]},           # EMPTY P37 still wins: no rows
+    "W4": {
+        "P2936": [
+            {"mainsnak": {"snaktype": "somevalue"}},   # snaktype guard -> skipped
+            _q("QF"),                                  # kept -> index 0
+        ]
+    },
+}
+
+# B4 fixtures: membership needs an ACTIVE P31 without a P1366 qualifier
+_B4_CLASS_SETS = {
+    "territorial_entities": ["QT"],
+    "human_settlements": ["QS"],
+    "excluded": [],
+    "excluded_settlements": [],
+    "second_level_admin_div": [],
+    "languages": [],
+}
+_B4_ENTITIES = {
+    "M1": {"P31": [_q("QT")]},                          # TE flag
+    "M2": {"P31": [_q("QT", {"P1366": [_FLAG]})]},      # replaced claim -> no flag
+    "M3": {"P31": [_q("QT", {"P582": [_t(_PAST)]})]},   # ended -> no flag
+    "M4": {"P31": [_q("QU")]},                          # unknown class -> no flag
+    "M5": {"P31": [_q("QS"), _q("QT")]},                # both flags
+    "M6": {},                                            # no P31 at all
+}
+
+
+def x6_country_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 through the real pipeline: running lang_index over KEPT entries
+    (posexplode AFTER the filter), P297-keyed entities only, no snaktype
+    guard in this branch."""
+    tune(spark)
+    from geo_db_spark.extract import country_object_languages
+
+    return country_object_languages(_entities_df(spark, _C3_ENTITIES))
+
+
+def _x6_oracle() -> str:
+    sid = "json_extract_string(stmt, '$.mainsnak.datavalue.value.id')"
+    return f"""
+WITH {_values_cte(_C3_ENTITIES)},
+exploded AS (
+  {_explode_sql('P37')}
+),
+kept AS (
+  SELECT id, pos, {sid} AS lang_id
+  FROM exploded
+  WHERE json_extract((SELECT e2.j FROM entities e2 WHERE e2.id = exploded.id),
+                     '$.claims.P297') IS NOT NULL
+    AND {_active_sql('stmt')}
+    AND {sid} IS NOT NULL
+)
+SELECT id, lang_id,
+       CAST(row_number() OVER (PARTITION BY id ORDER BY pos) - 1 AS INT) AS lang_index
+FROM kept
+"""
+
+
+def x7_te_languages_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 through the real pipeline: array-level P37-else-P2936 coalesce
+    (an EMPTY P37 still wins), snaktype guard, running index."""
+    tune(spark)
+    from geo_db_spark.extract import te_object_languages
+
+    return te_object_languages(_entities_df(spark, _C5_ENTITIES))
+
+
+def _x7_oracle() -> str:
+    sid = "json_extract_string(stmt, '$.mainsnak.datavalue.value.id')"
+    arr = (
+        "coalesce(CAST(json_extract(e.j, '$.claims.P37') AS JSON[]), "
+        "CAST(json_extract(e.j, '$.claims.P2936') AS JSON[]))"
+    )
+    return f"""
+WITH {_values_cte(_C5_ENTITIES)},
+exploded AS (
+  SELECT e.id, unnest(range(len({arr}))) AS pos, unnest({arr}) AS stmt
+  FROM entities e
+),
+kept AS (
+  SELECT id, pos, {sid} AS lang_id
+  FROM exploded
+  WHERE json_extract_string(stmt, '$.mainsnak.snaktype') = 'value'
+    AND {_active_sql('stmt')}
+    AND {sid} IS NOT NULL
+)
+SELECT id, lang_id,
+       CAST(row_number() OVER (PARTITION BY id ORDER BY pos) - 1 AS INT) AS lang_index
+FROM kept
+"""
+
+
+def x8_class_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 through the real pipeline: explode P31 -> active filter ->
+    no-P1366-qualifier -> broadcast set join -> per-entity flags."""
+    tune(spark)
+    from geo_db_spark.extract import class_sets_from_dict, with_class_flags
+
+    ents = _entities_df(spark, _B4_ENTITIES)
+    tags = class_sets_from_dict(spark, _B4_CLASS_SETS)
+    return with_class_flags(ents, tags).select(
+        "id",
+        F.col("is_territorial_entities").alias("is_te"),
+        F.col("is_human_settlements").alias("is_settlement"),
+    )
+
+
+def _x8_oracle() -> str:
+    sid = "json_extract_string(stmt, '$.mainsnak.datavalue.value.id')"
+    return f"""
+WITH {_values_cte(_B4_ENTITIES)},
+exploded AS (
+  {_explode_sql('P31')}
+),
+kept AS (
+  SELECT id, {sid} AS class_id
+  FROM exploded
+  WHERE {sid} IS NOT NULL
+    AND {_active_sql('stmt')}
+    AND json_extract(stmt, '$.qualifiers.P1366[0]') IS NULL
+)
+SELECT e.id,
+       coalesce(bool_or(k.class_id = 'QT'), FALSE) AS is_te,
+       coalesce(bool_or(k.class_id = 'QS'), FALSE) AS is_settlement
+FROM entities e LEFT JOIN kept k ON e.id = k.id
+GROUP BY e.id
+"""
+
+
 QUERIES = {
+    "x6_country_languages": x6_country_languages,
+    "x7_te_languages_fallback": x7_te_languages_fallback,
+    "x8_class_membership": x8_class_membership,
     "x1_defunct_filter": x1_defunct_filter,
     "x2_country_priority": x2_country_priority,
     "x3_population_argmax": x3_population_argmax,
@@ -379,6 +539,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x6_country_languages": _x6_oracle(),
+    "x7_te_languages_fallback": _x7_oracle(),
+    "x8_class_membership": _x8_oracle(),
     "x1_defunct_filter": ORACLE_X1,
     "x2_country_priority": ORACLE_X2,
     "x3_population_argmax": _x3_oracle(),
