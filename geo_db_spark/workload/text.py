@@ -229,7 +229,94 @@ QUALIFY rank <= 3
 """
 
 
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection — the eval-hygiene pass a
+    training pipeline must run: which corpus documents share >= 3
+    distinct 4-gram shingles with any 'benchmark' document (stand-in:
+    doc_id < 20)? Returns (doc_id, bench_id, n_shared).
+
+    Scale shape: the benchmark side is tiny by definition -> its
+    exploded shingles broadcast; the corpus explodes once and hash-joins
+    map-side (no corpus shuffle), only the candidate hits shuffle for
+    the (doc, bench) count. At 100 TB the corpus-side cost is one
+    tokenize+explode pass, same as any shingle-based dedup."""
+    tune(spark)
+    from geo_db_spark.operators.dedup import shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"), F.explode(shingles(F.col("text"), 4)).alias("s")
+    )
+    bench = sh.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    return (
+        sh.join(F.broadcast(bench), "s")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+ORACLE_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+      list_transform(list_zip(t, t[2:], t[3:], t[4:]),
+        p -> CASE WHEN p[4] IS NULL THEN NULL
+             ELSE p[1]||' '||p[2]||' '||p[3]||' '||p[4] END),
+      x -> x IS NOT NULL))) AS s
+  FROM toks
+)
+SELECT a.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+FROM sh a JOIN sh b ON a.s = b.s
+WHERE b.doc_id < 20 AND a.doc_id <> b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 3
+"""
+
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass, measurement half: per-document counts of
+    email-shaped and URL-shaped spans plus the md5 of the redacted text
+    (emails -> <EMAIL>, urls -> <URL>) — the digest proves the rewrite
+    is deterministic without shipping the text. Pure regexp expressions,
+    one scan; the redaction itself is `regexp_replace`, trivially
+    applied as a column when writing a scrubbed corpus."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), url, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(url), 0)).alias("n_urls"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
+
+
+ORACLE_PII = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+       md5(regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
 QUERIES = {
+    "text_contamination_check": text_contamination_check,
+    "text_pii_scan": text_pii_scan,
     "text_tfidf_topterms": text_tfidf_topterms,
     "text_top_ngrams": text_top_ngrams,
     "text_quality_metrics": text_quality_metrics,
@@ -239,6 +326,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_contamination_check": ORACLE_CONTAMINATION,
+    "text_pii_scan": ORACLE_PII,
     "text_tfidf_topterms": ORACLE_TFIDF,
     "text_top_ngrams": ORACLE_TOP_NGRAMS,
     "text_quality_metrics": ORACLE_QUALITY,
