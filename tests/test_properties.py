@@ -105,6 +105,32 @@ def test_wiki_time_key_order_matches_tuple_order(spark, rows):
 
 
 @given(st.lists(st.text(
+    alphabet=st.sampled_from("0123456789,.+- \tabz"), max_size=24),
+    min_size=1, max_size=30))
+@_settings
+def test_parse_quantity_matches_reference_semantics(spark, amounts):
+    """F5 (src/wiki_data_line.rs:507-523): strip [\\s,.+], then u64-parse
+    — '1.5' -> 15 (faithful), negatives and any leftover non-digits ->
+    NULL. Property-checked against a direct Python port."""
+    import re
+
+    from geo_db_spark.functions.scalars import parse_quantity
+
+    df = spark.createDataFrame([(a,) for a in amounts], ["a"])
+    got = [r["n"] for r in df.select(parse_quantity(F.col("a")).alias("n")).collect()]
+
+    def ref(a):
+        cleaned = re.sub(r"[\s,.+]+", "", a)
+        if not re.fullmatch(r"\d+", cleaned):
+            return None
+        n = int(cleaned)
+        # the Spark twin stores BIGINT: i64 overflow -> NULL
+        return n if n <= 2**63 - 1 else None
+
+    assert got == [ref(a) for a in amounts]
+
+
+@given(st.lists(st.text(
     alphabet=st.sampled_from("ab \t\n.,!?xyz0123456789"), max_size=60),
     min_size=1, max_size=25))
 @_settings
