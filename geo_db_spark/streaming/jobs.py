@@ -27,7 +27,9 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
     Events files come in two encodings (TESTDATA.md changed between
@@ -39,10 +41,16 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     encodings stream identical TimestampType rows."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     nanos = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
+    reader = spark.readStream
+    if max_files_per_trigger:
+        # SOURCE option (ignored on the sink): bounds each micro-batch's
+        # file admission — with availableNow this is how multi-batch
+        # watermark progression is exercised in tests
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if nanos:
-        raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(events_dir)
+        raw = reader.schema(_events_schema(T.LongType())).parquet(events_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.readStream.schema(_events_schema(T.TimestampType())).parquet(events_dir)
+    return reader.schema(_events_schema(T.TimestampType())).parquet(events_dir)
 
 
 def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

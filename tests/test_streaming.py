@@ -149,6 +149,70 @@ def test_maintained_rollup_matches_batch(spark, events_dir, tmp_path):
     assert got2 == want
 
 
+def test_watermark_drops_late_event(spark, tmp_path):
+    """Watermark semantics, observed end-to-end: in APPEND mode with
+    one file per micro-batch, an event arriving after the watermark has
+    passed its window is DROPPED — the state bound that makes unbounded
+    streams feasible. Batch 1 advances the watermark far ahead; batch 2
+    delivers an event for a long-closed window; the emitted counts must
+    not include it."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geo_db_spark.streaming import read_events_stream
+    from geo_db_spark.streaming.jobs import windowed_event_counts
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        df["ts"] = pd.to_datetime(df["ts"])
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / name)
+
+    import time
+
+    t0 = "2024-01-01 00:10:00"
+    # THREE single-file batches (watermark drops are only guaranteed once
+    # the window's state has been EVICTED, which happens at the end of
+    # the batch where the watermark passes it — a late row landing in
+    # that same batch still merges):
+    #   batch 0: the on-time events
+    #   batch 1: a far-future event (watermark still lags one batch)
+    #   batch 2: filler — runs with the advanced watermark, so the 00:00
+    #            window is evicted + emitted at ITS end
+    #   batch 3: the late row -> its window is gone, row dropped
+    write("a.parquet", [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:20:00", 1, "click", 1.0, "{}"),
+    ])
+    time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    write("b.parquet", [(3, "2024-01-02 12:00:00", 1, "click", 1.0, "{}")])
+    time.sleep(1.1)
+    write("c.parquet", [(5, "2024-01-02 13:00:00", 1, "click", 1.0, "{}")])
+    time.sleep(1.1)
+    write("d.parquet", [(4, t0, 2, "click", 5.0, "{}")])  # LATE for its window
+    q2 = (
+        windowed_event_counts(read_events_stream(spark, str(d), max_files_per_trigger=1))
+        .writeStream.format("memory")
+        .queryName("late_counts2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("select * from late_counts2").collect()
+    got = {(r["w_start"], r["event_type"]): r["n_events"] for r in rows}
+    w0 = [k for k in got if str(k[0]).startswith("2024-01-01 00:")]
+    # the 00:00 window must have been emitted exactly once, containing
+    # ONLY the two on-time events — event 4 was dropped
+    assert len(w0) == 1
+    assert got[w0[0]] == 2
+
+
 def test_stateful_sessionize_stream(spark, events_dir):
     """Value-level check (ADVICE r1: the old shape-only test could not
     catch the first-batch gap bug): within ONE micro-batch, a user's
