@@ -38,19 +38,34 @@ def ingest(
     class_sets,
     out_dir: str | None = None,
     now_key: int = NOW_KEY_DEFAULT,
+    bucket_tables: dict[str, int] | None = None,
 ) -> dict[str, DataFrame]:
     """Phase 1 (reference src/main.rs:123-234): parse + extract the nine
     tables. With ``out_dir`` each table is persisted to parquet and
-    re-read (a durable stage barrier, replacing the SQLite sink A9)."""
+    re-read (a durable stage barrier, replacing the SQLite sink A9).
+
+    ``bucket_tables`` maps table name -> bucket count: those tables are
+    written as catalog-managed BUCKETED tables on their id column
+    (plans/bucketing.py) instead of plain parquet — the right layout for
+    object_labels, the big skewed table every post-phase label stage
+    re-joins by id (SQLite's covering index, paid once at write time)."""
     entities = read_entity_dump(spark, dump_path)
     tags = _as_class_tags(spark, class_sets)
     outs = extract_all(entities, tags, now_key)
     if out_dir:
+        from geo_db_spark.plans.bucketing import write_bucketed
+
         persisted = {}
         for name, df in outs.items():
-            path = f"{out_dir}/{name}"
-            df.write.mode("overwrite").parquet(path)
-            persisted[name] = spark.read.parquet(path)
+            n_buckets = (bucket_tables or {}).get(name)
+            if n_buckets:
+                table = f"geo_{name}"
+                write_bucketed(df, table, "id", n_buckets)
+                persisted[name] = spark.table(table)
+            else:
+                path = f"{out_dir}/{name}"
+                df.write.mode("overwrite").parquet(path)
+                persisted[name] = spark.read.parquet(path)
         return persisted
     return outs
 

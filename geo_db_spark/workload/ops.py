@@ -712,6 +712,68 @@ GROUP BY GROUPING SETS (
 """
 
 
+def g11_full_outer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (completes the join-type matrix: inner/left/
+    semi/anti/outer are covered elsewhere): per-nation customer vs
+    supplier account balances, keeping nations that have only one side.
+    Aggregate-then-join: the outer join runs on 25-row inputs, never on
+    the raw tables."""
+    tune(spark)
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ckey"))
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(14,2)")).alias("_cb"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("skey"))
+        .agg(F.sum(F.col("s_acctbal").cast("decimal(14,2)")).alias("_sb"))
+    )
+    return cust.join(supp, cust.ckey == supp.skey, "full_outer").select(
+        F.coalesce(F.col("ckey"), F.col("skey")).cast("int").alias("nationkey"),
+        F.col("_cb").cast("double").alias("cust_balance"),
+        F.col("_sb").cast("double").alias("supp_balance"),
+    )
+
+
+ORACLE_G11 = """
+SELECT COALESCE(c.ckey, s.skey) AS nationkey,
+       CAST(c._cb AS DOUBLE) AS cust_balance,
+       CAST(s._sb AS DOUBLE) AS supp_balance
+FROM (SELECT c_nationkey AS ckey, SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS _cb
+      FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS skey, SUM(CAST(s_acctbal AS DECIMAL(14,2))) AS _sb
+      FROM supplier GROUP BY s_nationkey) s
+  ON c.ckey = s.skey
+"""
+
+
+def g12_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (with g2's EXCEPT this completes the set-op surface):
+    nation keys that have BOTH a high-balance customer and a
+    high-balance supplier."""
+    tune(spark)
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 1000)
+        .select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 1000)
+        .select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    )
+    return cust.intersect(supp)
+
+
+ORACLE_G12 = """
+SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_acctbal > 1000
+INTERSECT
+SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier WHERE s_acctbal > 1000
+"""
+
+
 QUERIES = {
     "d1_customers_without_urgent_orders": d1_customers_without_urgent_orders,
     "d2_argmin_order_per_customer": d2_argmin_order_per_customer,
@@ -735,9 +797,13 @@ QUERIES = {
     "g8_window_pack": g8_window_pack,
     "g9_range_join_clicks": g9_range_join_clicks,
     "g10_multi_resolution_rollup": g10_multi_resolution_rollup,
+    "g11_full_outer_balance": g11_full_outer_balance,
+    "g12_intersect_nations": g12_intersect_nations,
 }
 
 ORACLES = {
+    "g11_full_outer_balance": ORACLE_G11,
+    "g12_intersect_nations": ORACLE_G12,
     "g10_multi_resolution_rollup": ORACLE_G10,
     "w4_rate_limit_dedup": ORACLE_W4,
     "g8_window_pack": ORACLE_G8,

@@ -1,0 +1,40 @@
+"""ingest(bucket_tables=...) writes bucketed tables that post-phase
+joins read shuffle-free on the bucket key, with identical contents."""
+
+from __future__ import annotations
+
+import bz2
+
+from tests.fixtures_wikidata import CLASS_SETS
+from tests.test_pipeline_e2e import _mini_dump
+
+
+def test_ingest_bucketed_object_labels(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.pipeline import ingest
+
+    docs = _mini_dump()
+    dump = tmp_path / "dump.json.bz2"
+    dump.write_bytes(bz2.compress(("[\n" + ",\n".join(docs) + "\n]\n").encode()))
+
+    plain = ingest(spark, str(dump), CLASS_SETS)
+    bucketed = ingest(
+        spark,
+        str(dump),
+        CLASS_SETS,
+        out_dir=str(tmp_path / "db"),
+        bucket_tables={"object_labels": 4},
+    )
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    assert rows(bucketed["object_labels"]) == rows(plain["object_labels"])
+
+    # a self-aggregation on the bucket key must not re-shuffle
+    agg = bucketed["object_labels"].groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan
