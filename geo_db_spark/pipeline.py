@@ -51,10 +51,15 @@ def ingest(
     re-joins by id (SQLite's covering index, paid once at write time)."""
     entities = read_entity_dump(spark, dump_path)
     tags = _as_class_tags(spark, class_sets)
-    outs = extract_all(entities, tags, now_key)
     if out_dir:
         from geo_db_spark.plans.bucketing import write_bucketed
 
+        # the class-flag self-join scans `entities` on BOTH sides before
+        # extract_all's downstream cache exists — without this persist the
+        # dump is read+JSON-parsed twice (the dominant ingest cost; found
+        # by the A10 ticker metering 2x numInputRows per batch)
+        entities = entities.persist()
+        outs = extract_all(entities, tags, now_key)
         persisted = {}
         for name, df in outs.items():
             n_buckets = (bucket_tables or {}).get(name)
@@ -66,8 +71,9 @@ def ingest(
                 path = f"{out_dir}/{name}"
                 df.write.mode("overwrite").parquet(path)
                 persisted[name] = spark.read.parquet(path)
+        entities.unpersist()
         return persisted
-    return outs
+    return extract_all(entities, tags, now_key)
 
 
 def build_geo_db(
@@ -142,9 +148,17 @@ def stream_ingest(
     lines = spark.readStream.text(dump_dir)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        outs = extract_all(parse_entity_lines(batch_df), tags, now_key)
-        for name, df in outs.items():
-            df.write.mode("append").parquet(f"{out_dir}/{name}")
+        # persist the PARSED batch: the class-flag self-join otherwise
+        # re-reads and re-JSON-parses the shard (2x source rows on the
+        # A10 ticker); all nine writes complete inside this call, so the
+        # unpersist is safe
+        parsed = parse_entity_lines(batch_df).persist()
+        try:
+            outs = extract_all(parsed, tags, now_key)
+            for name, df in outs.items():
+                df.write.mode("append").parquet(f"{out_dir}/{name}")
+        finally:
+            parsed.unpersist()
 
     writer = (
         lines.writeStream.foreachBatch(write_batch)

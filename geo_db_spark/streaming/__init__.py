@@ -6,3 +6,4 @@ from geo_db_spark.streaming.jobs import (  # noqa: F401
     sessionize_stateful,
     windowed_event_counts,
 )
+from geo_db_spark.streaming.telemetry import IngestTicker, attach_ticker  # noqa: F401
