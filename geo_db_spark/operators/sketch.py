@@ -74,3 +74,54 @@ SELECT {g}, n_sketch,
             ELSE {float(k - 1)} * {H_MAX} / hk END AS approx_distinct
 FROM a
 """
+
+
+def kmv_sketch_per_group(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """The sketch STATE itself: group_cols + ``ks`` (sorted array of the
+    k smallest distinct hashes). This is what a distributed aggregation
+    ships between nodes — k longs per group regardless of group size —
+    and what ``kmv_merge`` combines without touching raw data."""
+    d = df.select(*group_cols, hash60(F.col(value_col)).alias("__h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    topk = d.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return topk.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list("__h")).alias("ks")
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    merge_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Merge per-group sketches up to a coarser grouping (empty
+    ``merge_cols`` = global): union the hash sets, keep the k smallest —
+    EXACTLY the sketch a direct pass over the union of the raw data
+    would produce, which is the algebraic property that lets KMV run as
+    partial aggregation across partitions, days, or streams."""
+    ex = sketches.select(*merge_cols, F.explode("ks").alias("__h")).distinct()
+    if merge_cols:
+        w = Window.partitionBy(*merge_cols).orderBy("__h")
+        topk = ex.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+        return topk.groupBy(*merge_cols).agg(
+            F.array_sort(F.collect_list("__h")).alias("ks")
+        )
+    # global merge: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition top-k + driver merge), never a single-partition
+    # window over the unioned sketch state
+    topk = ex.orderBy("__h").limit(k)
+    return topk.agg(F.array_sort(F.collect_list("__h")).alias("ks"))
+
+
+def kmv_estimate(ks: Column, k: int = 64) -> Column:
+    """Estimate from sketch state: exact n when |ks| < k, else
+    (k-1) * H / h_k."""
+    n = F.size(ks)
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(H_MAX) / F.element_at(ks, k)
+    )
