@@ -47,12 +47,24 @@ def curate_corpus(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.5,
     gate: QualityGate = QualityGate(),
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """The curated corpus as a DataFrame (call ``write_curated`` to
-    persist). Keeps every original column of the surviving documents."""
+    persist). Keeps every original column of the surviving documents.
+
+    ``stage_dir``: when given, the exact-deduped corpus is written to
+    parquet there and re-read — the durable stage barrier for the 100 TB
+    run, where the near-dup pass re-reads its input several times
+    (signatures + candidate re-shingle) and recomputing the exact-dedup
+    semi-join each time would re-scan the raw corpus. Locally the lazy
+    plan is fine; at scale always pass a stage_dir."""
     # 1. exact dedup: winner doc_id per normalized-content digest
     exact_winners = exact_dedup(docs, text_col, id_col).select(id_col)
     exact_kept = docs.join(exact_winners, id_col, "left_semi")
+    if stage_dir:
+        path = f"{stage_dir}/exact_kept"
+        exact_kept.write.mode("overwrite").parquet(path)
+        exact_kept = docs.sparkSession.read.parquet(path)
 
     # 2-3. near-dup clusters on the exact-deduped corpus; drop every
     # clustered doc except its component's min id

@@ -14,7 +14,11 @@ from tests.conftest import SF_SMOKE
 
 def test_curate_corpus_e2e(spark, tmp_path):
     docs = load(spark, SF_SMOKE, "documents")
-    curated = curate_corpus(docs, gate=QualityGate(min_tokens=5, min_alpha_ratio=0.5))
+    curated = curate_corpus(
+        docs,
+        gate=QualityGate(min_tokens=5, min_alpha_ratio=0.5),
+        stage_dir=str(tmp_path / "stages"),  # the 100 TB stage-barrier path
+    )
     got = {r["doc_id"] for r in curated.select("doc_id").collect()}
 
     # independent oracle: exact dedup + (minhash pairs reused from the
