@@ -1,0 +1,106 @@
+"""Iterative numerical graph algorithms, hash-gate deterministic.
+
+PageRank's float arithmetic is engine- and order-dependent (per-node
+sums of double contributions), so a naive port can never pass a
+value-hash oracle. This implementation runs in FIXED-POINT integer
+arithmetic: ranks are BIGINTs scaled by 1e12, every operation is
+integer multiply / floor-divide / sum — exact, order-independent, and
+bit-identical in any engine. The truncation error per operation is
+< 1e-12 of total mass, far below the algorithm's own convergence
+tolerance; dangling-node mass is dropped (the standard simplification).
+
+Scale shape per iteration: one join (edges ⋈ ranks, both keyed by the
+node id — co-partitionable), one groupBy(dst) with map-side partial
+SUM, one left join back to the node list. State is (id, rank) pairs —
+16 bytes per node per iteration, same as connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(id, rank_fp) after ``iterations`` rounds; rank_fp is the rank
+    scaled by PR_SCALE. Fixed iteration count (not convergence-tested)
+    keeps the plan static and the oracle expressible as K chained CTEs.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+
+    n = nodes.count()
+    base = PR_SCALE // n
+    teleport = (base * (100 - damping_pct)) // 100
+
+    ranks = nodes.withColumn("r", F.lit(base).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["id"])
+            .select("dst", F.expr("r div d").alias("c"))
+        )
+        in_sum = contrib.groupBy(F.col("dst").alias("nid")).agg(
+            F.sum("c").alias("s")
+        )
+        ranks = (
+            nodes.join(in_sum, nodes["id"] == F.col("nid"), "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin: the same integer arithmetic as K chained CTEs.
+    ``edges_sql`` must select columns (src, dst)."""
+    d = damping_pct
+    parts = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src)",
+        f"cn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT id, CAST({PR_SCALE} // n AS BIGINT) AS r FROM nodes, cn)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""r{i + 1} AS (
+  SELECT nodes.id,
+         CAST(({PR_SCALE} // cn.n) * {100 - d} // 100
+              + {d} * coalesce(s.insum, 0) // 100 AS BIGINT) AS r
+  FROM nodes CROSS JOIN cn
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(r{i}.r // deg.dg) AS insum
+    FROM e JOIN r{i} ON e.src = r{i}.id JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) s ON nodes.id = s.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, r AS rank_fp FROM r{iterations}"
+    )

@@ -104,13 +104,38 @@ SELECT seed, id, CAST(MIN(step) AS INT) AS step FROM cl GROUP BY seed, id
 """
 
 
+def g13_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph_algos.py) over the derived
+    part tree, 5 iterations — the iterative numerical-graph-algorithm
+    surface, bit-exact under the hash gate because every operation is
+    integer multiply / floor-div / sum."""
+    tune(spark)
+    from geo_db_spark.operators.graph_algos import pagerank_fixedpoint
+
+    e = _edges(spark, sf_dir).select(
+        F.col("id").alias("src"), F.col("parent").alias("dst")
+    )
+    return pagerank_fixedpoint(e, iterations=5)
+
+
+def _pagerank_oracle() -> str:
+    from geo_db_spark.operators.graph_algos import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(
+        "SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part WHERE p_partkey >= 2",
+        iterations=5,
+    )
+
+
 QUERIES = {
+    "g13_pagerank": g13_pagerank,
     "d3_part_hierarchy_closure": d3_part_hierarchy_closure,
     "d3_closure_loop_minstep": d3_closure_loop_minstep,
     "d4_deepest_qualifying_ancestor": d4_deepest_qualifying_ancestor,
 }
 
 ORACLES = {
+    "g13_pagerank": _pagerank_oracle(),
     "d3_part_hierarchy_closure": ORACLE_D3,
     "d3_closure_loop_minstep": ORACLE_D3_LOOP,
     "d4_deepest_qualifying_ancestor": ORACLE_D4A,
