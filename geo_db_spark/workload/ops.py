@@ -774,7 +774,67 @@ SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier WHERE s_acctbal > 100
 """
 
 
+def g14_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling in one scan: per-column min / max / null count /
+    distinct count for a representative column set, long-format (one row
+    per column). The warehouse 'profile this table' pass — everything
+    computes in a single aggregate job with map-side partials; distinct
+    counts are exact here (swap in the KMV sketch for 100 TB profiling)."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            e
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+            for e in (
+                F.min(c).alias(f"{c}_min"),
+                F.max(c).alias(f"{c}_max"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+                F.countDistinct(c).alias(f"{c}_distinct"),
+            )
+        ],
+    )
+    rows = [
+        agg.select(
+            F.lit(c).alias("column"),
+            F.col("n_rows"),
+            F.col(f"{c}_min").cast("double").alias("min_v"),
+            F.col(f"{c}_max").cast("double").alias("max_v"),
+            F.col(f"{c}_nulls").alias("n_nulls"),
+            F.col(f"{c}_distinct").alias("n_distinct"),
+        )
+        for c in ("l_quantity", "l_extendedprice", "l_discount")
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+ORACLE_G14 = """
+SELECT 'l_quantity' AS column, COUNT(*) AS n_rows,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT l_quantity) AS n_distinct
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*),
+       CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+       SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT l_extendedprice)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*),
+       CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+       SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT l_discount)
+FROM lineitem
+"""
+
+
 QUERIES = {
+    "g14_profile_lineitem": g14_profile_lineitem,
     "d1_customers_without_urgent_orders": d1_customers_without_urgent_orders,
     "d2_argmin_order_per_customer": d2_argmin_order_per_customer,
     "d4_top2_orders_per_customer": d4_top2_orders_per_customer,
@@ -802,6 +862,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "g14_profile_lineitem": ORACLE_G14,
     "g11_full_outer_balance": ORACLE_G11,
     "g12_intersect_nations": ORACLE_G12,
     "g10_multi_resolution_rollup": ORACLE_G10,

@@ -314,7 +314,67 @@ FROM documents
 """
 
 
+def text_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication map — the chunk-dedup pass real LLM
+    pipelines run UNDER document granularity (boilerplate paragraphs
+    repeat across otherwise-distinct pages): split each document into
+    non-overlapping 16-token chunks, hash them, and report per document
+    how many of its chunks also occur elsewhere in the corpus.
+
+    Shape: one tokenize+explode, one groupBy(chunk hash) for corpus
+    counts (map-side partial), one join back keyed on the 32-char digest
+    — never the chunk text — and one per-doc aggregate."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = F.split(norm, " ")
+    n_chunks = F.ceil(F.size(toks) / 16).cast("int")
+    # explode the chunk INDEX first, hash in the projection: md5 inside a
+    # transform() lambda would run interpreted per element (the HOF trap,
+    # operators/dedup.py shingles note); this shape keeps it in codegen
+    idx = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    )
+    chunks = idx.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.expr("slice(t, i * 16 + 1, 16)")).cast("binary")
+        ).alias("h"),
+    )
+    corpus_counts = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        chunks.join(corpus_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+    )
+
+
+ORACLE_CHUNK_DUPS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(t[(i * 16 + 1):(i * 16 + 16)], ' ')) AS h
+  FROM toks, unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) u(i)
+),
+cc AS (SELECT h, COUNT(*) AS n FROM chunks GROUP BY h)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+FROM chunks JOIN cc USING (h)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "text_chunk_dups": text_chunk_dups,
     "text_contamination_check": text_contamination_check,
     "text_pii_scan": text_pii_scan,
     "text_tfidf_topterms": text_tfidf_topterms,
@@ -326,6 +386,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_chunk_dups": ORACLE_CHUNK_DUPS,
     "text_contamination_check": ORACLE_CONTAMINATION,
     "text_pii_scan": ORACLE_PII,
     "text_tfidf_topterms": ORACLE_TFIDF,
