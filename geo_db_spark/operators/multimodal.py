@@ -133,3 +133,41 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_byte": vals})
 
     return media.mapInPandas(fn, schema=out_schema)
+
+
+def downsample_payload(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Resize/downsample plumbing (the image-thumbnail / audio-decimate
+    shape): keep every ``factor``-th byte of the payload, emit the new
+    payload with its size and digest. One row in -> one (smaller) row
+    out, Arrow-batched; the real path would call PIL/librosa on each
+    payload — same signature, same batch shape.
+
+    The digest makes the rewrite verifiable without shipping payloads;
+    on this corpus (ASCII-derived payloads) the whole operator has a
+    FULL DuckDB oracle, not just a rows-only check."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("n_bytes_out", T.LongType()),
+            T.StructField("resized_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = bytes(payload[::factor])
+                rows.append(
+                    (doc_id, out, len(out), hashlib.md5(out).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "resized", "n_bytes_out", "resized_md5"]
+            )
+
+    return media.mapInPandas(fn, schema=out_schema)

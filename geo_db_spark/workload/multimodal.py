@@ -93,13 +93,39 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing under the FULL oracle: keep every 2nd payload
+    byte via Arrow-batched mapInPandas, return size + digest of the
+    resized payload (never the payload itself). The corpus is ASCII so
+    DuckDB reproduces the byte slice with substr arithmetic."""
+    tune(spark)
+    from geo_db_spark.operators.multimodal import downsample_payload
+
+    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    return downsample_payload(media, factor=2).select(
+        "doc_id", "n_bytes_out", "resized_md5"
+    )
+
+
+ORACLE_MM_DOWNSAMPLE = """
+SELECT doc_id,
+       CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS n_bytes_out,
+       md5(array_to_string(
+           list_transform(range(0, octet_length(encode(text)), 2),
+                          i -> substr(text, CAST(i + 1 AS INT), 1)), '')) AS resized_md5
+FROM documents
+"""
+
+
 QUERIES = {
+    "mm_downsample": mm_downsample,
     "mm_media_meta": mm_media_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_feature_extract": mm_feature_extract,
 }
 
 ORACLES = {
+    "mm_downsample": ORACLE_MM_DOWNSAMPLE,
     "mm_media_meta": ORACLE_MM_META,
     "mm_frame_sample": ORACLE_MM_FRAMES,
     # mm_feature_extract intentionally absent: rows-only check

@@ -90,3 +90,21 @@ def test_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
     assert fake_decode_meta(b"abc") == (4, 4, "fake")
+
+
+def test_downsample_payload_halves_bytes(spark):
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
+    from geo_db_spark.operators.multimodal import downsample_payload, with_binary_payload
+    from tests.conftest import SF_SMOKE
+
+    media = with_binary_payload(load(spark, SF_SMOKE, "documents")).limit(20)
+    out = downsample_payload(media, factor=2)
+    rows = out.join(
+        media.select("doc_id", F.length("payload").alias("n_in")), "doc_id"
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_bytes_out"] == (r["n_in"] + 1) // 2
+        assert len(r["resized"]) == r["n_bytes_out"]
