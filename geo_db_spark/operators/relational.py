@@ -214,6 +214,14 @@ def salted_join(
     rand(); identical reruns produce identical partitioning (and so do
     the driver's hash checks).
     """
+    # right/full outer would emit each unmatched OTHER row once per salt
+    # replica — a silent row-count bug, so refuse those join types
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would duplicate "
+            "unmatched replicated-side rows once per salt"
+        )
     keys = _keys(on)
     salt_cols = [F.col(c) for c in (salt_by or skewed.columns)]
     left = skewed.withColumn("__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))

@@ -40,3 +40,12 @@ def test_salt_splits_hot_key(spark):
     )
     assert n_salts == 4
     assert out.count() == 100
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+
+    big = spark.createDataFrame([(1, 10)], ["row_id", "k"])
+    dim = spark.createDataFrame([(10, "a"), (99, "b")], ["k", "v"])
+    with pytest.raises(ValueError, match="duplicate"):
+        salted_join(big, dim, "k", how="right")
