@@ -51,6 +51,7 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["a"] == labels["id"])
@@ -77,6 +78,16 @@ def connected_components(
         cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
         labels = jumped
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silently returning non-minimal labels would be a wrong answer
+        # that still LOOKS like clusters; with pointer jumping max_iters
+        # rounds cover diameters ~2^max_iters, so hitting this means the
+        # caller set max_iters far too low for the graph
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "raise max_iters (rounds needed ~ log2(graph diameter))"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -45,6 +45,8 @@ def pagerank_fixedpoint(
     ed = e.join(deg, "src").localCheckpoint(eager=True)
 
     n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0).cast("long").alias("rank_fp"))
     base = PR_SCALE // n
     teleport = (base * (100 - damping_pct)) // 100
 

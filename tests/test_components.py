@@ -40,3 +40,13 @@ def test_edge_direction_irrelevant(spark):
 def test_self_loop_singleton(spark):
     got = _cc(spark, [(7, 7)])
     assert got == {(7, 7)}
+
+
+def test_nonconvergence_raises(spark):
+    import pytest
+
+    # a 40-node path cannot converge in 1 round
+    edges = [(i, i + 1) for i in range(1, 40)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, "src", "dst", max_iters=1)
