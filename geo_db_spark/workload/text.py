@@ -373,7 +373,67 @@ GROUP BY doc_id
 """
 
 
+def text_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~20% corpus subsample: keep documents whose content
+    hash falls under the rate threshold. Unlike df.sample(), the
+    selection is a pure function of doc_id — identical across reruns,
+    engines, partitionings, and cluster sizes (the property a training
+    pipeline needs for auditable data lineage). Exactly-representable
+    threshold so the comparison has no float edge."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    # 60-bit hash < floor(0.20 * 2^60): integer compare, no float edge
+    threshold = (1 << 60) // 5
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return docs.filter(h < threshold).select("doc_id", "lang", "source")
+
+
+ORACLE_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT < {(1 << 60) // 5}
+"""
+
+
+def text_language_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing pass: cap each language at its 50 highest-quality
+    documents (alpha_ratio desc, doc_id tiebreak) — the rebalancing step
+    that stops a dominant language from swamping the mixture. One window
+    per language partition; at 100 TB the quality score comes from the
+    same single-pass metrics, and the per-group cap is the standard
+    top-k shuffle shape."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    q = quality_metrics(docs, "text")
+    w = Window.partitionBy("lang").orderBy(F.col("alpha_ratio").desc(), F.col("doc_id"))
+    return (
+        q.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 50)
+        .select("doc_id", "lang", F.col("alpha_ratio"))
+    )
+
+
+ORACLE_LANG_BALANCE = r"""
+SELECT doc_id, lang,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         / length(text) AS alpha_ratio
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) DESC,
+             doc_id) <= 50
+"""
+
+
 QUERIES = {
+    "text_sample_deterministic": text_sample_deterministic,
+    "text_language_balance": text_language_balance,
     "text_chunk_dups": text_chunk_dups,
     "text_contamination_check": text_contamination_check,
     "text_pii_scan": text_pii_scan,
@@ -386,6 +446,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_sample_deterministic": ORACLE_SAMPLE,
+    "text_language_balance": ORACLE_LANG_BALANCE,
     "text_chunk_dups": ORACLE_CHUNK_DUPS,
     "text_contamination_check": ORACLE_CONTAMINATION,
     "text_pii_scan": ORACLE_PII,
