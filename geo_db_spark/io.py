@@ -23,10 +23,12 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables that should always be broadcast when joined against
-# a fact table. At sf0.1 region=5, nation=25, supplier=100, customer=1.5k —
-# at any realistic scale-up these stay far under the broadcast threshold.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+# Tables safe to STATICALLY broadcast: only region (5 rows) and nation (25)
+# are fixed-cardinality at every SF. Supplier, part, and customer scale with
+# SF (supplier 10->100->1k, part 200->2k->20k across sf0.001/0.01/0.1) — at
+# 100 TB they are billions of rows, so they must never carry a forced hint;
+# AQE promotes them to broadcast at runtime when the measured size allows.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

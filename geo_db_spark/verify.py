@@ -54,6 +54,52 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _pandas_kind(dtype) -> str:
+    """Collapse a pandas dtype to a coarse kind for driver-canon checks."""
+    k = dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    return k  # O, b, M, m, ... — not part of the int/float landmine
+
+
+def dtype_mismatches(spark_pdf, oracle_pdf) -> list[str]:
+    """The driver canonicalizes both sides through pandas before hashing, so a
+    column that is int64 on one side and float64 on the other hash-mismatches
+    even when every value is equal (the r3 HUGEINT incident: DuckDB SUM(CASE..)
+    over ints returns HUGEINT, which pandas maps to float64, vs Spark's int64).
+    The repo's fetchall compare cannot see this — this check mirrors the driver.
+    Object-dtype vs float is deliberately NOT flagged: DuckDB DECIMAL->float64
+    vs Spark Decimal-object passes the driver (q1 has always been green).
+    """
+    out = []
+    for c in sorted(set(spark_pdf.columns) & set(oracle_pdf.columns)):
+        sk = _pandas_kind(spark_pdf[c].dtype)
+        ok = _pandas_kind(oracle_pdf[c].dtype)
+        if {sk, ok} == {"int", "float"}:
+            out.append(f"pandas dtype kind differs for '{c}': spark={sk} oracle={ok} (driver hash would fail)")
+    return out
+
+
+def canon_hazards(pdf) -> list[str]:
+    """Cells the driver's pandas canonicalization cannot factorize (ndarray,
+    list, dict) crash its check outright — the r2 mm_feature_extract incident.
+    Applies to rows-only queries too: the driver still canonicalizes them.
+    """
+    import pandas as pd
+
+    out = []
+    for c in pdf.columns:
+        if pdf[c].dtype.kind != "O":
+            continue
+        try:
+            pd.factorize(pdf[c])
+        except TypeError as e:
+            out.append(f"column '{c}' has unhashable cells (driver canon would crash): {e}")
+    return out
+
+
 def compare_query(
     spark: SparkSession,
     con: duckdb.DuckDBPyConnection,
@@ -68,8 +114,10 @@ def compare_query(
     s_cols = sdf.columns
     res.spark_rows = len(s_rows)
     if sql is None:
-        if res.spark_rows < 0:
+        haz = canon_hazards(sdf.toPandas())
+        if haz:
             res.ok = False
+            res.errors.extend(haz)
         return res
     rel = con.sql(sql)
     o_cols = rel.columns
@@ -90,6 +138,13 @@ def compare_query(
         diffs = [i for i, (a, b) in enumerate(zip(sn, on)) if a != b][:3]
         for i in diffs:
             res.errors.append(f"row {i}: spark={sn[i]} oracle={on[i]}")
+    # Mirror the driver's pandas canonicalization: dtype-kind drift between the
+    # two sides fails the driver's value hash even when fetchall values match.
+    spark_pdf = sdf.toPandas()
+    mism = dtype_mismatches(spark_pdf, con.sql(sql).fetchdf()) + canon_hazards(spark_pdf)
+    if mism:
+        res.ok = False
+        res.errors.extend(mism)
     return res
 
 

@@ -330,7 +330,7 @@ def g1_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders")
     enriched = (
-        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")), orders.o_custkey == F.col("c_custkey"))
+        orders.join(cust.select("c_custkey", "c_nationkey"), orders.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .select("n_name", F.year("o_orderdate").alias("o_year"),
                 F.col("o_totalprice").cast("decimal(18,2)").alias("p"))
@@ -815,19 +815,19 @@ def g14_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_G14 = """
 SELECT 'l_quantity' AS column, COUNT(*) AS n_rows,
        CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
-       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT l_quantity) AS n_distinct
 FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice', COUNT(*),
        CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
-       SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT l_extendedprice)
 FROM lineitem
 UNION ALL
 SELECT 'l_discount', COUNT(*),
        CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
-       SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT l_discount)
 FROM lineitem
 """

@@ -367,7 +367,7 @@ chunks AS (
 ),
 cc AS (SELECT h, COUNT(*) AS n FROM chunks GROUP BY h)
 SELECT doc_id, COUNT(*) AS n_chunks,
-       SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
 FROM chunks JOIN cc USING (h)
 GROUP BY doc_id
 """

@@ -13,9 +13,14 @@ counts with exclusion (q16), correlated per-group average threshold
 (q17), OR-of-ANDs pushdown (q19), and anti-join + global scalar
 threshold (q22).
 
-Scale notes are per-query docstrings; the blanket rule from VERDICT r1
-holds: broadcast hints ONLY on true dimensions (region/nation/supplier/
-part), fact-fact joins left to AQE.
+Scale notes are per-query docstrings; the blanket rule (VERDICT r1,
+tightened in r3): static broadcast hints ONLY on region/nation (truly
+bounded: 5/25 rows at every SF) and single-row scalar aggregates. Part,
+supplier, and customer all SCALE with SF (the driver's testdata grows
+part 200->2k->20k and supplier 10->100->1k across sf0.001/0.01/0.1) —
+they get NO hint; AQE promotes them to broadcast at runtime when their
+measured size is under the threshold, and falls back to a shuffle join
+at cluster scale where a forced broadcast would OOM.
 """
 
 from __future__ import annotations
@@ -56,7 +61,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -122,11 +127,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("supp_nation") == "NATION_3", volume
     ).otherwise(F.lit(0).cast("decimal(14,2)"))
     out = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nat1), cust.c_nationkey == F.col("n1_key"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(target).alias("_t"), F.sum(volume).alias("_v"))
@@ -176,8 +181,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     amount = _price("l_extendedprice") * (_one() - _pct("l_discount"))
     return (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -228,8 +233,8 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q12 = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
 GROUP BY l_linestatus
@@ -288,7 +293,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.agg(F.max("total_revenue").alias("_mr"))
     return (
         rev.join(F.broadcast(top), rev.total_revenue == F.col("_mr"))
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -324,7 +329,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
         .join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            part.select("p_partkey", "p_brand", "p_type", "p_size"),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type", "p_size")
@@ -354,7 +359,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branded = li.join(part, li.l_partkey == part.p_partkey)
     avg_qty = (
         branded.groupBy(F.col("l_partkey").alias("_pk"))
         .agg(
@@ -364,7 +369,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        branded.join(F.broadcast(avg_qty), branded.l_partkey == F.col("_pk"))
+        branded.join(avg_qty, branded.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
         .agg(
             (F.sum(_price("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -418,7 +423,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(F.sum(revenue).alias("_r"))
         .select(F.col("_r").cast("double").alias("revenue"))
@@ -522,8 +527,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     pair_cost = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("p_partkey", "l_suppkey")
         .agg(F.min(_price("l_extendedprice")).alias("_cost"))
     )
@@ -535,7 +540,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_cost,
             (pair_cost.p_partkey == F.col("_pk")) & (pair_cost._cost == F.col("_mc")),
         )
-        .join(F.broadcast(supp), pair_cost.l_suppkey == supp.s_suppkey)
+        .join(supp, pair_cost.l_suppkey == supp.s_suppkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -591,7 +596,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     value = _price("l_extendedprice") * _price("l_quantity")
-    natl = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    natl = li.join(supp, li.l_suppkey == supp.s_suppkey)
     per_part = natl.groupBy("l_partkey").agg(F.sum(value).alias("_v"))
     total = natl.agg(F.sum(value).alias("_t"))
     # threshold compare in double on BOTH engines (a decimal-vs-double
@@ -636,7 +641,7 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _TS("1997-01-01"))
     )
     qualifying = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_price("l_quantity")).alias("_q"))
         .filter(F.col("_q") > 45)
@@ -718,7 +723,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         late.join(late_cnt, late.l_orderkey == F.col("_lo"))
         .join(supp_cnt, late.l_orderkey == F.col("_so"))
         .filter((F.col("n_late") == 1) & (F.col("n_supp") > 1))
-        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        .join(supp, late.l_suppkey == supp.s_suppkey)
     )
     return waited.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
 

@@ -56,6 +56,62 @@ def test_q3_no_forced_fact_broadcast(spark):
             assert "orders" not in line.lower() and "customer" not in line.lower(), line
 
 
+def _hint_subtrees(analyzed: str) -> list[str]:
+    """Extract the subtree under each ResolvedHint/UnresolvedHint node of a
+    Spark logical-plan tree string (children are printed deeper-indented)."""
+    lines = analyzed.splitlines()
+
+    def depth(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-"))
+
+    out = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line and "UnresolvedHint" not in line:
+            continue
+        d = depth(line)
+        sub = [line]
+        for nxt in lines[i + 1:]:
+            if depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+# every query the r3 verdict flagged for a forced broadcast of an
+# SF-scaling table (part 200->2k->20k, supplier 10->100->1k, customer
+# fact-scale across sf0.001/0.01/0.1)
+SCALING_HINT_OFFENDERS = [
+    "g1_rollup_revenue",
+    "q2_min_cost_supplier",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_promotion_suppliers",
+    "q21_suppliers_kept_waiting",
+]
+
+
+@pytest.mark.parametrize("name", SCALING_HINT_OFFENDERS)
+def test_no_static_broadcast_of_scaling_tables(spark, qs, name):
+    """Static broadcast hints are allowed ONLY on region/nation (fixed 5/25
+    rows) and single-row scalar aggregates. part/supplier/customer grow with
+    SF — at 100 TB a forced broadcast is an OOM. The analyzed plan's hint
+    subtrees must not reach any of their parquet scans."""
+    df = qs[name](spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    for sub in _hint_subtrees(analyzed):
+        for t in ("part.parquet", "supplier.parquet", "customer.parquet", "orders.parquet", "lineitem.parquet"):
+            assert t not in sub, f"{name}: broadcast hint covers scaling table {t}:\n{sub[:2000]}"
+
+
 def test_dim_broadcast_in_q5(spark, qs):
     plan = _plan(qs["q5_local_supplier_volume"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan  # region/nation/supplier dims

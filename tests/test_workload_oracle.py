@@ -26,6 +26,24 @@ def test_every_query_has_oracle():
     assert missing == [], f"queries without oracle: {missing}"
 
 
+def test_no_hugeint_oracle_columns():
+    """The driver canonicalizes oracle results through pandas; DuckDB HUGEINT
+    (what SUM(CASE..) over ints returns) maps to float64 there while Spark's
+    side stays int64 — the value hash then fails even on equal values (the r3
+    q12/g14 incident). Every oracle must CAST such sums to BIGINT. Cheap:
+    DuckDB-only, no Spark session."""
+    from geo_db_spark.verify import duckdb_con
+
+    con = duckdb_con(SF_SMOKE)
+    bad = {}
+    for name, sql in workload.oracle_sql().items():
+        rel = con.sql(sql)
+        cols = [c for c, t in zip(rel.columns, rel.types) if str(t) in ("HUGEINT", "UHUGEINT")]
+        if cols:
+            bad[name] = cols
+    assert bad == {}, f"oracles with HUGEINT top-level columns (driver canon maps to float64): {bad}"
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(spark, name):
     results = run_all(spark, SF_SMOKE, only=[name])
