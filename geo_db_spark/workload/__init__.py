@@ -19,6 +19,7 @@ from geo_db_spark.workload import (
     dedup,
     extraction,
     graph,
+    labels_wl,
     multimodal,
     ops,
     similarity,
@@ -37,6 +38,7 @@ _MODULES = (
     text,
     similarity,
     extraction,
+    labels_wl,
     multimodal,
     sketches,
 )
