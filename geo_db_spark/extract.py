@@ -93,18 +93,24 @@ def with_class_flags(
     return out.drop("__sets")
 
 
-def filter_defunct(entities: DataFrame) -> DataFrame:
-    """B1 (src/wiki_data_line.rs:353-374): drop entities that are
-    replaced-by (P1366 non-empty, unless ANY P1366 statement has a P518
-    qualifier) or dissolved (P576 non-empty)."""
+def _replaced_flag() -> Column:
     p1366 = F.col("claims.P1366")
     has_p518 = F.exists(
         p1366,
         lambda s: F.size(F.element_at(s["qualifiers"], "P518")) > 0,
     )
-    replaced = p1366.isNotNull() & (F.size(p1366) > 0) & ~F.coalesce(has_p518, F.lit(False))
-    dissolved = F.col("claims.P576").isNotNull() & (F.size("claims.P576") > 0)
-    return entities.filter(~replaced & ~dissolved)
+    return p1366.isNotNull() & (F.size(p1366) > 0) & ~F.coalesce(has_p518, F.lit(False))
+
+
+def _dissolved_flag() -> Column:
+    return F.col("claims.P576").isNotNull() & (F.size("claims.P576") > 0)
+
+
+def filter_defunct(entities: DataFrame) -> DataFrame:
+    """B1 (src/wiki_data_line.rs:353-374): drop entities that are
+    replaced-by (P1366 non-empty, unless ANY P1366 statement has a P518
+    qualifier) or dissolved (P576 non-empty)."""
+    return entities.filter(~_replaced_flag() & ~_dissolved_flag())
 
 
 # ---------------------------------------------------------------- outputs
@@ -400,6 +406,38 @@ def extract_all(
     }
 
 
+def rule_trace(
+    entities: DataFrame,
+    class_tags: DataFrame,
+    now_key: int = NOW_KEY_DEFAULT,
+) -> DataFrame:
+    """Per-entity boolean trace of every gating rule — the reference's
+    debug mode (src/wiki_data_line.rs:421-426 prints each class test;
+    src/main.rs:276-281 re-runs a silent entity with debug=true). One row
+    per input entity with: the B1 defunct reasons, all six class-set
+    flags, and the derived routing decisions (B5/B6). Unlike the
+    reference (which bails at the defunct check), all flags are evaluated
+    for every entity so the trace shows every failing rule at once."""
+    flagged = with_class_flags(entities, class_tags, now_key)
+    te = F.col("is_territorial_entities") & ~F.col("is_excluded")
+    settlement = (
+        F.col("is_human_settlements")
+        & ~F.col("is_excluded")
+        & ~F.col("is_excluded_settlements")
+    )
+    return flagged.select(
+        "id",
+        _replaced_flag().alias("is_replaced"),
+        _dissolved_flag().alias("is_dissolved"),
+        *[F.col(f"is_{name}") for name in CLASS_SET_NAMES],
+        te.alias("routes_territorial"),
+        settlement.alias("routes_settlement"),
+        (settlement & F.col("claims.P17").isNull()).alias("missing_p17"),
+        F.col("is_languages").alias("routes_language"),
+        F.col("claims.P297").isNotNull().alias("routes_country"),
+    )
+
+
 def explain_entity(
     spark: SparkSession,
     entity_json: str,
@@ -408,13 +446,17 @@ def explain_entity(
 ) -> dict[str, list]:
     """Debug helper mirroring the reference's ``geo-db entity Qxx``
     subcommand (src/main.rs:236-289; SURVEY.md §3.3): run the extraction
-    on a single entity document and return the would-be rows per table."""
+    on a single entity document and return the would-be rows per table,
+    plus a ``rules`` entry with the per-rule boolean trace (the
+    reference's debug=true path for entities that produce no output)."""
     from geo_db_spark.sources.wikidata import parse_entity_lines
 
     lines = spark.createDataFrame([(entity_json,)], "value string")
     entities = parse_entity_lines(lines)
     outs = extract_all(entities, class_tags, now_key)
-    return {name: df.collect() for name, df in outs.items()}
+    out = {name: df.collect() for name, df in outs.items()}
+    out["rules"] = rule_trace(entities, class_tags, now_key).collect()
+    return out
 
 
 ENTITY_DATA_URL = "https://www.wikidata.org/wiki/Special:EntityData/{qid}.json"

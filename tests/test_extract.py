@@ -304,3 +304,56 @@ def test_wiki_time_spark_matches_python(spark):
     got = df.select(wiki_time_key(F.col("t"), F.col("tz")).alias("k")).collect()
     want = [wiki_time_key_py(t, tz) for t, tz in cases]
     assert [r["k"] for r in got] == want
+
+
+def test_rule_trace_per_entity_flags(spark):
+    """A8 parity (src/wiki_data_line.rs:421-426, src/main.rs:276-281):
+    explain-mode must say WHICH gate failed per entity. One fixture per
+    failing rule."""
+    from geo_db_spark.extract import rule_trace
+
+    docs = [
+        # replaced (B1) AND would otherwise be a TE
+        entity("QREP", {"P1366": [entity_stmt("QN")], "P31": [entity_stmt("QTE")]}),
+        # dissolved (B1)
+        entity("QDIS", {"P576": [entity_stmt("QD")]}),
+        # TE but excluded -> no territorial route
+        entity("QEXCD", {"P31": [entity_stmt("QTE"), entity_stmt("QEXC")]}),
+        # settlement excluded via excluded_settlements only
+        entity("QEXS", {"P31": [entity_stmt("QCITY"), entity_stmt("QEXCS")]}),
+        # settlement missing P17 (B6 side-output)
+        entity("QNOP17", {"P31": [entity_stmt("QCITY")]}),
+        # clean TE + country branch
+        entity("QOK", {"P31": [entity_stmt("QTE")], "P297": [stmt("de")]}),
+        # language entity
+        entity("QLG", {"P31": [entity_stmt("QLANG")]}),
+        # class membership denied by P1366 qualifier on the P31 stmt
+        entity("QDENY", {"P31": [entity_stmt("QTE", {"P1366": [{"snaktype": "value"}]})]}),
+    ]
+
+    df = spark.createDataFrame([(d,) for d in docs], "value string")
+    tags = class_sets_from_dict(spark, CLASS_SETS)
+    ents = parse_entity_lines(df)
+    rows = {r["id"]: r.asDict() for r in rule_trace(ents, tags, NOW_KEY_DEFAULT).collect()}
+
+    assert rows["QREP"]["is_replaced"] and not rows["QREP"]["is_dissolved"]
+    assert rows["QREP"]["is_territorial_entities"]  # flag shown even though defunct
+    assert rows["QDIS"]["is_dissolved"]
+    assert rows["QEXCD"]["is_territorial_entities"] and rows["QEXCD"]["is_excluded"]
+    assert not rows["QEXCD"]["routes_territorial"]
+    assert rows["QEXS"]["is_human_settlements"] and rows["QEXS"]["is_excluded_settlements"]
+    assert not rows["QEXS"]["routes_settlement"]
+    assert rows["QNOP17"]["routes_settlement"] and rows["QNOP17"]["missing_p17"]
+    assert rows["QOK"]["routes_territorial"] and rows["QOK"]["routes_country"]
+    assert rows["QLG"]["routes_language"]
+    assert not rows["QDENY"]["is_territorial_entities"]  # qualifier denies membership
+
+
+def test_explain_entity_includes_rules(spark):
+    from geo_db_spark.extract import explain_entity
+
+    tags = class_sets_from_dict(spark, CLASS_SETS)
+    out = explain_entity(spark, entity("QEXCD", {"P31": [entity_stmt("QEXC")]}), tags)
+    assert "rules" in out and len(out["rules"]) == 1
+    r = out["rules"][0].asDict()
+    assert r["is_excluded"] and not r["routes_territorial"]
