@@ -18,7 +18,7 @@ the engine-growth path for event-correlation workloads (SURVEY.md §2-E).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,12 +37,30 @@ def bucketed_range_join(
     l.ts + lower_s <= r.ts <= l.ts + upper_s.
 
     ``how='left'`` keeps unmatched left rows (right columns NULL) by
-    re-attaching the matches to the left input with a key-only join on a
-    generated row id — the exploded probe never outer-joins directly, so
-    a left row is emitted once, not once per empty bucket.
+    re-attaching the matches to the left input with an anti-join on a
+    generated per-key row id — the exploded probe never outer-joins
+    directly, so a left row is emitted once, not once per empty bucket.
+
+    Output columns are ``left.columns + right.columns - {key}``; shared
+    non-key names would be ambiguous to select from, so they are
+    rejected early — rename on the right side before joining (as
+    ``right_ts`` usually already is).
     """
     if upper_s < lower_s:
         raise ValueError("upper_s must be >= lower_s")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}; expected 'inner' or 'left'")
+    shared = sorted(set(left.columns) & set(right.columns) - {key})
+    if shared:
+        raise ValueError(
+            f"left and right share non-key column names {shared}; rename the "
+            "right side (the output keeps both) before the range join"
+        )
+    if how == "left":
+        # deterministic per-key row identity: full-duplicate rows are
+        # indistinguishable, so tie order cannot change the result set
+        w = Window.partitionBy(key).orderBy(*[F.col(c) for c in left.columns])
+        left = left.withColumn("__rowid", F.row_number().over(w))
     width = max(upper_s - lower_s, 1e-6)
     bucket_us = int((bucket_s if bucket_s is not None else width) * 1_000_000)
     lo_us = int(lower_s * 1_000_000)
@@ -79,4 +97,15 @@ def bucketed_range_join(
     )
     if how == "inner":
         return matched
-    raise ValueError(f"unsupported how={how!r}; aggregate matches and re-join instead")
+    # how == 'left': one row per unmatched left row, right columns NULL
+    unmatched = left.join(
+        matched.select(key, "__rowid"), [key, "__rowid"], "left_anti"
+    ).select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in right.columns
+            if c != key
+        ],
+    )
+    return matched.unionByName(unmatched).drop("__rowid")

@@ -38,17 +38,22 @@ def ingest(
     class_sets,
     out_dir: str | None = None,
     now_key: int = NOW_KEY_DEFAULT,
-    bucket_tables: dict[str, int] | None = None,
+    bucket_tables: dict[str, int | tuple[str, int]] | None = None,
 ) -> dict[str, DataFrame]:
     """Phase 1 (reference src/main.rs:123-234): parse + extract the nine
     tables. With ``out_dir`` each table is persisted to parquet and
     re-read (a durable stage barrier, replacing the SQLite sink A9).
 
-    ``bucket_tables`` maps table name -> bucket count: those tables are
-    written as catalog-managed BUCKETED tables on their id column
-    (plans/bucketing.py) instead of plain parquet — the right layout for
-    object_labels, the big skewed table every post-phase label stage
-    re-joins by id (SQLite's covering index, paid once at write time)."""
+    ``bucket_tables`` maps table name -> bucket count (bucketed on
+    ``id``) or ``(key, bucket count)`` for tables keyed differently
+    (e.g. cities_countries on ``city``): those tables are written as
+    catalog BUCKETED tables (plans/bucketing.py) instead of plain
+    parquet — the right layout for object_labels, the big skewed table
+    every post-phase label stage re-joins by id (SQLite's covering
+    index, paid once at write time). The files land under
+    ``out_dir/<name>`` like every other table (external table; the
+    catalog only carries the bucket metadata). A key that doesn't exist
+    in the table raises immediately."""
     entities = read_entity_dump(spark, dump_path)
     tags = _as_class_tags(spark, class_sets)
     if out_dir:
@@ -62,10 +67,16 @@ def ingest(
         outs = extract_all(entities, tags, now_key)
         persisted = {}
         for name, df in outs.items():
-            n_buckets = (bucket_tables or {}).get(name)
-            if n_buckets:
+            spec = (bucket_tables or {}).get(name)
+            if spec:
+                bkey, n_buckets = ("id", spec) if isinstance(spec, int) else spec
+                if bkey not in df.columns:
+                    raise ValueError(
+                        f"bucket_tables[{name!r}]: key {bkey!r} not in "
+                        f"{df.columns}; pass (key, n_buckets)"
+                    )
                 table = f"geo_{name}"
-                write_bucketed(df, table, "id", n_buckets)
+                write_bucketed(df, table, bkey, n_buckets, path=f"{out_dir}/{name}")
                 persisted[name] = spark.table(table)
             else:
                 path = f"{out_dir}/{name}"

@@ -36,19 +36,29 @@ def write_bucketed(
     key: str,
     num_buckets: int = 8,
     sort: bool = True,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a catalog-managed bucketed parquet table.
+    """Persist ``df`` as a catalog bucketed parquet table — managed (in
+    the warehouse) by default, or EXTERNAL at ``path`` so callers can
+    route the files where the rest of their output lives (bucket
+    metadata still goes through the catalog either way; plain parquet
+    paths can't carry it).
 
-    Drops any stale table AND its warehouse directory first: a managed
-    table left on disk by a previous session is invisible to this
-    session's in-memory catalog, and saveAsTable then fails with
-    LOCATION_ALREADY_EXISTS instead of overwriting."""
+    Drops any stale table AND its directory first: a table left on disk
+    by a previous session is invisible to this session's in-memory
+    catalog, and saveAsTable then fails with LOCATION_ALREADY_EXISTS
+    instead of overwriting."""
     import shutil
 
+    if key not in df.columns:
+        raise ValueError(f"bucket key {key!r} not in columns {df.columns}")
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if path is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    else:
+        loc = path
     shutil.rmtree(loc, ignore_errors=True)
     # one file per bucket: Spark only trusts write-time sortedness (and
     # skips the join's Sort) when a bucket is a single file; repartition
@@ -56,6 +66,8 @@ def write_bucketed(
     # task holds exactly one bucket
     df = df.repartition(num_buckets, key)
     w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, key)
+    if path is not None:
+        w = w.option("path", path)
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)

@@ -28,26 +28,49 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 
 
 def read_events_stream(
-    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+    encoding: str | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
     Events files come in two encodings (TESTDATA.md changed between
     rounds): parquet TIMESTAMP(NANOS), which Spark's reader only accepts
     as long (spark.sql.legacy.parquet.nanosAsLong), and plain µs
-    timestamps. readStream needs the schema up front, so probe the
-    directory with a footer-only batch read — exactly io._load_events'
-    dtype switch — and truncate nanos to µs when needed so both
-    encodings stream identical TimestampType rows."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
+    timestamps. readStream needs the schema up front; pass
+    ``encoding='nanos'|'micros'`` when you know it, else the directory
+    is probed with a footer-only batch read — exactly io._load_events'
+    dtype switch. An EMPTY directory (normal before the first shard
+    arrives) probes as ``micros`` instead of raising. The legacy
+    nanosAsLong conf is only left set when a nanos stream actually needs
+    it at scan time; a micros probe restores the previous value."""
+    if encoding is None:
+        from pyspark.errors import AnalysisException
+
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            nanos = dict(spark.read.parquet(events_dir).dtypes).get("ts") == "bigint"
+        except AnalysisException:
+            nanos = False  # no files yet: stream starts on the µs default
+        encoding = "nanos" if nanos else "micros"
+        if not nanos:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    elif encoding == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if encoding not in ("nanos", "micros"):
+        raise ValueError(f"encoding must be 'nanos' or 'micros', got {encoding!r}")
     reader = spark.readStream
     if max_files_per_trigger:
         # SOURCE option (ignored on the sink): bounds each micro-batch's
         # file admission — with availableNow this is how multi-batch
         # watermark progression is exercised in tests
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if nanos:
+    if encoding == "nanos":
         raw = reader.schema(_events_schema(T.LongType())).parquet(events_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return reader.schema(_events_schema(T.TimestampType())).parquet(events_dir)

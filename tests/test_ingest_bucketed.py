@@ -38,3 +38,36 @@ def test_ingest_bucketed_object_labels(spark, tmp_path):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Bucketed: true" in plan
+
+
+def test_ingest_bucketed_custom_key_and_out_dir(spark, tmp_path):
+    """Per-table bucket keys: cities_countries has no 'id' column — a
+    bare int spec must raise, a (key, n) spec must work, and the files
+    must land under out_dir like every other table (ADVICE r3)."""
+    import os
+
+    import pytest
+
+    from geo_db_spark.pipeline import ingest
+
+    docs = _mini_dump()
+    dump = tmp_path / "dump.json.bz2"
+    dump.write_bytes(bz2.compress(("[\n" + ",\n".join(docs) + "\n]\n").encode()))
+
+    with pytest.raises(ValueError, match="bucket_tables"):
+        ingest(
+            spark, str(dump), CLASS_SETS,
+            out_dir=str(tmp_path / "db1"),
+            bucket_tables={"cities_countries": 4},
+        )
+
+    out = ingest(
+        spark, str(dump), CLASS_SETS,
+        out_dir=str(tmp_path / "db2"),
+        bucket_tables={"cities_countries": ("city", 4)},
+    )
+    assert os.path.isdir(str(tmp_path / "db2" / "cities_countries"))
+    plain = ingest(spark, str(dump), CLASS_SETS)
+    got = sorted(map(tuple, out["cities_countries"].collect()))
+    want = sorted(map(tuple, plain["cities_countries"].collect()))
+    assert got == want

@@ -55,3 +55,51 @@ def test_self_correlation_distinct_sides(spark):
         [(i, 1, t) for i, _, t in rows], [(i, 1, t) for i, _, t in rows], -60.0, -1.0
     )
     assert pairs == want and len(pairs) > 0
+
+
+def test_left_join_keeps_unmatched_once(spark):
+    left = [(i, i % 3, BASE + dt.timedelta(seconds=37 * i)) for i in range(40)]
+    # right only covers key 0 -> keys 1/2 rows must survive with NULLs
+    right = [(100 + i, 0, BASE + dt.timedelta(seconds=29 * i)) for i in range(40)]
+    ldf = _mk(spark, left, ["lid", "k", "lts"])
+    rdf = _mk(spark, right, ["rid", "k", "rts"])
+    got = bucketed_range_join(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+        lower_s=-120.0, upper_s=60.0, how="left",
+    ).collect()
+    want_pairs = _naive(left, right, -120.0, 60.0)
+    got_pairs = {(r["lid"], r["rid"]) for r in got if r["rid"] is not None}
+    assert got_pairs == want_pairs
+    matched_lids = {a for a, _ in want_pairs}
+    # every unmatched left row appears exactly once, rid/rts NULL
+    unmatched = [r for r in got if r["rid"] is None]
+    assert {r["lid"] for r in unmatched} == {i for i, _, _ in left} - matched_lids
+    assert len(unmatched) == len({r["lid"] for r in unmatched})
+    assert all(r["rts"] is None for r in unmatched)
+    # no left row lost
+    assert {r["lid"] for r in got} == {i for i, _, _ in left}
+
+
+def test_left_join_duplicate_left_rows_preserved(spark):
+    rows = [(1, 0, BASE), (1, 0, BASE)]  # exact duplicates, no match
+    ldf = _mk(spark, rows, ["lid", "k", "lts"])
+    rdf = _mk(spark, [(9, 5, BASE)], ["rid", "k", "rts"])
+    got = bucketed_range_join(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+        lower_s=-1.0, upper_s=1.0, how="left",
+    ).collect()
+    assert len(got) == 2 and all(r["rid"] is None for r in got)
+
+
+def test_shared_nonkey_columns_rejected(spark):
+    ldf = _mk(spark, [(1, 0, BASE)], ["lid", "k", "ts"])
+    rdf = _mk(spark, [(9, 0, BASE)], ["rid", "k", "ts"])
+    with pytest.raises(ValueError, match="share non-key column"):
+        bucketed_range_join(ldf, rdf, key="k")
+
+
+def test_unknown_how_rejected(spark):
+    ldf = _mk(spark, [(1, 0, BASE)], ["lid", "k", "lts"])
+    rdf = _mk(spark, [(9, 0, BASE)], ["rid", "k", "rts"])
+    with pytest.raises(ValueError, match="unsupported how"):
+        bucketed_range_join(ldf, rdf, key="k", left_ts="lts", right_ts="rts", how="full")

@@ -260,3 +260,33 @@ def test_stateful_sessionize_stream(spark, events_dir):
 
     assert len(want) > 0
     assert got == want
+
+
+def test_read_events_stream_empty_dir_starts(spark, tmp_path):
+    """An empty events dir is a NORMAL pre-first-shard state: the stream
+    must start on the default µs schema instead of raising (ADVICE r3),
+    and the probe must not leave the legacy nanos conf set."""
+    from geo_db_spark.streaming import read_events_stream
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    empty = tmp_path / "events"
+    empty.mkdir()
+    stream = read_events_stream(spark, str(empty))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    # a µs probe must restore whatever the conf was before
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) == prev
+
+
+def test_read_events_stream_explicit_encoding_skips_probe(spark, tmp_path):
+    from geo_db_spark.streaming import read_events_stream
+
+    empty = tmp_path / "events"
+    empty.mkdir()
+    stream = read_events_stream(spark, str(empty), encoding="micros")
+    assert stream.isStreaming
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="encoding"):
+        read_events_stream(spark, str(empty), encoding="seconds")
