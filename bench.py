@@ -37,7 +37,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_quality_metrics",
     "ann_cosine_topk",
+    "ann_cosine_topk_arrow",
     "ann_lsh_topk",
+    "text_chunk_dups",
+    "x9_ancestor_label_resolution",
 ]
 
 

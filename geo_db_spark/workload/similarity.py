@@ -47,6 +47,20 @@ QUALIFY rank <= 5
 """
 
 
+def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact top-5 search through the vectorized Arrow kernel
+    (operators/similarity.cosine_topk_bruteforce_arrow): one int64 matmul
+    per corpus batch + batch-local top-k pruning — the production path at
+    real embedding dims, bit-identical to the codegen baseline (shared
+    oracle)."""
+    tune(spark)
+    from geo_db_spark.operators.similarity import cosine_topk_bruteforce_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce_arrow(emb, queries, k=5)
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs (cosine > 0.3) blocked by the label column.
 
@@ -401,6 +415,7 @@ GROUP BY vec_id, ex.label
 QUERIES = {
     "emb_centroid_dist": emb_centroid_dist,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -410,6 +425,7 @@ QUERIES = {
 ORACLES = {
     "emb_centroid_dist": ORACLE_CENTROID,
     "ann_cosine_topk": ORACLE_ANN,
+    "ann_cosine_topk_arrow": ORACLE_ANN,
     "ann_lsh_topk": ORACLE_ANN_LSH,
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "embedding_near_dup_pairs": ORACLE_NEAR_DUP,
