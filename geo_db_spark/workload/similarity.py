@@ -412,8 +412,138 @@ GROUP BY vec_id, ex.label
 """
 
 
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+# embedding corpus — cluster vectors into cells, call within-cell pairs
+# above a cosine threshold duplicates, keep one representative per
+# duplicate group. The pairwise work is confined to cells, never the
+# corpus, which is the property that makes it tractable at 100 TB: cell
+# count scales with n (k ~ n/target_cell_size in a real deployment; a
+# hot cell gets the same cap treatment as minhash_hot_buckets).
+SEMDEDUP_TAU = 0.35
+
+
+def _ivf_cells_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector with its nearest-centroid cell (same deterministic
+    IVF_C 'trained' centroids as ann_ivf_topk)."""
+    from pyspark.sql import Window
+
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_C).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
+    )
+    scored = emb.select("vec_id", "q", "qnorm").join(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        cosine_from_quantized(
+            int_dot(F.col("q"), F.col("c_q")), F.col("qnorm"), F.col("c_n")
+        ).alias("c_score"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("c_score").desc(), F.col("cent_id"))
+    cells = (
+        scored.withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    return emb.join(cells, "vec_id")
+
+
+def _semdedup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geo_db_spark.operators.components import connected_components
+
+    assigned = _ivf_cells_assigned(spark, sf_dir)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("qnorm").alias("n_a")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("qnorm").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            cosine_from_quantized(int_dot(F.col("q_a"), F.col("q_b")), F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    return connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+
+
+def emb_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup step 1+2: cell-local duplicate pairs -> connected
+    components. One row per vector in any duplicate group:
+    (vec_id, cluster_id = min vec_id of the group)."""
+    tune(spark)
+    return _semdedup_clusters_df(spark, sf_dir).select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+
+
+def emb_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup step 3: the pruned corpus — drop every duplicate-group
+    member except the group's min vec_id (anti-join; its right side is
+    |clustered vectors| only, never the corpus)."""
+    tune(spark)
+    cc = _semdedup_clusters_df(spark, sf_dir)
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("vec_id")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def _semdedup_base_sql() -> str:
+    """Shared oracle CTE chain: cells -> within-cell dup pairs -> CC
+    (min-label reachability, same idiom as the minhash cluster oracle)."""
+    return f"""
+qe AS (SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings),
+normed AS (
+  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n FROM qe
+),
+cent AS (SELECT vec_id AS cent_id, q AS c_q, n AS c_n FROM normed WHERE vec_id < {IVF_C}),
+scored AS (
+  SELECT v.vec_id, cent.cent_id,
+         CAST(CAST(list_sum(list_transform(list_zip(v.q, cent.c_q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(v.n AS DOUBLE)) * sqrt(CAST(cent.c_n AS DOUBLE))) AS c_score
+  FROM normed v, cent
+),
+cells AS (
+  SELECT vec_id, cent_id AS cell FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cent_id) = 1
+),
+av AS (SELECT n2.vec_id, n2.q, n2.n, cells.cell FROM normed n2 JOIN cells USING (vec_id)),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) >= {SEMDEDUP_TAU}
+),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+nn AS (SELECT DISTINCT a AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM nn
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+),
+cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+"""
+
+
+ORACLE_SEMDEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_semdedup_base_sql()}
+SELECT id AS vec_id, cluster_id FROM cc
+"""
+
+ORACLE_SEMDEDUP_SURVIVORS = f"""
+WITH RECURSIVE {_semdedup_base_sql()}
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+"""
+
+
 QUERIES = {
     "emb_centroid_dist": emb_centroid_dist,
+    "emb_semdedup_clusters": emb_semdedup_clusters,
+    "emb_semdedup_survivors": emb_semdedup_survivors,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
     "ann_lsh_topk": ann_lsh_topk,
@@ -424,6 +554,8 @@ QUERIES = {
 
 ORACLES = {
     "emb_centroid_dist": ORACLE_CENTROID,
+    "emb_semdedup_clusters": ORACLE_SEMDEDUP_CLUSTERS,
+    "emb_semdedup_survivors": ORACLE_SEMDEDUP_SURVIVORS,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_cosine_topk_arrow": ORACLE_ANN,
     "ann_lsh_topk": ORACLE_ANN_LSH,

@@ -1,4 +1,6 @@
-"""Approximate-aggregate workload entries (deterministic KMV sketches)."""
+"""Approximate-aggregate workload entries: deterministic KMV + HLL
+distinct sketches and a count-min frequency sketch, each bit-identical
+to its DuckDB oracle (md5-derived integer hashing throughout)."""
 
 from __future__ import annotations
 
@@ -78,14 +80,139 @@ FROM a
 """
 
 
+def sk_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct users per event type (m=256, ~6.5%
+    error). Unlike KMV there is no distinct/top-k pass at all: one
+    map-side-combinable max over (group, bucket) — the cheapest
+    cardinality shuffle shape at 100 TB. Small cardinalities land in
+    the linear-counting branch, large in the raw harmonic branch; the
+    sf0.01/sf0.1 pair exercises both."""
+    tune(spark)
+    from geo_db_spark.operators.hll import hll_distinct_per_group
+
+    ev = load(spark, sf_dir, "events")
+    return hll_distinct_per_group(ev, "user_id", ["event_type"])
+
+
+def sk_hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL on the fact table: distinct parts per return flag. The
+    shuffle after the map-side max is <= 256 rows per (flag, partition)
+    however many billion lineitems feed it."""
+    tune(spark)
+    from geo_db_spark.operators.hll import hll_distinct_per_group
+
+    li = load(spark, sf_dir, "lineitem")
+    return hll_distinct_per_group(li, "l_partkey", ["l_returnflag"])
+
+
+def sk_hll_merged_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY: per-event-type register files (256 ints each)
+    merge by element-wise max into the global sketch — bit-identical to
+    a direct global pass, which is why HLL state can flow through
+    partial aggregation, daily rollups, or stream checkpoints without
+    rescanning. Output: one row from merged state only; the oracle
+    computes the direct global sketch (algebraically the same file)."""
+    tune(spark)
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.hll import (
+        hll_estimate_from_state,
+        hll_merge,
+        hll_sketch_per_group,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    per_type = hll_sketch_per_group(ev, "user_id", ["event_type"])
+    merged = hll_merge(per_type, [])
+    return merged.select(
+        F.size(F.filter(F.col("regs"), lambda r: r > 0)).alias("n_regs"),
+        hll_estimate_from_state(F.col("regs")).alias("approx_distinct"),
+    )
+
+
+CMS_THRESHOLD = 75
+
+
+def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a 4x512 count-min sketch over the event
+    stream: users whose ESTIMATED event count >= 75. The sketch is
+    16 KiB regardless of stream size and the estimate join broadcasts
+    it; the only full-width pass is the candidate scan (documented: at
+    true stream scale candidates come from a paired top-k heap, not a
+    distinct — the sketch math is identical). Estimates are one-sided
+    (>= true count), integer, engine-exact."""
+    tune(spark)
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.cms import cms_build, cms_estimate
+
+    ev = load(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id")
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(cms, keys, "user_id")
+    return est.filter(F.col("est_count") >= CMS_THRESHOLD)
+
+
+def _cms_oracle() -> str:
+    from geo_db_spark.operators.cms import cms_oracle_sql
+
+    return cms_oracle_sql("events", "user_id", CMS_THRESHOLD)
+
+
+def _hll_oracle(table: str, value_col: str, group_cols: list[str]) -> str:
+    from geo_db_spark.operators.hll import hll_oracle_sql
+
+    return hll_oracle_sql(table, value_col, group_cols)
+
+
+def _hll_global_oracle() -> str:
+    """Direct (ungrouped) global HLL over events.user_id — the merge of
+    per-type sketches is register-wise identical, so this oracles the
+    merged path exactly."""
+    from geo_db_spark.operators.hll import M, NUM, P, R_MAX, SMALL
+
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+),
+b AS (
+  SELECT h % {M} AS b,
+         CASE WHEN h >> {P} = 0 THEN {R_MAX}
+              ELSE {R_MAX} - length(bin(h >> {P})) END AS rank
+  FROM h
+),
+r AS (SELECT b, max(rank) AS reg FROM b GROUP BY b),
+a AS (
+  SELECT SUM(1::BIGINT << ({R_MAX} - reg)) AS s_present, COUNT(*) AS n_regs
+  FROM r
+)
+SELECT CAST(n_regs AS INTEGER) AS n_regs,
+       round(CASE WHEN n_regs < {M}
+                   AND {NUM!r} / CAST(s_present + ({M} - n_regs) * (1::BIGINT << {R_MAX}) AS DOUBLE) <= {SMALL!r}
+                  THEN {float(M)!r} * ln({float(M)!r} / CAST({M} - n_regs AS DOUBLE))
+                  ELSE {NUM!r} / CAST(s_present + ({M} - n_regs) * (1::BIGINT << {R_MAX}) AS DOUBLE)
+             END, 4) AS approx_distinct
+FROM a
+"""
+
+
 QUERIES = {
     "sk_kmv_distinct_users": sk_kmv_distinct_users,
     "sk_kmv_distinct_parts": sk_kmv_distinct_parts,
     "sk_kmv_merged_global": sk_kmv_merged_global,
+    "sk_hll_distinct_users": sk_hll_distinct_users,
+    "sk_hll_distinct_parts": sk_hll_distinct_parts,
+    "sk_hll_merged_global": sk_hll_merged_global,
+    "sk_cms_heavy_hitters": sk_cms_heavy_hitters,
 }
 
 ORACLES = {
     "sk_kmv_distinct_users": kmv_oracle_sql("events", "user_id", ["event_type"], k=KMV_K),
     "sk_kmv_distinct_parts": kmv_oracle_sql("lineitem", "l_partkey", ["l_returnflag"], k=KMV_K),
     "sk_kmv_merged_global": ORACLE_KMV_MERGED,
+    "sk_hll_distinct_users": _hll_oracle("events", "user_id", ["event_type"]),
+    "sk_hll_distinct_parts": _hll_oracle("lineitem", "l_partkey", ["l_returnflag"]),
+    "sk_hll_merged_global": _hll_global_oracle(),
+    "sk_cms_heavy_hitters": _cms_oracle(),
 }

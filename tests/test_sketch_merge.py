@@ -1,8 +1,19 @@
-"""KMV mergeability: merging per-group sketch state must equal the
-sketch a direct pass over all the raw data produces — exactly."""
+"""Sketch mergeability: merging per-group sketch state must equal the
+sketch a direct pass over all the raw data produces — exactly. Plus the
+sketch-specific guarantees: HLL accuracy within its sigma bound and the
+count-min estimate's one-sided error."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from geo_db_spark.operators.cms import cms_build, cms_estimate, cms_merge
+from geo_db_spark.operators.hll import (
+    hll_distinct_per_group,
+    hll_estimate_from_state,
+    hll_merge,
+    hll_sketch_per_group,
+)
 from geo_db_spark.operators.sketch import kmv_merge, kmv_sketch_per_group
 
 
@@ -14,3 +25,68 @@ def test_merged_sketch_equals_direct(spark):
     direct = kmv_sketch_per_group(df.selectExpr("1 AS one", "v"), "v", ["one"], k=16)
     want = direct.collect()[0]["ks"]
     assert merged == want and len(merged) == 16
+
+
+def test_hll_merged_registers_equal_direct(spark):
+    """Element-wise-max merge of per-group register files == the file a
+    direct ungrouped pass builds, register for register."""
+    rows = [(i % 5, f"u{i % 600}") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    per_group = hll_sketch_per_group(df, "v", ["g"])
+    merged = hll_merge(per_group, []).collect()[0]["regs"]
+    direct = hll_sketch_per_group(df.selectExpr("1 AS one", "v"), "v", ["one"])
+    want = direct.collect()[0]["regs"]
+    assert merged == want and len(merged) == 256
+    # and the state-based estimate round-trips to the group-path estimate
+    est_state = (
+        hll_merge(per_group, [])
+        .select(hll_estimate_from_state(F.col("regs")).alias("e"))
+        .collect()[0]["e"]
+    )
+    est_direct = (
+        hll_distinct_per_group(df.selectExpr("1 AS one", "v"), "v", ["one"])
+        .collect()[0]["approx_distinct"]
+    )
+    assert est_state == est_direct
+
+
+def test_hll_estimate_within_bound(spark):
+    """m=256 -> sigma = 1.04/16 = 6.5%; assert within 4 sigma on a
+    cardinality well past the linear-counting switch."""
+    true_n = 5000
+    df = spark.createDataFrame([(f"x{i}",) for i in range(true_n)], ["v"])
+    est = (
+        hll_distinct_per_group(df.selectExpr("1 AS one", "v"), "v", ["one"])
+        .collect()[0]["approx_distinct"]
+    )
+    assert abs(est - true_n) / true_n < 0.26
+
+
+def test_hll_exact_small_range(spark):
+    """Linear counting keeps tiny cardinalities near-exact."""
+    df = spark.createDataFrame([(f"x{i % 20}",) for i in range(400)], ["v"])
+    est = (
+        hll_distinct_per_group(df.selectExpr("1 AS one", "v"), "v", ["one"])
+        .collect()[0]["approx_distinct"]
+    )
+    assert abs(est - 20) <= 2
+
+
+def test_cms_one_sided_and_merge(spark):
+    """CMS never under-counts; shard merge (cell-wise sum) equals the
+    direct sketch; heavy keys estimate near-exactly at this load."""
+    rows = [(f"k{i % 50}",) for i in range(1000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    cms = cms_build(df, "k")
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["est_count"] for r in cms_estimate(cms, keys, "k").collect()}
+    true = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(est[k] >= n for k, n in true.items())
+    assert est["hot"] == 500  # 51 keys in 512 cols x 4 rows: no collision on the hot key's min
+    # merge: two disjoint shards' sketches sum to the whole-data sketch
+    a = df.limit(700).cache()
+    b = df.exceptAll(a)
+    merged = cms_merge(cms_build(a, "k").unionByName(cms_build(b, "k")))
+    whole = {(r["i"], r["b"]): r["cnt"] for r in cms.collect()}
+    got = {(r["i"], r["b"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
