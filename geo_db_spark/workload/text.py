@@ -404,6 +404,55 @@ SELECT doc_id, lang, source FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT < {(1 << 60) // 5}
 """
 
+# expected sample size of the weighted Poisson sample — a TARGET COUNT,
+# not a rate: the threshold self-scales with total corpus weight, so the
+# sample stays ~K documents whether the corpus is 500 docs or 100 TB.
+POISSON_K = 100
+
+
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted Poisson sample: include document d independently
+    with probability K * w_d / W (w_d = char count, W = corpus total) —
+    the standard PPS (probability-proportional-to-size) pass a training
+    pipeline uses so a token-budgeted subsample isn't dominated by tiny
+    documents. Like text_sample_deterministic the draw is a pure
+    function of doc_id (auditable, rerun- and partitioning-stable), and
+    the comparison h * W < K * w * 2^60 is EXACT 128-bit integer
+    arithmetic via DECIMAL(38,0) — no float threshold edge. Two scans
+    (W, then the filter); W is one long from a map-side-combined sum.
+    Magnitudes: h < 2^60 ~ 1.2e18, so W (total chars) up to ~1e19
+    stays inside 38 digits — covers 100 TB of text with margin."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+    tot = docs.agg(F.sum(F.greatest(F.col("n_chars"), F.lit(1))).alias("W"))
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    d38 = "decimal(38,0)"
+    lhs = h.cast(d38) * F.col("W").cast(d38)
+    rhs = (
+        F.lit(POISSON_K).cast(d38)
+        * w.cast(d38)
+        * F.lit(1 << 60).cast(d38)
+    )
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .filter(lhs < rhs)
+        .select("doc_id", "lang", w.alias("weight"))
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, lang, CAST(greatest(n_chars, 1) AS BIGINT) AS weight
+FROM documents,
+     (SELECT CAST(SUM(greatest(n_chars, 1)) AS HUGEINT) AS w_total FROM documents) t
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS HUGEINT) * w_total
+      < {POISSON_K}::HUGEINT * greatest(n_chars, 1) * (1::HUGEINT << 60)
+"""
+
 
 def text_language_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixing pass: cap each language at its 50 highest-quality
@@ -450,6 +499,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_token_stats": text_token_stats,
+    "text_weighted_sample": text_weighted_sample,
 }
 
 ORACLES = {
@@ -464,4 +514,5 @@ ORACLES = {
     "text_lang_id": ORACLE_LANG_ID,
     "text_fingerprint": ORACLE_FINGERPRINT,
     "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }
