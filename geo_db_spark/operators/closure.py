@@ -36,11 +36,21 @@ def transitive_closure(
     child_col: str = "id",
     parent_col: str = "parent",
     seed_col: str = "id",
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """All (seed, id, step) rows reachable via parent edges; step=0 is the
     seed itself (matching the reference CTE seed row,
     find_subdivision.sql:13). UNION ALL semantics: one row per path, as in
-    the reference."""
+    the reference.
+
+    ``broadcast_edges`` hints BROADCAST on the edge side of the
+    recursive join, making every recursion level shuffle-free on the
+    frontier (~20% wall at sf0.1). It is OFF by default because the
+    hint is forced, not advisory: enable it only when the edge table is
+    KNOWN bounded (the WikiData admin tree is ~1e6 edges ~ tens of MB —
+    plans/geo_post.py turns it on); an edge set derived from a
+    fact-scale table must stay on AQE's runtime decision."""
+    hint = "/*+ BROADCAST(e) */ " if broadcast_edges else ""
     spark = edges.sparkSession
     # The engine's recursion ROW limit defaults to 1e6 — a toy-scale
     # safeguard: a closure's output grows with the data (10x the seeds
@@ -63,7 +73,7 @@ def transitive_closure(
         WITH RECURSIVE cl(seed, id, step) MAX RECURSION LEVEL {int(max_steps) + 2} AS (
             SELECT seed, id, 0 FROM {{seeds}}
             UNION ALL
-            SELECT cl.seed, e.{parent_col}, cl.step + 1
+            SELECT {hint}cl.seed, e.{parent_col}, cl.step + 1
             FROM cl JOIN {{edges}} e ON cl.id = e.{child_col}
             WHERE cl.step < {int(max_steps)}
         )
@@ -114,6 +124,74 @@ def transitive_closure_loop(
         if checkpoint_every and step % checkpoint_every == 0:
             result = result.localCheckpoint(eager=True)
     return result
+
+
+def transitive_closure_doubling(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_steps: int = 100,
+    child_col: str = "id",
+    parent_col: str = "parent",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Closure by path doubling (pointer jumping): after round k the
+    relation holds every (src, dst) within 2^k steps at its EXACT
+    minimum distance, so a depth-D hierarchy saturates in ceil(log2 D)
+    self-join rounds instead of D frontier joins — the win when the
+    closure is iteration-LATENCY-bound (each recursive-CTE level is a
+    full scheduled stage; real admin hierarchies are 10-20 deep).
+
+    Semantics match ``transitive_closure_loop``: one row per reachable
+    (seed, id) at min step, cycle-safe (min-step is a decreasing
+    bounded fixpoint). Tradeoff vs the frontier loop: doubling squares
+    the GLOBAL relation (|V| * avg-depth rows shuffle per round twice)
+    where the seeded loop only moves frontiers — prefer the loop when
+    seeds are a sliver of a huge graph, doubling when seeds are dense
+    or the depth dominates. Fixpoint test: (count, sum(step)) — the
+    pair set only grows and steps only shrink, so the signature is
+    stable iff the relation is.
+    """
+    import math
+
+    R = (
+        edges.select(F.col(child_col).alias("src"), F.col(parent_col).alias("dst"))
+        .distinct()
+        .withColumn("step", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    rounds = max(1, math.ceil(math.log2(max(2, int(max_steps)))) + 1)
+    prev: tuple | None = None
+    for _ in range(rounds):
+        a = R.select("src", F.col("dst").alias("mid"), F.col("step").alias("s1"))
+        b = R.select(F.col("src").alias("mid"), "dst", F.col("step").alias("s2"))
+        comp = (
+            a.join(b, "mid")
+            .select("src", "dst", (F.col("s1") + F.col("s2")).alias("step"))
+            .filter(F.col("step") <= max_steps)
+        )
+        R = (
+            R.unionByName(comp)
+            .groupBy("src", "dst")
+            .agg(F.min("step").alias("step"))
+            .localCheckpoint(eager=True)
+        )
+        row = R.agg(F.count(F.lit(1)).alias("n"), F.sum("step").alias("s")).collect()[0]
+        sig = (row["n"], row["s"])
+        if sig == prev:
+            break
+        prev = sig
+    sd = seeds.select(F.col(seed_col).alias("seed")).distinct()
+    anc = sd.join(R, sd["seed"] == R["src"]).select(
+        "seed", F.col("dst").alias("id"), "step"
+    )
+    # a cycle through the seed yields (seed, seed, cycle_len) in R; the
+    # step-0 seed row must win — min per (seed, id), like the loop
+    return (
+        sd.select("seed", F.col("seed").alias("id"), F.lit(0).alias("step"))
+        .unionByName(anc)
+        .groupBy("seed", "id")
+        .agg(F.min("step").alias("step"))
+    )
 
 
 def deepest_qualifying_ancestor(

@@ -77,6 +77,7 @@ def resolve_labels_via_ancestors(
     object_labels: DataFrame,
     out_col: str = "native_label",
     max_steps: int = 100,
+    closure_fn=None,
 ) -> DataFrame:
     """D6 set-based rewrite (per_city.sql / per_subdivision.sql): for every
     seed id at once —
@@ -92,7 +93,10 @@ def resolve_labels_via_ancestors(
     Returns (seed, out_col) for seeds that resolved ≥1 label.
     """
     sd = seeds.select(F.col(seeds.columns[0]).alias("id"))
-    closure = transitive_closure(edges, sd, max_steps=max_steps)
+    # closure_fn swaps the closure strategy (e.g. transitive_closure_-
+    # doubling when the hierarchy is a tree/DAG whose depth dominates —
+    # on trees min-step and all-paths closures coincide)
+    closure = (closure_fn or transitive_closure)(edges, sd, max_steps=max_steps)
     # multi-path DAGs duplicate (seed, id, step) rows; the GROUP BY in the
     # reference collapses them — dedupe here to keep the joins lean
     closure = closure.dropDuplicates(["seed", "id", "step"])

@@ -100,7 +100,11 @@ def post_process(
     cities = cities.join(picked, "id", "left")  # country NULL when none
 
     # ---- find_subdivision.sql (D3 + D4) -----------------------------
-    closure = transitive_closure(edges, cities.select("id"), max_steps=max_steps)
+    # admin-hierarchy edges are bounded (~1e6 for all of WikiData): safe
+    # to pin the broadcast and make every recursion level shuffle-free
+    closure = transitive_closure(
+        edges, cities.select("id"), max_steps=max_steps, broadcast_edges=True
+    )
     deepest = deepest_qualifying_ancestor(
         closure.dropDuplicates(["seed", "id", "step"]),
         tes.filter(F.col("is_2nd")).select("id"),

@@ -104,6 +104,19 @@ SELECT seed, id, CAST(MIN(step) AS INT) AS step FROM cl GROUP BY seed, id
 """
 
 
+def d3_closure_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PATH-DOUBLING closure (O(log depth) self-join rounds instead
+    of O(depth) frontier joins — operators/closure.py) under the
+    driver's gate. Min-step semantics: same oracle as the loop variant."""
+    tune(spark)
+    from geo_db_spark.operators.closure import transitive_closure_doubling
+
+    part = load(spark, sf_dir, "part")
+    seeds = part.select(F.col("p_partkey").alias("id"))
+    out = transitive_closure_doubling(_edges(spark, sf_dir), seeds, max_steps=100)
+    return out.select("seed", "id", F.col("step").cast("int").alias("step"))
+
+
 def g13_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (operators/graph_algos.py) over the derived
     part tree, 5 iterations — the iterative numerical-graph-algorithm
@@ -131,6 +144,7 @@ QUERIES = {
     "g13_pagerank": g13_pagerank,
     "d3_part_hierarchy_closure": d3_part_hierarchy_closure,
     "d3_closure_loop_minstep": d3_closure_loop_minstep,
+    "d3_closure_doubling": d3_closure_doubling,
     "d4_deepest_qualifying_ancestor": d4_deepest_qualifying_ancestor,
 }
 
@@ -138,5 +152,6 @@ ORACLES = {
     "g13_pagerank": _pagerank_oracle(),
     "d3_part_hierarchy_closure": ORACLE_D3,
     "d3_closure_loop_minstep": ORACLE_D3_LOOP,
+    "d3_closure_doubling": ORACLE_D3_LOOP,
     "d4_deepest_qualifying_ancestor": ORACLE_D4A,
 }

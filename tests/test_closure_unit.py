@@ -93,3 +93,21 @@ def test_deepest_qualifying_ancestor_tiebreak(spark):
     qual2 = spark.createDataFrame([("p1",), ("p2",)], "id string")
     got2 = deepest_qualifying_ancestor(closure, qual2).collect()
     assert [(r["seed"], r["id"], r["step"]) for r in got2] == [("c1", "p1", 1)]
+
+
+def test_doubling_closure_equals_loop(spark):
+    """Path doubling must reproduce the loop's first-visit (min-step)
+    closure exactly — including on cycles and self-loops, where the
+    min-step fixpoint is what guarantees termination."""
+    from geo_db_spark.operators.closure import transitive_closure_doubling
+
+    edges, seeds = _dfs(spark)
+    want = {
+        (r["seed"], r["id"]): r["step"]
+        for r in transitive_closure_loop(edges, seeds, max_steps=100).collect()
+    }
+    got = {
+        (r["seed"], r["id"]): r["step"]
+        for r in transitive_closure_doubling(edges, seeds, max_steps=100).collect()
+    }
+    assert got == want
