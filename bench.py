@@ -41,6 +41,10 @@ HEADLINE = [
     "ann_lsh_topk",
     "text_chunk_dups",
     "x9_ancestor_label_resolution",
+    "sk_hll_distinct_parts",
+    "sk_cms_heavy_hitters",
+    "emb_semdedup_survivors",
+    "text_weighted_sample",
 ]
 
 

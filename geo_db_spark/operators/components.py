@@ -43,29 +43,25 @@ def connected_components(
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # edge list is iterated over many rounds: materialize it once
-    sym = sym.distinct().localCheckpoint(eager=True)
+    # self-loops fold the "own label" term into the neighbor-min groupBy,
+    # so each round is ONE join + groupBy (propagate) + one join (jump)
+    # instead of carrying a separate least(own, nbr) re-join of `labels`
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+    sym = (
+        sym.unionByName(nodes.select(F.col("id").alias("a"), F.col("id").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # edge list is iterated: materialize once
+    )
 
-    labels = (
-        sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-    ).localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
 
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym["a"] == labels["id"])
-            .groupBy(F.col("b").alias("nid"))
-            .agg(F.min("label").alias("nl"))
-        )
         stepped = (
-            labels.join(nbr_min, labels["id"] == F.col("nid"), "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
+            sym.join(labels, sym["a"] == labels["id"])
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("label"))
         )
         # pointer jump: a label is itself a node id, so its own current
         # label exists in `stepped`; one extra hop halves label-tree depth
