@@ -265,3 +265,66 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTE
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_hll_registers(events: DataFrame, key_col: str = "user_id",
+                            group_col: str = "event_type") -> DataFrame:
+    """Streaming cardinality sketch: the HLL register file maintained AS
+    the streaming aggregation state. Register update is max(rank) per
+    (group, bucket) — associative, commutative, idempotent — so Spark's
+    stateful groupBy max IS the sketch merge across micro-batches: state
+    is bounded at groups x 256 small ints forever, and the register
+    table after any prefix of batches is bit-identical to the batch
+    sketch over the same rows (tests/test_streaming.py asserts equality
+    with operators.hll over the whole directory). Run in update/complete
+    mode; estimate with hll_estimate_from_registers on the sink side."""
+    from geo_db_spark.operators.hll import M, _rank
+    from geo_db_spark.operators.sketch import hash60
+
+    h = hash60(F.col(key_col))
+    d = events.select(
+        F.col(group_col), (h % M).cast("int").alias("__b"), _rank(h).alias("__r")
+    )
+    return d.groupBy(group_col, "__b").agg(F.max("__r").alias("__reg"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """(group, n_regs, approx_distinct) from a sparse register table —
+    the per-batch sink-side readout for streaming_hll_registers."""
+    from geo_db_spark.operators.hll import R_MAX, _estimate
+
+    agg = regs.groupBy(group_col).agg(
+        F.sum(F.expr(f"shiftleft(1L, cast({R_MAX} - __reg as int))")).alias("__s"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    return agg.select(
+        group_col, "n_regs", _estimate(F.col("__s"), F.col("n_regs")).alias("approx_distinct")
+    )
+
+
+def run_streaming_hll(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Maintain the streaming HLL over an events directory; each batch
+    overwrites ``out_dir`` with the current per-type estimates (the
+    rollup-maintenance sink pattern of maintain_windowed_rollup)."""
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger=max_files_per_trigger)
+    regs = streaming_hll_registers(ev)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        est = hll_estimate_from_registers(batch_df)
+        est.write.mode("overwrite").parquet(out_dir)
+
+    writer = (
+        regs.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -290,3 +290,36 @@ def test_read_events_stream_explicit_encoding_skips_probe(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="encoding"):
         read_events_stream(spark, str(empty), encoding="seconds")
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
+    """The streaming HLL's register state after consuming all batches
+    must be BIT-IDENTICAL to the batch sketch over the same rows (max is
+    the merge), across multiple micro-batches."""
+    from geo_db_spark.io import load
+    from geo_db_spark.operators.hll import hll_distinct_per_group
+    from geo_db_spark.streaming.jobs import run_streaming_hll
+
+    ev = load(spark, SF_SMOKE, "events")
+    d = tmp_path / "ev_shards"
+    ev.repartition(3).write.parquet(str(d))
+    out = str(tmp_path / "hll_out")
+    q = run_streaming_hll(
+        spark,
+        str(d),
+        str(tmp_path / "ckpt"),
+        out,
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1  # genuinely multi-batch
+    got = {
+        r["event_type"]: (r["n_regs"], r["approx_distinct"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["event_type"]: (r["n_regs"], r["approx_distinct"])
+        for r in hll_distinct_per_group(ev, "user_id", ["event_type"]).collect()
+    }
+    assert got == want and len(got) > 0
