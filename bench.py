@@ -45,6 +45,9 @@ HEADLINE = [
     "sk_cms_heavy_hitters",
     "emb_semdedup_survivors",
     "text_weighted_sample",
+    "text_gopher_repetition",
+    "text_dup_spans",
+    "g15_triangle_count",
 ]
 
 

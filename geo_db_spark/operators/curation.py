@@ -1,0 +1,204 @@
+"""Corpus-curation operators for training-data pipelines (engine-growth
+contract; no reference counterpart). Implements the public quality-filter
+families used by large-scale LLM corpus builds:
+
+- Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+  Models: ..."): top-word / top-n-gram fraction, duplicate-word fraction.
+- C4-style document filter flags (Raffel et al. 2020): length, word-shape
+  and boilerplate heuristics, folded into a single keep decision.
+- Exact duplicate-span detection (Lee et al. 2022, "Deduplicating
+  Training Data Makes Language Models Better"): stride-1 k-token windows
+  shared across documents, plus longest consecutive dup run per doc.
+
+Everything is built-in column expressions + joins — JVM-side, whole-stage
+codegen, no Python UDFs. Fractions are a single IEEE division of two
+exact integers so DuckDB oracles hash-match bit-for-bit.
+
+Scale shapes (100 TB):
+- repetition signals: one explode of the token array shuffled by
+  (doc_id, gram) with map-side partial aggregation; gram cardinality is
+  bounded by corpus token count, never quadratic.
+- filter flags: pure per-row expressions, no shuffle at all.
+- dup spans: windows shuffle by a 64-bit xxhash of the window text (the
+  payload never shuffles); the dup-hash set is the only join input, and
+  the per-doc run-length pass rides one doc_id-partitioned sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geo_db_spark.operators.text import token_count
+
+
+def _tokens(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals over whitespace tokens:
+
+    - ``top_word_frac``   = count of the most frequent word / n_tokens
+    - ``dup_word_frac``   = 1 - n_distinct_words / n_tokens
+    - ``top_2gram_frac``  = count of the most frequent 2-gram / (n_tokens-1)
+    - ``top_3gram_frac``  = count of the most frequent 3-gram / (n_tokens-2)
+
+    One explode; 2/3-grams are formed with ``lead`` over the in-document
+    position (a single doc_id-partitioned sort), then each gram size is a
+    (doc_id, gram) partial-aggregated count. Only the max count per doc is
+    kept — the argmax gram itself never leaves the aggregation.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(text_col)).alias("pos", "w1"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = (
+        base.withColumn("nx1", F.lead("w1", 1).over(w))
+        .withColumn("nx2", F.lead("w1", 2).over(w))
+        .select(
+            id_col,
+            "w1",
+            F.when(F.col("nx1").isNotNull(),
+                   F.concat_ws(" ", "w1", "nx1")).alias("g2"),
+            F.when(F.col("nx2").isNotNull(),
+                   F.concat_ws(" ", "w1", "nx1", "nx2")).alias("g3"),
+        )
+    )
+
+    def _top(col: str, distinct: bool) -> DataFrame:
+        per = (
+            grams.filter(F.col(col).isNotNull())
+            .groupBy(id_col, col)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        aggs = [F.max("c").alias(f"max_{col}"), F.sum("c").alias(f"n_{col}")]
+        if distinct:
+            aggs.append(F.count(F.lit(1)).alias(f"d_{col}"))
+        return per.groupBy(id_col).agg(*aggs)
+
+    words = _top("w1", distinct=True)
+    g2 = _top("g2", distinct=False)
+    g3 = _top("g3", distinct=False)
+    out = (
+        words.join(g2, id_col, "left")
+        .join(g3, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_w1").alias("n_tokens"),
+            (F.col("max_w1").cast("double") / F.col("n_w1")).alias("top_word_frac"),
+            (F.lit(1.0) - F.col("d_w1").cast("double") / F.col("n_w1")).alias("dup_word_frac"),
+            F.coalesce(F.col("max_g2").cast("double") / F.col("n_g2"), F.lit(0.0)).alias("top_2gram_frac"),
+            F.coalesce(F.col("max_g3").cast("double") / F.col("n_g3"), F.lit(0.0)).alias("top_3gram_frac"),
+        )
+    )
+    return out
+
+
+# C4 thresholds (public heuristics; values fixed here for determinism).
+C4_MIN_TOKENS = 30
+C4_MEAN_WORD_LEN_MIN = 3.0
+C4_MEAN_WORD_LEN_MAX = 10.0
+C4_BOILERPLATE = ("lorem ipsum", "javascript", "terms of use", "cookie policy")
+
+
+def c4_filter_flags(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """C4-style per-document filter flags, each as 0/1 INT (canon-stable),
+    plus the folded ``keep`` decision. Pure row-local expressions — no
+    shuffle; at 100 TB this is a map-only pass that fuses into the scan.
+
+    mean word length uses non-space chars / n_tokens so it is a single
+    IEEE division of two exact integers.
+    """
+    t = F.col(text_col)
+    low = F.lower(t)
+    n_tok = token_count(t)
+    n_word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wlen = n_word_chars.cast("double") / n_tok
+    too_short = (n_tok < C4_MIN_TOKENS)
+    bad_word_len = (mean_wlen < C4_MEAN_WORD_LEN_MIN) | (mean_wlen > C4_MEAN_WORD_LEN_MAX)
+    no_terminal_punct = ~t.rlike(r"[.!?]\s*$")
+    has_curly = t.contains("{")
+    boiler = F.lit(False)
+    for marker in C4_BOILERPLATE:
+        boiler = boiler | low.contains(marker)
+    keep = ~(too_short | bad_word_len | has_curly | boiler)
+    return df.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        too_short.cast("int").alias("f_too_short"),
+        bad_word_len.cast("int").alias("f_bad_word_len"),
+        no_terminal_punct.cast("int").alias("f_no_terminal_punct"),
+        has_curly.cast("int").alias("f_has_curly"),
+        boiler.cast("int").alias("f_boilerplate"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def dup_spans(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              k: int = 8) -> DataFrame:
+    """Exact duplicate-span detection: stride-1 windows of ``k`` whitespace
+    tokens; a window is *dup* when its text occurs in >= 2 distinct
+    documents. Per document returns:
+
+    - ``n_windows``      total stride-1 windows (n_tokens - k + 1, >= 0)
+    - ``n_dup_windows``  windows whose text appears in another document
+    - ``max_dup_run``    longest consecutive run of dup windows (the
+      length proxy for the longest shared substring)
+
+    Scale shape: windows are built array-side (``transform`` over a
+    ``sequence`` — no explode of raw text), then only (xxhash64(window),
+    doc_id, pos) shuffles. The dup decision is a count-distinct-docs per
+    hash riding the same shuffle; run lengths are gaps-and-islands over a
+    doc_id-partitioned sort. Window text never re-shuffles after hashing.
+    """
+    toks = _tokens(text_col)
+    # sequence(1, n) with n < 1 would generate a DESCENDING [1, 0] — guard
+    # short docs with an explicit empty array instead.
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    windows = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+    base = df.select(F.col(id_col), F.col(text_col))
+    win = base.select(
+        id_col,
+        F.posexplode(windows).alias("pos", "wtext"),
+    ).select(id_col, "pos", F.xxhash64("wtext").alias("h"))
+
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = win.join(dup_h, "h", "left_semi")
+
+    # gaps-and-islands: consecutive dup positions share (pos - rank).
+    rw = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        flagged.withColumn("grp", F.col("pos") - F.row_number().over(rw))
+        .groupBy(id_col, "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy(id_col)
+        .agg(F.max("run").alias("max_dup_run"),
+             F.sum("run").alias("n_dup_windows"))
+    )
+    totals = base.select(
+        id_col,
+        F.greatest(token_count(F.col(text_col)) - (k - 1), F.lit(0)).alias("n_windows"),
+    )
+    return (
+        totals.join(runs, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("bigint").alias("n_dup_windows"),
+            F.coalesce(F.col("max_dup_run"), F.lit(0)).cast("bigint").alias("max_dup_run"),
+        )
+    )

@@ -106,3 +106,55 @@ def pagerank_oracle_sql(
         "WITH " + ",\n".join(parts)
         + f"\nSELECT id, r AS rank_fp FROM r{iterations}"
     )
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Global triangle count via the degree-ordered node-iterator
+    ("compact-forward", Latapy 2008 — public algorithm). Returns a
+    single-row DataFrame ``(n_triangles BIGINT)``.
+
+    Every undirected edge is oriented from the endpoint with the lower
+    (degree, id) to the higher, which bounds each node's out-degree by
+    O(sqrt(m)); wedges are then pairs of out-edges from a common node and
+    a triangle is a wedge whose closing pair is itself an oriented edge.
+
+    Scale shape: one shuffle to dedup the edge set, one to compute
+    degrees, the wedge self-join shuffles by the common endpoint (skew is
+    structurally capped by the orientation — no hub explosion), and the
+    closing semi-join shuffles by the (v, w) pair. No driver-side state.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    ed = (
+        e.join(deg.withColumnsRenamed({"id": "u", "dg": "du"}), "u")
+        .join(deg.withColumnsRenamed({"id": "v", "dg": "dv"}), "v")
+    )
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("x"), F.col("dd").alias("dx"))
+    o2 = oriented.select("src", F.col("dst").alias("y"), F.col("dd").alias("dy"))
+    wedges = o1.join(o2, "src").filter(
+        F.struct("dx", "x") < F.struct("dy", "y")
+    )
+    tri = wedges.join(
+        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

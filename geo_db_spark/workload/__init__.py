@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from geo_db_spark.workload import (
+    curation,
     dedup,
     extraction,
     graph,
@@ -36,6 +37,7 @@ _MODULES = (
     graph,
     dedup,
     text,
+    curation,
     similarity,
     extraction,
     labels_wl,

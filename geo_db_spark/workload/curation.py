@@ -1,0 +1,209 @@
+"""Corpus-curation workload entries: Gopher repetition signals, C4 filter
+flags, exact duplicate-span detection, and per-source quality rollup —
+the public quality-filter families of large LLM corpus builds, over the
+`documents` table. Core expressions live in operators/curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geo_db_spark.io import load
+from geo_db_spark.operators.curation import (
+    c4_filter_flags,
+    dup_spans,
+    gopher_repetition,
+)
+from geo_db_spark.session import tune
+
+
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return gopher_repetition(docs).withColumn(
+        "n_tokens", F.col("n_tokens").cast("bigint")
+    )
+
+
+ORACLE_GOPHER = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+ex AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+),
+grams AS (
+  SELECT doc_id, t[i] AS w1,
+         CASE WHEN i+1 <= len(t) THEN t[i] || ' ' || t[i+1] END AS g2,
+         CASE WHEN i+2 <= len(t) THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS g3
+  FROM ex
+),
+wc AS (SELECT doc_id, w1, count(*) AS c FROM grams GROUP BY 1, 2),
+wa AS (SELECT doc_id, max(c) AS mx, sum(c) AS n, count(*) AS d FROM wc GROUP BY 1),
+g2c AS (SELECT doc_id, g2, count(*) AS c FROM grams WHERE g2 IS NOT NULL GROUP BY 1, 2),
+g2a AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM g2c GROUP BY 1),
+g3c AS (SELECT doc_id, g3, count(*) AS c FROM grams WHERE g3 IS NOT NULL GROUP BY 1, 2),
+g3a AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM g3c GROUP BY 1)
+SELECT wa.doc_id,
+       CAST(wa.n AS BIGINT) AS n_tokens,
+       CAST(wa.mx AS DOUBLE) / wa.n AS top_word_frac,
+       1.0 - CAST(wa.d AS DOUBLE) / wa.n AS dup_word_frac,
+       COALESCE(CAST(g2a.mx AS DOUBLE) / g2a.n, 0.0) AS top_2gram_frac,
+       COALESCE(CAST(g3a.mx AS DOUBLE) / g3a.n, 0.0) AS top_3gram_frac
+FROM wa LEFT JOIN g2a USING (doc_id) LEFT JOIN g3a USING (doc_id)
+"""
+
+
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return c4_filter_flags(docs)
+
+
+ORACLE_C4 = r"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+         regexp_matches(text, '[.!?]\s*$') AS term_punct,
+         contains(text, '{') AS curly,
+         (contains(lower(text), 'lorem ipsum') OR contains(lower(text), 'javascript')
+          OR contains(lower(text), 'terms of use') OR contains(lower(text), 'cookie policy')) AS boiler
+  FROM documents
+),
+calc AS (
+  SELECT doc_id, n_tok,
+         CAST(n_word_chars AS DOUBLE) / n_tok AS mean_wlen,
+         (n_tok < 30) AS too_short, term_punct, curly, boiler
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_tok AS INT) AS n_tokens,
+       mean_wlen AS mean_word_len,
+       CAST(too_short AS INT) AS f_too_short,
+       CAST((mean_wlen < 3.0 OR mean_wlen > 10.0) AS INT) AS f_bad_word_len,
+       CAST(NOT term_punct AS INT) AS f_no_terminal_punct,
+       CAST(curly AS INT) AS f_has_curly,
+       CAST(boiler AS INT) AS f_boilerplate,
+       CAST(NOT (too_short OR (mean_wlen < 3.0 OR mean_wlen > 10.0) OR curly OR boiler) AS INT) AS keep
+FROM calc
+"""
+
+
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return dup_spans(docs, k=8)
+
+
+ORACLE_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+ex AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks
+),
+win AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS w FROM ex
+),
+duph AS (
+  SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+),
+fl AS (
+  SELECT doc_id, pos FROM win WHERE w IN (SELECT w FROM duph)
+),
+runs AS (
+  SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM fl
+),
+rl AS (SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, max(run) AS max_dup_run, sum(run) AS n_dup_windows
+  FROM rl GROUP BY 1
+)
+SELECT toks.doc_id,
+       CAST(greatest(len(t) - 7, 0) AS INT) AS n_windows,
+       CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(max_dup_run, 0) AS BIGINT) AS max_dup_run
+FROM toks LEFT JOIN agg USING (doc_id)
+"""
+
+
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup: doc count, language spread, exact-dup
+    rate (1 - distinct md5 / n), char-weighted alpha ratio, and a keep
+    decision. The alpha ratio divides two exact integer sums (one IEEE
+    division — oracle-stable, no float accumulation order issues).
+
+    Scale: one groupBy(source) with map-side partial aggregation; the text
+    payload reduces to md5 + two ints before the shuffle.
+    """
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = docs.select(
+        "source",
+        "lang",
+        F.md5(t.cast("binary")).alias("digest"),
+        F.length(F.regexp_replace(t, r"[^a-zA-Z]", "")).alias("n_alpha"),
+        F.length(t).alias("n_chars"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("digest").alias("n_unique"),
+        F.sum("n_alpha").alias("s_alpha"),
+        F.sum("n_chars").alias("s_chars"),
+    )
+    dup_rate = F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs")
+    mean_alpha = F.col("s_alpha").cast("double") / F.col("s_chars")
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        dup_rate.alias("dup_rate"),
+        mean_alpha.alias("mean_alpha"),
+        ((dup_rate <= 0.2) & (F.col("n_docs") >= 10)).cast("int").alias("keep"),
+    )
+
+
+ORACLE_SOURCE_ROLLUP = r"""
+WITH per AS (
+  SELECT source, lang, md5(text) AS digest,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         length(text) AS n_chars
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         count(*) AS n_docs,
+         count(DISTINCT lang) AS n_langs,
+         count(DISTINCT digest) AS n_unique,
+         sum(n_alpha) AS s_alpha,
+         sum(n_chars) AS s_chars
+  FROM per GROUP BY 1
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       1.0 - CAST(n_unique AS DOUBLE) / n_docs AS dup_rate,
+       CAST(s_alpha AS DOUBLE) / s_chars AS mean_alpha,
+       CAST((1.0 - CAST(n_unique AS DOUBLE) / n_docs) <= 0.2 AND n_docs >= 10 AS INT) AS keep
+FROM agg
+"""
+
+
+QUERIES = {
+    "text_gopher_repetition": text_gopher_repetition,
+    "text_c4_filters": text_c4_filters,
+    "text_dup_spans": text_dup_spans,
+    "source_quality_rollup": source_quality_rollup,
+}
+
+ORACLES = {
+    "text_gopher_repetition": ORACLE_GOPHER,
+    "text_c4_filters": ORACLE_C4,
+    "text_dup_spans": ORACLE_DUP_SPANS,
+    "source_quality_rollup": ORACLE_SOURCE_ROLLUP,
+}

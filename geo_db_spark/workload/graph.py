@@ -140,8 +140,42 @@ def _pagerank_oracle() -> str:
     )
 
 
+def g15_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-occurrence graph (parts appearing
+    in the same order, from lineitem). Degree-ordered compact-forward —
+    see operators/graph_algos.triangle_count for the scale shape; the
+    co-occurrence edge derivation itself is one self-join of lineitem's
+    (orderkey, partkey) projection co-partitioned on orderkey."""
+    tune(spark)
+    from geo_db_spark.operators.graph_algos import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.withColumnsRenamed({"l_partkey": "pk2"})
+    pairs = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pk2"))
+        .select(F.col("l_partkey").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+    )
+    return triangle_count(pairs)
+
+
+ORACLE_G15 = """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e2.a = e1.b
+JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 QUERIES = {
     "g13_pagerank": g13_pagerank,
+    "g15_triangle_count": g15_triangle_count,
     "d3_part_hierarchy_closure": d3_part_hierarchy_closure,
     "d3_closure_loop_minstep": d3_closure_loop_minstep,
     "d3_closure_doubling": d3_closure_doubling,
@@ -150,6 +184,7 @@ QUERIES = {
 
 ORACLES = {
     "g13_pagerank": _pagerank_oracle(),
+    "g15_triangle_count": ORACLE_G15,
     "d3_part_hierarchy_closure": ORACLE_D3,
     "d3_closure_loop_minstep": ORACLE_D3_LOOP,
     "d3_closure_doubling": ORACLE_D3_LOOP,
