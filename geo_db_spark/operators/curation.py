@@ -150,26 +150,30 @@ def dup_spans(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     - ``max_dup_run``    longest consecutive run of dup windows (the
       length proxy for the longest shared substring)
 
-    Scale shape: windows are built array-side (``transform`` over a
-    ``sequence`` — no explode of raw text), then only (xxhash64(window),
-    doc_id, pos) shuffles. The dup decision is a count-distinct-docs per
-    hash riding the same shuffle; run lengths are gaps-and-islands over a
-    doc_id-partitioned sort. Window text never re-shuffles after hashing.
+    Scale shape: tokens explode once, the k-token window is assembled as
+    ``k-1`` ``lead`` columns over one doc_id-partitioned sort (whole-stage
+    codegen — never an interpreted array lambda building window strings),
+    and only (xxhash64(k token columns), doc_id, pos) shuffles on. The dup
+    decision is a count-distinct-docs per hash riding that shuffle; run
+    lengths are gaps-and-islands over the same doc_id partitioning. Window
+    text is never materialized as a string anywhere: equality of the k
+    hashed token columns IS token-sequence equality.
     """
-    toks = _tokens(text_col)
-    # sequence(1, n) with n < 1 would generate a DESCENDING [1, 0] — guard
-    # short docs with an explicit empty array instead.
-    idx = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    windows = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
-    )
     base = df.select(F.col(id_col), F.col(text_col))
-    win = base.select(
-        id_col,
-        F.posexplode(windows).alias("pos", "wtext"),
-    ).select(id_col, "pos", F.xxhash64("wtext").alias("h"))
+    ex = base.select(
+        id_col, F.posexplode(_tokens(text_col)).alias("pos", "w0")
+    )
+    lw = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.lead("w0", i).over(lw).alias(f"w{i}") for i in range(1, k)]
+    win = (
+        ex.select(id_col, "pos", "w0", *lead_cols)
+        .filter(F.col(f"w{k - 1}").isNotNull())
+        .select(
+            id_col,
+            "pos",
+            F.xxhash64(*[f"w{i}" for i in range(k)]).alias("h"),
+        )
+    )
 
     dup_h = (
         win.groupBy("h")

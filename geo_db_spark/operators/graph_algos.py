@@ -119,9 +119,13 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     a triangle is a wedge whose closing pair is itself an oriented edge.
 
     Scale shape: one shuffle to dedup the edge set, one to compute
-    degrees, the wedge self-join shuffles by the common endpoint (skew is
-    structurally capped by the orientation — no hub explosion), and the
-    closing semi-join shuffles by the (v, w) pair. No driver-side state.
+    degrees, one groupBy to build per-node OUT-adjacency arrays (bounded
+    at O(sqrt(m)) elements by the orientation — no hub explosion), then
+    each oriented edge (u, v) counts |out(u) ∩ out(v)| via a JVM-native
+    ``array_intersect``. Wedges are never materialized or shuffled: the
+    O(m·sqrt(m)) intersection work happens inside the map stage, and the
+    only wide exchanges carry (node, array) rows whose size the
+    orientation bounds. No driver-side state.
     """
     e = (
         edges.select(
@@ -145,16 +149,23 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     oriented = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"),
     )
-    o1 = oriented.select("src", F.col("dst").alias("x"), F.col("dd").alias("dx"))
-    o2 = oriented.select("src", F.col("dst").alias("y"), F.col("dd").alias("dy"))
-    wedges = o1.join(o2, "src").filter(
-        F.struct("dx", "x") < F.struct("dy", "y")
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # each triangle {a,b,c} ordered a<b<c by (deg,id) is counted exactly
+    # once, at its (a,b) edge: c is the common out-neighbor.
+    # inner joins: an endpoint absent from adj has no out-edges, so the
+    # intersection would be empty anyway — dropping the row changes nothing.
+    closed = (
+        oriented.join(
+            adj.select(F.col("src").alias("_ju"), F.col("nbrs").alias("nu")),
+            F.col("src") == F.col("_ju"),
+        )
+        .join(
+            adj.select(F.col("src").alias("_jv"), F.col("nbrs").alias("nv")),
+            F.col("dst") == F.col("_jv"),
+        )
+        .select(F.size(F.array_intersect("nu", "nv")).alias("t"))
     )
-    tri = wedges.join(
-        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")),
-        ["x", "y"],
-        "left_semi",
+    return closed.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_triangles")
     )
-    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

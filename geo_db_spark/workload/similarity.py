@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from geo_db_spark.io import load
 from geo_db_spark.operators.similarity import (
+    QUANT,
     cosine_from_quantized,
     cosine_topk_bruteforce,
     int_dot,
@@ -447,26 +448,79 @@ def _ivf_cells_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(cells, "vec_id")
 
 
+def _ivf_cells_assigned_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow variant of `_ivf_cells_assigned`: one `V @ C.T` int64 matmul
+    per corpus batch instead of per-element interpreted lambdas (the r4
+    bench showed the lambda path dominating semdedup wall time). The
+    centroid matrix (IVF_C rows) is collected once and closed over —
+    broadcast-small by construction. Quantization (floor(x * 2^20)) and
+    the cosine's single IEEE division are bit-identical to the codegen
+    path and the DuckDB oracle; argmax over centroid-id-ascending columns
+    reproduces the (score DESC, cent_id ASC) tiebreak exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < IVF_C).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    C = np.floor(
+        np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64) * QUANT
+    ).astype(np.int64)
+    c_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    c_sqrt = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT
+            ).astype(np.int64)
+            v_sqrt = np.sqrt((V * V).sum(axis=1).astype(np.float64))
+            cos = (V @ C.T).astype(np.float64) / (v_sqrt[:, None] * c_sqrt[None, :])
+            best = np.argmax(cos, axis=1)  # first max = min cent_id tiebreak
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(np.int64), "cell": c_ids[best]}
+            )
+
+    cells = emb.select("vec_id", "embedding").mapInPandas(assign, "vec_id long, cell long")
+    return emb.join(cells, "vec_id")
+
+
 def _semdedup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_db_spark.operators.components import connected_components
 
-    assigned = _ivf_cells_assigned(spark, sf_dir)
-    a = assigned.select(
-        "cell", F.col("vec_id").alias("id_a"), F.col("q").alias("q_a"), F.col("qnorm").alias("n_a")
+    import numpy as np
+    import pandas as pd
+
+    assigned = _ivf_cells_assigned_arrow(spark, sf_dir).select(
+        "cell", "vec_id", "embedding"
     )
-    b = assigned.select(
-        "cell", F.col("vec_id").alias("id_b"), F.col("q").alias("q_b"), F.col("qnorm").alias("n_b")
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            cosine_from_quantized(int_dot(F.col("q_a"), F.col("q_b")), F.col("n_a"), F.col("n_b")),
-        )
-        .filter(F.col("cosine") >= SEMDEDUP_TAU)
-    )
-    return connected_components(pairs.select("id_a", "id_b"), "id_a", "id_b")
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # one exact int64 Gram matmul per cell; cell size is capped by
+        # construction (hot cells get the minhash_hot_buckets treatment
+        # in a real deployment), so the quadratic stays cell-local.
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        pdf = pdf.sort_values("vec_id")
+        V = np.floor(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * QUANT
+        ).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        g = V @ V.T
+        s = np.sqrt(np.diag(g).astype(np.float64))
+        cos = g.astype(np.float64) / (s[:, None] * s[None, :])
+        iu, ju = np.triu_indices(len(ids), 1)
+        m = cos[iu, ju] >= SEMDEDUP_TAU
+        return pd.DataFrame({"id_a": ids[iu[m]], "id_b": ids[ju[m]]})
+
+    pairs = assigned.groupBy("cell").applyInPandas(cell_pairs, "id_a long, id_b long")
+    return connected_components(pairs, "id_a", "id_b")
 
 
 def emb_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -128,3 +128,24 @@ def test_g9_rangejoin_is_hash_join_not_cartesian(spark, qs):
     plan = _plan(qs["g9_range_join_clicks"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_ops_stay_jvm_side(spark, qs):
+    """The curation operators must not fall back to row-at-a-time Python
+    (BatchEvalPython) or interpreted-lambda hot paths; dup_spans must hash
+    token columns (multi-column xxhash64), never build window strings."""
+    for name in ("text_gopher_repetition", "text_c4_filters", "text_dup_spans"):
+        plan = _plan(qs[name](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, name
+    dup = _plan(qs["text_dup_spans"](spark, SF_SMOKE))
+    assert "xxhash64" in dup and "concat_ws" not in dup
+
+
+def test_triangle_count_no_product_joins(spark, qs):
+    """Triangle counting must stay on equi-joins + array_intersect — a
+    CartesianProduct or nested-loop join means the wedge enumeration
+    regressed to something that cannot scale."""
+    plan = _plan(qs["g15_triangle_count"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan
