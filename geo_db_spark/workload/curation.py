@@ -207,3 +207,60 @@ ORACLES = {
     "text_dup_spans": ORACLE_DUP_SPANS,
     "source_quality_rollup": ORACLE_SOURCE_ROLLUP,
 }
+
+
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture statistics for training-data sampling: per (source, lang)
+    bucket, document/token counts and the bucket's token share of the
+    corpus — the numbers a sampler turns into per-bucket rates. The share
+    is one IEEE division of two exact BIGINT token sums (oracle-stable;
+    no pow()-style library-dependent math).
+
+    Scale: token counts are a map-only expression; one groupBy on the
+    (source, lang) pair with map-side partial agg, plus a broadcast-sized
+    single-row total joined back. Never shuffles text payload.
+    """
+    tune(spark)
+    from geo_db_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", "lang", token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    agg = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    total = agg.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens").cast("double") / F.col("_tot")).alias("token_share"),
+        )
+    )
+
+
+ORACLE_MIXTURE = r"""
+WITH per AS (
+  SELECT source, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+agg AS (
+  SELECT source, lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+  FROM per GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_tokens) AS t FROM agg)
+SELECT source, lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(t AS BIGINT) AS token_share
+FROM agg, tot
+"""
+
+QUERIES["corpus_mixture_weights"] = corpus_mixture_weights
+ORACLES["corpus_mixture_weights"] = ORACLE_MIXTURE

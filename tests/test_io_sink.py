@@ -38,3 +38,35 @@ def test_partitioned_sink_roundtrip_and_pruning(spark, tmp_path):
     n_click = q.count()
     want = ev.filter(F.col("event_type") == "click").count()
     assert n_click == want > 0
+
+
+def test_range_clustered_files_have_disjoint_key_ranges(spark, tmp_path):
+    """save_range_clustered must give each parquet file a disjoint slice
+    of the cluster key (checked via footer min/max), so footer-based file
+    skipping works for range predicates."""
+    import pyarrow.parquet as pq
+
+    from geo_db_spark.io import load, save_range_clustered
+
+    out = str(tmp_path / "clustered")
+    orders = load(spark, "/root/testdata/sf0.001", "orders")
+    save_range_clustered(orders, out, ("o_orderkey",), n_files=4)
+
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # the range exchange actually split the data
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file key ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+    # and nothing was lost
+    assert spark.read.parquet(out).count() == orders.count()
