@@ -264,3 +264,62 @@ FROM agg, tot
 
 QUERIES["corpus_mixture_weights"] = corpus_mixture_weights
 ORACLES["corpus_mixture_weights"] = ORACLE_MIXTURE
+
+
+OOV_VOCAB_SIZE = 20
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's top-V
+    tokens (count desc, token asc tiebreak) — the cheap lexical
+    familiarity proxy used in place of an LM perplexity score (log-prob
+    math is libm-dependent and would not hash-match across engines; an
+    integer OOV count divided once does).
+
+    Scale: one explode for global token counts (map-side partial agg),
+    the V-row vocab broadcasts, and the per-doc pass is one more explode +
+    groupBy(doc_id). The global top-V sort runs on the aggregated token
+    table (vocabulary-sized, not corpus-sized)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ex = docs.select("doc_id", F.explode(toks).alias("w"))
+    vocab = (
+        ex.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(OOV_VOCAB_SIZE)
+        .select("w", F.lit(1).alias("_in"))
+    )
+    return (
+        ex.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_oov").cast("bigint").alias("n_oov"),
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )
+
+
+ORACLE_OOV = r"""
+WITH ex AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents
+),
+cnt AS (SELECT w, count(*) AS c FROM ex GROUP BY 1),
+vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 20)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS oov_rate
+FROM ex GROUP BY doc_id
+"""
+
+QUERIES["text_oov_rate"] = text_oov_rate
+ORACLES["text_oov_rate"] = ORACLE_OOV

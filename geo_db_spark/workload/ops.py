@@ -833,6 +833,99 @@ FROM lineitem
 """
 
 
+def g16_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the event stream: users who viewed, then later
+    clicked, then later purchased (strict temporal order, each stage's
+    clock starting at the previous stage's first qualifying event).
+
+    Scale shape: three user-keyed conditional min-aggregations chained by
+    user-key equi-joins — every shuffle is on user_id, AQE co-locates the
+    tiny later stages; no windows over the full stream, no self-join on
+    the raw events."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(df, etype, after=None):
+        src = ev.filter(F.col("event_type") == etype)
+        if after is not None:
+            src = src.join(after, "user_id").filter(F.col("ts") > F.col("t0"))
+        return src.groupBy("user_id").agg(F.min("ts").alias("t0"))
+
+    s1 = first_after(ev, "view")
+    s2 = first_after(ev, "click", s1.select("user_id", "t0"))
+    s3 = first_after(ev, "purchase", s2.select("user_id", "t0"))
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+ORACLE_G16 = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t0
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t0
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t0
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t0
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_view_click_purchase
+"""
+
+
+def g17_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; per (cohort week, weeks-since-cohort) the count of distinct
+    active users. Both week truncations are ISO-Monday in Spark and
+    DuckDB, and the offset divides an exact multiple of 7 days.
+
+    Scale shape: one user-keyed min-aggregation for cohorts, one join
+    back on user_id, one (cohort, offset) groupBy — all partial-agg
+    friendly, no windows."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+        )
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+ORACLE_G17 = """
+WITH cohort AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+
 QUERIES = {
     "g14_profile_lineitem": g14_profile_lineitem,
     "d1_customers_without_urgent_orders": d1_customers_without_urgent_orders,
@@ -859,12 +952,16 @@ QUERIES = {
     "g10_multi_resolution_rollup": g10_multi_resolution_rollup,
     "g11_full_outer_balance": g11_full_outer_balance,
     "g12_intersect_nations": g12_intersect_nations,
+    "g16_funnel_conversion": g16_funnel_conversion,
+    "g17_cohort_retention": g17_cohort_retention,
 }
 
 ORACLES = {
     "g14_profile_lineitem": ORACLE_G14,
     "g11_full_outer_balance": ORACLE_G11,
     "g12_intersect_nations": ORACLE_G12,
+    "g16_funnel_conversion": ORACLE_G16,
+    "g17_cohort_retention": ORACLE_G17,
     "g10_multi_resolution_rollup": ORACLE_G10,
     "w4_rate_limit_dedup": ORACLE_W4,
     "g8_window_pack": ORACLE_G8,
