@@ -23,6 +23,7 @@ from geo_db_spark.workload import (
     labels_wl,
     multimodal,
     ops,
+    packing_wl,
     similarity,
     sketches,
     text,
@@ -43,6 +44,7 @@ _MODULES = (
     labels_wl,
     multimodal,
     sketches,
+    packing_wl,
 )
 
 

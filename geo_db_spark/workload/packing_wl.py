@@ -1,0 +1,178 @@
+"""Workload entries for the training-pipeline assembly operators
+(operators/packing.py): sequence packing, incremental dedup, quantile
+quality gate, split assignment — plus the salted-join demonstration from
+operators/relational.py surfaced under the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geo_db_spark.io import load
+from geo_db_spark.operators.packing import (
+    incremental_dedup,
+    pack_sequences,
+    quantile_threshold_filter,
+    split_assign,
+)
+from geo_db_spark.operators.relational import salted_join
+from geo_db_spark.session import tune
+
+PACK_BUDGET = 2048
+
+
+def pack_sequences_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=PACK_BUDGET).orderBy("source", "seq_id")
+
+
+ORACLE_PACK = rf"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+placed AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+)
+SELECT source,
+       CAST(FLOOR(CAST(cum_before AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY 1, 2
+ORDER BY source, seq_id
+"""
+
+
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus dedup: docs with doc_id % 5 == 0 are 'the new
+    crawl', the rest are 'the existing corpus'."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    ref = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_dedup(new, ref).select("doc_id", "source", "n_chars")
+
+
+ORACLE_INCREMENTAL = r"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+  FROM documents
+)
+SELECT n.doc_id, n.source, n.n_chars
+FROM d n
+WHERE n.doc_id % 5 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM d r WHERE r.doc_id % 5 != 0 AND r.digest = n.digest
+  )
+"""
+
+
+def text_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: drop the worst quartile by mean token length
+    (chars per whitespace token)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    score = F.col("n_chars").cast("double") / F.size(F.split(F.trim("text"), r"\s+"))
+    return quantile_threshold_filter(docs, score, q=0.25).orderBy("doc_id")
+
+
+ORACLE_QUANTILE = r"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(ROUND(1000000.0 * n_chars / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS score_u
+  FROM documents
+),
+thr AS (SELECT quantile_cont(score_u, 0.25) AS t FROM scored)
+SELECT doc_id, score_u / 1000000.0 AS score
+FROM scored, thr
+WHERE score_u >= t
+ORDER BY doc_id
+"""
+
+
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    return (
+        docs.withColumn("split", split_assign(docs))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+ORACLE_SPLIT = r"""
+WITH assigned AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS band
+  FROM documents
+)
+SELECT CASE WHEN band < 96 THEN 'train' WHEN band < 98 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM assigned
+GROUP BY 1
+"""
+
+
+def g18_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join: events (hot user_ids at production scale) vs
+    the customer dimension via salted_join — identical result set to the
+    plain join, but each hot key is pre-split across 8 shuffle partitions
+    AND the downstream per-(key,salt) partial aggregate de-skews too."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "user_id", n_salts=8, salt_by=["user_id", "value"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+ORACLE_SALTED = r"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "pack_sequences_report": pack_sequences_report,
+    "dedup_incremental_bloom": dedup_incremental_bloom,
+    "text_quantile_filter": text_quantile_filter,
+    "text_split_assign": text_split_assign,
+    "g18_salted_join_events": g18_salted_join_events,
+}
+
+ORACLES = {
+    "pack_sequences_report": ORACLE_PACK,
+    "dedup_incremental_bloom": ORACLE_INCREMENTAL,
+    "text_quantile_filter": ORACLE_QUANTILE,
+    "text_split_assign": ORACLE_SPLIT,
+    "g18_salted_join_events": ORACLE_SALTED,
+}

@@ -1,0 +1,113 @@
+"""Unit tests for the training-pipeline assembly operators
+(operators/packing.py) beyond the oracle sweep: the distributed prefix
+sum must equal the naive single-window form, incremental dedup must equal
+the plain anti-join, and split assignment must be a pure function of id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from geo_db_spark.operators.packing import (
+    incremental_dedup,
+    pack_sequences,
+    quantile_threshold_filter,
+    split_assign,
+)
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok "), F.col("id").cast("string"), F.lit(" "), F.repeat(F.lit("w "), (F.pmod(F.col("id") * 37, 90)).cast("int")), F.lit("end")).alias("text"),
+        (F.pmod(F.col("id"), 3)).cast("string").alias("source"),
+        F.length(F.col("id").cast("string")).alias("n_chars"),
+    )
+
+
+def test_pack_matches_naive_window(spark):
+    """Sharded two-phase prefix sum == the naive per-source window, for a
+    shard width small enough that many shards exist per source."""
+    docs = _docs(spark)
+    packed = pack_sequences(docs, budget=64, shard_width=16)
+
+    toks = docs.select(
+        "source", F.col("doc_id").alias("id"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = (
+        toks.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("seq_id", F.floor(F.col("cum_before") / F.lit(64)))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("id").alias("first_doc"),
+            F.max("id").alias("last_doc"),
+        )
+    )
+    assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_pack_no_source_wide_window(spark):
+    """The plan must not contain a window partitioned by source alone over
+    the full document set — only bounded (source, shard) windows and the
+    tiny shard-offset window."""
+    docs = _docs(spark)
+    plan = pack_sequences(docs, budget=64, shard_width=16)._jdf.queryExecution().executedPlan().toString()
+    # every Window node that orders by id must also partition by shard
+    for line in plan.splitlines():
+        if "Window" in line and "id#" in line and "windowspecdefinition" in line:
+            assert "shard" in line, f"unbounded per-source window in plan: {line}"
+
+
+def test_incremental_dedup_equals_anti_join(spark):
+    docs = _docs(spark).withColumn(
+        # force cross-batch duplicates: ids 0-9 share text with ids 100-109
+        "text", F.when(F.col("doc_id") < 10, F.concat(F.lit("dup "), (F.col("doc_id") + 100).cast("string"))).otherwise(
+            F.when((F.col("doc_id") >= 100) & (F.col("doc_id") < 110), F.concat(F.lit("dup "), F.col("doc_id").cast("string"))).otherwise(F.col("text"))
+        ),
+    )
+    new = docs.filter(F.col("doc_id") < 50)
+    ref = docs.filter(F.col("doc_id") >= 50)
+    got = sorted(r.doc_id for r in incremental_dedup(new, ref).select("doc_id").collect())
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    expect = sorted(
+        r.doc_id
+        for r in new.withColumn("__t", norm)
+        .join(ref.select(norm.alias("__t")).distinct(), "__t", "left_anti")
+        .select("doc_id")
+        .collect()
+    )
+    assert got == expect
+    assert 0 not in got and 9 not in got  # the planted duplicates died
+    assert 10 in got
+
+
+def test_quantile_filter_keeps_top_three_quarters(spark):
+    docs = _docs(spark, n=100)
+    score = F.col("doc_id").cast("double")  # score == id: p25 of 0..99 = 24.75
+    kept = quantile_threshold_filter(docs, score, q=0.25)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == list(range(25, 100))
+
+
+def test_split_assign_stable_and_banded(spark):
+    docs = _docs(spark, n=1000)
+    a = {r.doc_id: r.split for r in docs.select("doc_id", split_assign(docs).alias("split")).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in docs.repartition(7).select("doc_id", split_assign(docs).alias("split")).collect()
+    }
+    assert a == b  # pure function of id: partitioning cannot change it
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 900  # ~96%
+    assert c["val"] + c["test"] < 100
