@@ -48,6 +48,9 @@ HEADLINE = [
     "text_gopher_repetition",
     "text_dup_spans",
     "g15_triangle_count",
+    "pack_sequences_report",
+    "dedup_incremental_bloom",
+    "g18_salted_join_events",
 ]
 
 

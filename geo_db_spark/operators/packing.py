@@ -119,12 +119,14 @@ def incremental_dedup(
     contributes a distinct-digest set (never its payload), the new batch
     shuffles (id, digest) pairs, and the survivors' payload is recovered
     with a semi-join on id at the end. With
-    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (on in
-    session.tune) Catalyst additionally injects a runtime Bloom filter
-    from the smaller join side into the bigger side's scan, so most
-    non-duplicate new rows are dropped before the anti-join shuffle —
-    the DataFrame-native form of the classic "Bloom prefilter + exact
-    confirm" incremental-dedup design.
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (pinned on in
+    session.tune) Catalyst injects a runtime Bloom filter built from the
+    survivor ids into the payload-recovery scan
+    (``might_contain(bloom_filter_agg(...))`` in the optimized plan — a
+    Bloom can't safely prefilter the anti-join itself, since absence
+    there *proves* survival), so the second full scan of the new batch
+    reads mostly-surviving rows only — the DataFrame-native form of the
+    classic "Bloom prefilter + exact confirm" incremental-dedup design.
 
     Deterministic: md5 digests, exact anti-join semantics (the result
     equals the plain NOT IN, the Bloom is only ever a prefilter).

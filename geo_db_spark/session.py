@@ -24,6 +24,10 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # runtime Bloom-filter join prefilter (operators/packing.incremental_dedup
+    # relies on it as its scale story; default-on in Spark 4, pinned here in
+    # case a cluster profile disabled it)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # ANSI off: the reference's semantics are warn-and-skip on malformed
     # data (SURVEY.md §1.4), i.e. NULL on bad cast, not an error.
     "spark.sql.ansi.enabled": "false",

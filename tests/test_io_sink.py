@@ -70,3 +70,50 @@ def test_range_clustered_files_have_disjoint_key_ranges(spark, tmp_path):
         assert hi1 < lo2, f"overlapping file key ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
     # and nothing was lost
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_zorder_files_tight_on_both_dims(spark, tmp_path):
+    """save_zorder_clustered must keep each file's footer min/max tight on
+    BOTH cluster columns (the Morton curve's locality), unlike linear
+    range clustering where the trailing column spans the full range in
+    every file — that tightness is what makes either-column predicates
+    skip files."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import save_zorder_clustered
+
+    # a 64x64 grid: both dims uniform, so locality is measurable
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    out = str(tmp_path / "zorder")
+    save_zorder_clustered(grid, out, ("x", "y"), n_files=16, bits=6)
+
+    def file_spans(col):
+        spans = []
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    xs, ys = file_spans("x"), file_spans("y")
+    assert len(xs) >= 8  # the range exchange split the data
+    # 16 z-ordered files over a 64x64 grid -> each covers roughly a
+    # 16x16 tile; allow 2x slack for uneven z-range splits. A linear
+    # layout would give span 63 on the trailing dim for every file.
+    assert sum(xs) / len(xs) <= 32, f"x spans too wide: {xs}"
+    assert sum(ys) / len(ys) <= 32, f"y spans too wide: {ys}"
+    # round trip: nothing lost, helper columns dropped
+    back = spark.read.parquet(out)
+    assert back.columns == ["x", "y"]
+    assert back.count() == 4096
