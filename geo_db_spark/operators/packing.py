@@ -16,7 +16,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from geo_db_spark.operators.dedup import md5_prefix64, normalize_text
+from geo_db_spark.operators.dedup import (
+    _cache_session_scoped,
+    md5_prefix64,
+    normalize_text,
+)
 from geo_db_spark.operators.text import token_count
 
 # Width of the doc-id range shards used for the distributed prefix sum in
@@ -67,7 +71,14 @@ def pack_sequences(
         F.col(id_col).alias("id"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
     )
-    sharded = toks.withColumn("shard", F.floor(F.col("id") / F.lit(shard_width)))
+    # the token counts feed two plan branches (shard totals + placement);
+    # without a barrier each branch re-scans AND re-tokenizes the corpus —
+    # at 100 TB that doubles the dominant text-scan cost. The cached rows
+    # are (source, id, n_tokens) ONLY (~16 bytes/row, never the payload),
+    # the same session-scoped registry the dedup signatures use.
+    sharded = _cache_session_scoped(
+        toks.withColumn("shard", F.floor(F.col("id") / F.lit(shard_width)))
+    )
     # phase 1: per-shard totals (tiny), phase 2: exclusive prefix over shards
     shard_tot = sharded.groupBy("source", "shard").agg(
         F.sum("n_tokens").alias("shard_tokens")
