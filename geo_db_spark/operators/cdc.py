@@ -1,0 +1,79 @@
+"""Change-data-capture and upsert operators: snapshot diff and MERGE.
+
+The reference's nearest relatives are the join-update battery (D9/D11,
+src/post/subdivision_iso.sql) and the sink's insert-or-ignore (A9); these
+generalize them to the lakehouse staples an incremental 100 TB corpus
+build needs — "what changed between two snapshots" and "apply this batch
+of changes".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Classify every key across two snapshots: ``insert`` (new only),
+    ``delete`` (old only), ``update`` (both, compared columns differ);
+    unchanged keys are dropped. Returns (keys..., change_type).
+
+    Scale shape: each side is reduced to (key, xxhash64(compared cols))
+    BEFORE the full-outer join, so the shuffle moves 16-byte rows, never
+    the payload — diffing two 100 TB snapshots costs two scans plus a
+    key-space-sized exchange (zero exchange if both snapshots are
+    bucket-layouted on the key, plans/bucketing.py). Update detection is
+    by 64-bit content hash: a colliding changed row (P ≈ 2^-64 per key)
+    would be reported unchanged — the standard CDC trade; pass the
+    changed columns to a follow-up exact join when that matters.
+
+    Null-safe: a NULL-vs-value change in any compared column changes the
+    hash (xxhash64 folds null as a fixed tag).
+    """
+    ks = list(keys)
+    cols = list(compare_cols) if compare_cols else [c for c in old.columns if c not in ks]
+    o = old.select(*ks, F.xxhash64(*cols).alias("__oh"))
+    n = new.select(*ks, F.xxhash64(*cols).alias("__nh"))
+    j = o.join(n, ks, "full_outer")
+    change = (
+        F.when(F.col("__oh").isNull(), F.lit("insert"))
+        .when(F.col("__nh").isNull(), F.lit("delete"))
+        .when(F.col("__oh") != F.col("__nh"), F.lit("update"))
+    )
+    return (
+        j.select(*ks, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """MERGE: WHEN MATCHED THEN UPDATE (source row wins whole), WHEN NOT
+    MATCHED THEN INSERT — the Delta/Iceberg ``MERGE INTO`` expressed as a
+    pure DataFrame derivation (copy-on-write form: the caller writes the
+    result, replacing the target).
+
+    The plan is source ∪ (target ⟕̸ source): one anti-join on the key —
+    cheaper than the naive full-outer + coalesce-every-column, and the
+    anti-join's right side is the (small) change batch, which AQE
+    broadcasts, so the 100 TB target never shuffles. At real scale the
+    write-side win is file pruning: only target files whose key range
+    intersects the batch need rewriting (save_range_clustered /
+    save_zorder_clustered keep those ranges tight); the rest carry over
+    untouched — exactly Delta's copy-on-write MERGE.
+
+    ``source`` must be key-unique (it is a change batch); enforce
+    upstream with dedup_by_keys when in doubt.
+    """
+    ks = list(keys)
+    return source.unionByName(target.join(source, ks, "left_anti"))

@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from geo_db_spark.workload import (
+    cdc_wl,
     curation,
     dedup,
     extraction,
@@ -45,6 +46,7 @@ _MODULES = (
     multimodal,
     sketches,
     packing_wl,
+    cdc_wl,
 )
 
 

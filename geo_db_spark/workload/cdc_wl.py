@@ -1,0 +1,117 @@
+"""Workload entries for CDC / MERGE (operators/cdc.py) over a
+deterministic synthetic "next snapshot" of the customer table:
+
+- deletes:  c_custkey % 97 == 0
+- updates:  c_acctbal + 100 where c_custkey % 11 == 0 (and not deleted)
+- inserts:  copies of c_custkey % 13 == 0 rows re-keyed at +2^40
+
+Both the Spark queries and the DuckDB oracles derive the same mutation,
+so the diff/merge semantics are checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geo_db_spark.io import load
+from geo_db_spark.operators.cdc import merge_upsert, snapshot_diff
+from geo_db_spark.session import tune
+
+INSERT_OFFSET = 1 << 40
+
+
+def _next_snapshot(cust: DataFrame) -> DataFrame:
+    k = F.col("c_custkey")
+    kept = cust.filter(k % 97 != 0)
+    updated = kept.withColumn(
+        "c_acctbal",
+        F.when(k % 11 == 0, F.col("c_acctbal") + 100).otherwise(F.col("c_acctbal")),
+    )
+    inserts = cust.filter(k % 13 == 0).withColumn("c_custkey", k + F.lit(INSERT_OFFSET))
+    return updated.unionByName(inserts)
+
+
+_NEXT_SQL = f"""
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 97 != 0
+  UNION ALL
+  SELECT c_custkey + {INSERT_OFFSET}, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 0
+"""
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    return snapshot_diff(cust, _next_snapshot(cust), ["c_custkey"]).orderBy("c_custkey")
+
+
+ORACLE_CDC_DIFF = f"""
+WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+new AS ({_NEXT_SQL})
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN n.c_custkey IS NULL THEN 'delete'
+            WHEN o.c_acctbal != n.c_acctbal OR o.c_mktsegment != n.c_mktsegment THEN 'update'
+       END AS change_type
+FROM old o FULL OUTER JOIN new n USING (c_custkey)
+WHERE CASE WHEN o.c_custkey IS NULL THEN 'insert'
+           WHEN n.c_custkey IS NULL THEN 'delete'
+           WHEN o.c_acctbal != n.c_acctbal OR o.c_mktsegment != n.c_mktsegment THEN 'update'
+      END IS NOT NULL
+ORDER BY c_custkey
+"""
+
+
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the update+insert half of the change batch via MERGE and
+    aggregate the merged table per segment (deletes are a separate
+    anti-join pass in this model, as in Delta's MERGE ... WHEN MATCHED
+    DELETE)."""
+    tune(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    k = F.col("c_custkey")
+    batch = cust.filter(k % 11 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100
+    ).unionByName(cust.filter(k % 13 == 0).withColumn("c_custkey", k + F.lit(INSERT_OFFSET)))
+    merged = merge_upsert(cust, batch, ["c_custkey"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+    )
+
+
+ORACLE_MERGE = f"""
+WITH batch AS (
+  SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 11 = 0
+  UNION ALL
+  SELECT c_custkey + {INSERT_OFFSET}, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 13 = 0
+),
+merged AS (
+  SELECT * FROM batch
+  UNION ALL
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM batch)
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM merged
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "cdc_snapshot_diff": cdc_snapshot_diff,
+    "merge_upsert_customers": merge_upsert_customers,
+}
+
+ORACLES = {
+    "cdc_snapshot_diff": ORACLE_CDC_DIFF,
+    "merge_upsert_customers": ORACLE_MERGE,
+}

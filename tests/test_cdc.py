@@ -1,0 +1,51 @@
+"""Unit tests for operators/cdc.py beyond the oracle sweep: null-safe
+update detection, multi-key diff, and merge's target-preservation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geo_db_spark.operators.cdc import merge_upsert, snapshot_diff
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (3, "c", 3.0), (5, "e", 50.0)],
+        "k int, name string, v double",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 unchanged -> absent; 3: NULL -> value must register as update
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], "k int, name string, v double")
+    new = spark.createDataFrame([(1, "CHANGED", 1.0)], "k int, name string, v double")
+    assert snapshot_diff(old, new, ["k"], compare_cols=["v"]).count() == 0
+    assert snapshot_diff(old, new, ["k"]).collect()[0].change_type == "update"
+
+
+def test_merge_upsert_source_wins_and_target_kept(spark):
+    target = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], "k int, v string"
+    )
+    source = spark.createDataFrame([(2, "NEW2"), (9, "NEW9")], "k int, v string")
+    got = sorted(map(tuple, merge_upsert(target, source, ["k"]).collect()))
+    assert got == [(1, "old1"), (2, "NEW2"), (3, "old3"), (9, "NEW9")]
+
+
+def test_merge_then_diff_roundtrip(spark):
+    """diff(target, merge(target, batch)) must report exactly the batch's
+    effect: updates where values changed, inserts for new keys."""
+    target = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    batch = spark.createDataFrame([(7, 0), (8, 16), (200, 1)], "k long, v long")
+    merged = merge_upsert(target, batch, ["k"])
+    got = {r.k: r.change_type for r in snapshot_diff(target, merged, ["k"]).collect()}
+    # k=8 carries the same value it already had -> unchanged, not reported
+    assert got == {7: "update", 200: "insert"}
