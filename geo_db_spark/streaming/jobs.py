@@ -328,3 +328,68 @@ def run_streaming_hll(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_apply_changes(
+    spark: SparkSession,
+    batches_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+    schema: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming CDC apply: a file-source stream of change batches
+    (parquet files of full rows, key-unique within a batch) is MERGE'd
+    into the parquet table at ``target_dir`` one micro-batch at a time —
+    operators/cdc.merge_upsert as a continuously-maintained sink.
+
+    Each foreachBatch reads the current target, merges the batch (source
+    wins on key match, inserts otherwise), and atomically replaces the
+    target; the checkpoint makes the apply resumable and exactly-once at
+    batch granularity (a replayed batch re-merges onto the same base —
+    idempotent because merge is). Within one micro-batch spanning
+    multiple files, later-arriving duplicates of a key are collapsed
+    FIRST (keep the lexicographically-last full row — deterministic) so
+    the merge sees a key-unique source.
+
+    Copy-on-write rewrite of the whole target per batch is the right
+    shape while the target is snapshot-sized; at lakehouse scale the
+    same transformation drives a Delta/Iceberg MERGE sink where only
+    key-intersecting files rewrite (see merge_upsert's docstring) —
+    foreachBatch is exactly where that sink swap happens.
+    """
+    from pyspark.sql import Window
+
+    from geo_db_spark.operators.cdc import merge_upsert
+
+    ks = keys or ["c_custkey"]
+    reader = spark.readStream
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.schema(spark.read.parquet(target_dir).schema)
+    batches = reader.parquet(batches_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        order = [F.col(c).desc_nulls_last() for c in batch_df.columns if c not in ks]
+        w = Window.partitionBy(*ks).orderBy(*order) if order else None
+        src = batch_df
+        if w is not None:
+            src = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        target = batch_df.sparkSession.read.parquet(target_dir)
+        merged = merge_upsert(target, src, ks).localCheckpoint()
+        merged.write.mode("overwrite").parquet(target_dir)
+
+    writer = batches.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

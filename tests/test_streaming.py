@@ -323,3 +323,46 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
         for r in hll_distinct_per_group(ev, "user_id", ["event_type"]).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_apply_changes_merges_batches(spark, tmp_path):
+    """Two change-batch files applied as separate micro-batches must land
+    as MERGEs on the target; duplicate keys within one batch collapse to
+    the deterministic winner before merging."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.streaming.jobs import stream_apply_changes
+
+    target_dir = str(tmp_path / "target")
+    batches_dir = str(tmp_path / "batches")
+    ck = str(tmp_path / "ck")
+    os.makedirs(batches_dir, exist_ok=True)
+
+    spark.range(10).select(
+        F.col("id").alias("k"), F.lit("base").alias("v")
+    ).coalesce(1).write.parquet(target_dir)
+
+    # batch file 1: update k=1 (with an in-batch duplicate; 'z2' > 'z1'
+    # lexicographically, so z2 must win) + insert k=100
+    spark.createDataFrame(
+        [(1, "z1"), (1, "z2"), (100, "new100")], "k long, v string"
+    ).coalesce(1).write.mode("append").parquet(batches_dir)
+    _t.sleep(1.1)  # distinct mtimes -> deterministic file admission order
+    # batch file 2: update k=2, insert k=101
+    spark.createDataFrame(
+        [(2, "upd2"), (101, "new101")], "k long, v string"
+    ).coalesce(1).write.mode("append").parquet(batches_dir)
+
+    q = stream_apply_changes(
+        spark, batches_dir, target_dir, ck, keys=["k"], schema="k long, v string"
+    )
+    q.awaitTermination(120)
+
+    got = {r.k: r.v for r in spark.read.parquet(target_dir).collect()}
+    assert got[1] == "z2"
+    assert got[2] == "upd2"
+    assert got[100] == "new100" and got[101] == "new101"
+    assert got[0] == "base" and len(got) == 12
