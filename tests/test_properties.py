@@ -154,3 +154,50 @@ def test_shingles_match_python_reference(spark, texts):
         return out
 
     assert got == [ref(t) for t in texts]
+
+
+# ------------------------------------------------- CDC merge/diff algebra
+
+_kv_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=5)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@_settings
+@given(old_rows=_kv_rows, new_rows=_kv_rows)
+def test_snapshot_diff_matches_dict_reference(spark, old_rows, new_rows):
+    """snapshot_diff == the dict-based reference diff, for any pair of
+    key-unique snapshots."""
+    from geo_db_spark.operators.cdc import snapshot_diff
+
+    old_d = dict(old_rows)  # later dup wins, both sides identically
+    new_d = dict(new_rows)
+    old = spark.createDataFrame(list(old_d.items()) or [(None, None)], "k int, v int").filter("k is not null")
+    new = spark.createDataFrame(list(new_d.items()) or [(None, None)], "k int, v int").filter("k is not null")
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    want = {}
+    for k in set(old_d) | set(new_d):
+        if k not in old_d:
+            want[k] = "insert"
+        elif k not in new_d:
+            want[k] = "delete"
+        elif old_d[k] != new_d[k]:
+            want[k] = "update"
+    assert got == want
+
+
+@_settings
+@given(target_rows=_kv_rows, batch_rows=_kv_rows)
+def test_merge_upsert_matches_dict_reference(spark, target_rows, batch_rows):
+    """merge_upsert == dict.update semantics for key-unique inputs."""
+    from geo_db_spark.operators.cdc import merge_upsert
+
+    t_d = dict(target_rows)
+    b_d = dict(batch_rows)
+    target = spark.createDataFrame(list(t_d.items()) or [(None, None)], "k int, v int").filter("k is not null")
+    batch = spark.createDataFrame(list(b_d.items()) or [(None, None)], "k int, v int").filter("k is not null")
+    got = {r.k: r.v for r in merge_upsert(target, batch, ["k"]).collect()}
+    want = {**t_d, **b_d}
+    assert got == want
