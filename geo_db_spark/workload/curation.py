@@ -323,3 +323,81 @@ FROM ex GROUP BY doc_id
 
 QUERIES["text_oov_rate"] = text_oov_rate
 ORACLES["text_oov_rate"] = ORACLE_OOV
+
+
+STRATA_K = 20
+
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile stratified sample: score every document (mean token
+    length in integer micro-units), cut the corpus into 10 strata at the
+    exact 10..90 percentiles, and keep a deterministic K per stratum
+    (ordered by content hash, then id) — the standard recipe for an
+    eval/holdout set that spans the quality distribution instead of
+    oversampling the bulk.
+
+    Scale shape: the cutpoints are ONE 9-double row (exact `percentile`
+    here for the oracle; `approx_percentile` at 100 TB — same plan
+    otherwise) broadcast to every executor; stratum assignment is a 9-
+    element comparison fold, no join. The per-stratum top-K window does
+    partition by stratum (10 partitions) — at real scale prefilter each
+    stratum by a hash threshold (the text_sample_deterministic trick)
+    to ~4K candidates first and run the window on the survivors."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    score_u = F.round(
+        F.lit(1_000_000.0) * F.col("n_chars") / F.size(F.split(F.trim("text"), r"\s+"))
+    ).cast("long")
+    scored = docs.select("doc_id", score_u.alias("score_u"))
+    qs = ", ".join(str(q / 10) for q in range(1, 10))
+    cuts = scored.agg(F.expr(f"percentile(score_u, array({qs}))").alias("cs"))
+    strat = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "score_u",
+        F.aggregate(
+            "cs",
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("score_u") > c, 1).otherwise(0),
+        ).alias("stratum"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("stratum").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        strat.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= STRATA_K)
+        .select("doc_id", "stratum", (F.col("score_u") / 1_000_000.0).alias("score"))
+    )
+
+
+ORACLE_STRATIFIED = r"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(ROUND(1000000.0 * n_chars / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS score_u
+  FROM documents
+),
+cuts AS (
+  SELECT quantile_cont(score_u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs FROM scored
+),
+strat AS (
+  SELECT doc_id, score_u,
+         len(list_filter(cs, c -> score_u > c)) AS stratum
+  FROM scored, cuts
+),
+ranked AS (
+  SELECT doc_id, score_u, stratum,
+         row_number() OVER (
+           PARTITION BY stratum
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+         ) AS rn
+  FROM strat
+)
+SELECT doc_id, CAST(stratum AS INT) AS stratum, score_u / 1000000.0 AS score
+FROM ranked WHERE rn <= 20
+"""
+
+QUERIES["text_stratified_sample"] = text_stratified_sample
+ORACLES["text_stratified_sample"] = ORACLE_STRATIFIED
