@@ -617,3 +617,203 @@ ORACLES = {
     "embedding_near_dup_pairs": ORACLE_NEAR_DUP,
     "embedding_near_dup_lsh": _near_dup_lsh_oracle(),
 }
+
+
+IVF_NPROBE = 4
+
+
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with multi-probe: corpus vectors live in their argmax-cosine
+    cell exactly as in ann_ivf_topk, but each query probes its NPROBE
+    closest cells instead of one — recall approaches exact search at
+    nprobe/IVF_C of the brute-force work, the standard IVF quality knob
+    (FAISS's `nprobe`).
+
+    Scale shape unchanged from nprobe=1: the probe list is |queries| x
+    NPROBE skinny rows (broadcast), each corpus vector still appears in
+    ONE cell (so candidate pairs are naturally unique — no distinct
+    needed), and the probe join stays cell-local.
+    """
+    from pyspark.sql import Window
+
+    tune(spark)
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < IVF_C).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
+    )
+    scored = emb.select("vec_id", "q", "qnorm").join(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        cosine_from_quantized(
+            int_dot(F.col("q"), F.col("c_q")), F.col("qnorm"), F.col("c_n")
+        ).alias("c_score"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("c_score").desc(), F.col("cent_id"))
+    ranked = scored.withColumn("__rn", F.row_number().over(wa))
+    cells = ranked.filter(F.col("__rn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < 10) & (F.col("__rn") <= IVF_NPROBE)
+    ).select(F.col("vec_id").alias("q_id"), F.col("cent_id").alias("cell"))
+    c = emb.join(cells, "vec_id").select(
+        F.col("cell"), F.col("vec_id").alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
+    )
+    qs = probes.join(
+        emb.select(F.col("vec_id").alias("q_id"), F.col("q").alias("q_q"), F.col("qnorm").alias("q_n")),
+        "q_id",
+    )
+    pairs = c.join(F.broadcast(qs), "cell").filter(F.col("c_id") != F.col("q_id"))
+    cos = cosine_from_quantized(int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_ANN_IVF_MP = f"""
+WITH qe AS (
+  SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n
+  FROM qe
+),
+cent AS (SELECT vec_id AS cent_id, q AS c_q, n AS c_n FROM normed WHERE vec_id < {IVF_C}),
+scored AS (
+  SELECT v.vec_id, cent.cent_id,
+         CAST(CAST(list_sum(list_transform(list_zip(v.q, cent.c_q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+           / (sqrt(CAST(v.n AS DOUBLE)) * sqrt(CAST(cent.c_n AS DOUBLE))) AS c_score,
+         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           CAST(CAST(list_sum(list_transform(list_zip(v.q, cent.c_q), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
+             / (sqrt(CAST(v.n AS DOUBLE)) * sqrt(CAST(cent.c_n AS DOUBLE))) DESC, cent.cent_id) AS rn
+  FROM normed v, cent
+),
+cells AS (SELECT vec_id, cent_id AS cell FROM scored WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM scored WHERE vec_id < 10 AND rn <= {IVF_NPROBE}),
+corpus AS (
+  SELECT n2.vec_id, n2.q, n2.n, cells.cell FROM normed n2 JOIN cells USING (vec_id)
+),
+qside AS (
+  SELECT probes.q_id, probes.cell, n3.q, n3.n FROM probes JOIN normed n3 ON n3.vec_id = probes.q_id
+)
+SELECT a.q_id, b.vec_id AS neighbor_id,
+       CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY a.q_id
+           ORDER BY CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) DESC,
+                    b.vec_id) AS INT) AS rank
+FROM qside a JOIN corpus b ON a.cell = b.cell AND a.q_id <> b.vec_id
+QUALIFY rank <= 3
+"""
+
+QUERIES["ann_ivf_multiprobe_topk"] = ann_ivf_multiprobe_topk
+ORACLES["ann_ivf_multiprobe_topk"] = ORACLE_ANN_IVF_MP
+
+
+# Multi-table sign-LSH: table t hashes coordinate signs {t, t+8, t+16,
+# t+24} into 4 bits -> 16 buckets per table, 4 tables. A candidate only
+# needs to collide in ONE table, so recall compounds across tables
+# (1-(1-p^4)^4 vs p^8 for the single 8-bit table above — the same
+# banding amplification as MinHash-LSH) while each probe still scans
+# ~|corpus|/16 rows.
+LSH_TABLES = 4
+LSH_BITS_PER_TABLE = 4
+
+
+def _lsh_table_buckets() -> "F.Column":
+    tables = []
+    for t in range(LSH_TABLES):
+        b = None
+        for k in range(LSH_BITS_PER_TABLE):
+            d = t + 8 * k
+            bit = F.when(F.get(F.col("embedding"), d) >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+            b = bit if b is None else b + bit
+        tables.append((F.lit(t * (1 << LSH_BITS_PER_TABLE)) + b).cast("long"))
+    return F.array(*tables)
+
+
+def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 cosine neighbors via MULTI-TABLE sign-LSH: a
+    vector lands in one bucket per table, candidates are the union of
+    the query's buckets across tables (distinct'd — a close pair often
+    collides in several tables), exact cosine ranks the candidates.
+
+    Scale shape: explode to (id, table-bucket) rows — |corpus| x L skinny
+    rows; the probe join is bucket-local; the distinct runs on (q_id,
+    c_id) id pairs only; vectors are re-attached just for the candidate
+    scoring (payload never rides the bucket shuffle).
+    """
+    from pyspark.sql import Window
+
+    from geo_db_spark.operators.similarity import cosine_from_quantized, int_dot, with_quantized
+
+    tune(spark)
+    emb = with_quantized(load(spark, sf_dir, "embeddings"))
+    buckets = emb.select("vec_id", F.explode(_lsh_table_buckets()).alias("bucket"))
+    qb = buckets.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "bucket"
+    )
+    cand = (
+        buckets.join(F.broadcast(qb), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+        .distinct()
+    )
+    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("q").alias("q_q"), F.col("qnorm").alias("q_n"))
+    cv = emb.select(F.col("vec_id").alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n"))
+    pairs = cand.join(F.broadcast(qv), "q_id").join(cv, "c_id")
+    cos = cosine_from_quantized(int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _mt_bucket_sql() -> str:
+    exprs = []
+    for t in range(LSH_TABLES):
+        bits = " + ".join(
+            f"CASE WHEN embedding[{t + 8 * k + 1}] >= 0 THEN {1 << k} ELSE 0 END"
+            for k in range(LSH_BITS_PER_TABLE)
+        )
+        exprs.append(f"{t * (1 << LSH_BITS_PER_TABLE)} + ({bits})")
+    return ", ".join(exprs)
+
+
+ORACLE_ANN_LSH_MT = f"""
+WITH qe AS (
+  SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n
+  FROM qe
+),
+buckets AS (
+  SELECT vec_id AS id, CAST(unnest([{_mt_bucket_sql()}]) AS BIGINT) AS bucket FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT q.id AS q_id, c.id AS c_id
+  FROM buckets q JOIN buckets c USING (bucket)
+  WHERE q.id < 10 AND c.id <> q.id
+)
+SELECT cand.q_id, cand.c_id AS neighbor_id,
+       CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY cand.q_id
+           ORDER BY CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) DESC,
+                    cand.c_id) AS INT) AS rank
+FROM cand JOIN normed a ON a.vec_id = cand.q_id JOIN normed b ON b.vec_id = cand.c_id
+QUALIFY rank <= 3
+"""
+
+QUERIES["ann_lsh_multitable_topk"] = ann_lsh_multitable_topk
+ORACLES["ann_lsh_multitable_topk"] = ORACLE_ANN_LSH_MT

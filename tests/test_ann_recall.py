@@ -1,0 +1,57 @@
+"""ANN quality instrumentation: recall@k of the bucketed index paths
+(IVF nprobe=1, IVF multi-probe, sign-LSH) against exact brute-force
+cosine top-k. Correctness of each path is oracle-checked elsewhere; this
+pins the QUALITY ordering the index structure promises — multi-probe
+must dominate single-probe, and every path must beat a floor that a
+broken bucketing (random candidates) would miss."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.01"
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.q_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(approx, exact):
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.values())
+    return hits / total
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    from geo_db_spark.workload.similarity import (
+        ann_cosine_topk,
+        ann_ivf_multiprobe_topk,
+        ann_ivf_topk,
+    )
+
+    exact = _topk_sets(ann_cosine_topk(spark, SF))
+    one = _recall(_topk_sets(ann_ivf_topk(spark, SF)), exact)
+    multi = _recall(_topk_sets(ann_ivf_multiprobe_topk(spark, SF)), exact)
+    # probing a superset of cells can only add candidates
+    assert multi >= one
+    # 4/16 cells probed must land well above the random-candidate floor
+    # (expected ~nprobe/C = 0.25 for broken bucketing)
+    assert multi >= 0.5, f"multiprobe recall {multi}"
+
+
+def test_multitable_lsh_recall_dominates_single_table(spark):
+    """A 4x4-bit multi-table hash must recall far more true neighbors
+    than the single 8-bit table (banding amplification): measured 0.44
+    vs 0.02 at sf0.01 when this was pinned."""
+    from geo_db_spark.workload.similarity import (
+        ann_cosine_topk,
+        ann_lsh_multitable_topk,
+        ann_lsh_topk,
+    )
+
+    exact = _topk_sets(ann_cosine_topk(spark, SF))
+    single = _recall(_topk_sets(ann_lsh_topk(spark, SF)), exact)
+    multi = _recall(_topk_sets(ann_lsh_multitable_topk(spark, SF)), exact)
+    assert multi > single
+    assert multi >= 0.3, f"multitable lsh recall {multi}"
