@@ -632,7 +632,12 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape unchanged from nprobe=1: the probe list is |queries| x
     NPROBE skinny rows (broadcast), each corpus vector still appears in
     ONE cell (so candidate pairs are naturally unique — no distinct
-    needed), and the probe join stays cell-local.
+    needed), and the probe join stays cell-local. Corpus cell assignment
+    goes through the Arrow matmul kernel (`_ivf_cells_assigned_arrow` —
+    bit-identical to the codegen path and the oracle): the 100x envelope
+    showed the per-element lambda assignment at |corpus| x IVF_C dots
+    dominating wall time; the 10-query probe ranking stays codegen
+    (10 x IVF_C dots is nothing).
     """
     from pyspark.sql import Window
 
@@ -641,22 +646,25 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < IVF_C).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
     )
-    scored = emb.select("vec_id", "q", "qnorm").join(F.broadcast(cent)).select(
-        "vec_id",
-        "cent_id",
-        cosine_from_quantized(
-            int_dot(F.col("q"), F.col("c_q")), F.col("qnorm"), F.col("c_n")
-        ).alias("c_score"),
+    q_scored = (
+        emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "q", "qnorm")
+        .join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cent_id",
+            cosine_from_quantized(
+                int_dot(F.col("q"), F.col("c_q")), F.col("qnorm"), F.col("c_n")
+            ).alias("c_score"),
+        )
     )
     wa = Window.partitionBy("vec_id").orderBy(F.col("c_score").desc(), F.col("cent_id"))
-    ranked = scored.withColumn("__rn", F.row_number().over(wa))
-    cells = ranked.filter(F.col("__rn") == 1).select(
-        "vec_id", F.col("cent_id").alias("cell")
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("cent_id").alias("cell"))
     )
-    probes = ranked.filter(
-        (F.col("vec_id") < 10) & (F.col("__rn") <= IVF_NPROBE)
-    ).select(F.col("vec_id").alias("q_id"), F.col("cent_id").alias("cell"))
-    c = emb.join(cells, "vec_id").select(
+    c = with_quantized(_ivf_cells_assigned_arrow(spark, sf_dir).select("vec_id", "cell", "embedding")).select(
         F.col("cell"), F.col("vec_id").alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
     )
     qs = probes.join(
