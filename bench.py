@@ -51,6 +51,10 @@ HEADLINE = [
     "pack_sequences_report",
     "dedup_incremental_bloom",
     "g18_salted_join_events",
+    "ann_lsh_multitable_topk",
+    "text_stratified_sample",
+    "cdc_snapshot_diff",
+    "merge_upsert_customers",
 ]
 
 
