@@ -99,8 +99,13 @@ def pack_sequences(
         .orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # no forced broadcast on offsets: it's |corpus|/shard_width rows —
+    # tiny here, but ~12M rows for a 50B-doc corpus. AQE broadcasts it
+    # when small; otherwise the SMJ's (source, shard) exchange is the
+    # SAME partitioning the intra-shard window needs, so the join and
+    # the window ride one shuffle.
     placed = (
-        sharded.join(F.broadcast(offsets), ["source", "shard"])
+        sharded.join(offsets, ["source", "shard"])
         .withColumn(
             "cum_before",
             F.col("shard_offset") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
