@@ -96,6 +96,14 @@ SCALING_HINT_OFFENDERS = [
     "q19_disjunctive_revenue",
     "q20_promotion_suppliers",
     "q21_suppliers_kept_waiting",
+    # r4 additions: corpus/fact tables scale too — a hint subtree must
+    # never reach documents/embeddings/events either
+    "pack_sequences_report",
+    "dedup_incremental_bloom",
+    "cdc_snapshot_diff",
+    "merge_upsert_customers",
+    "g18_salted_join_events",
+    "ann_lsh_multitable_topk",
 ]
 
 
@@ -108,7 +116,15 @@ def test_no_static_broadcast_of_scaling_tables(spark, qs, name):
     df = qs[name](spark, SF_SMOKE)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     for sub in _hint_subtrees(analyzed):
-        for t in ("part.parquet", "supplier.parquet", "customer.parquet", "orders.parquet", "lineitem.parquet"):
+        for t in (
+            "part.parquet",
+            "supplier.parquet",
+            "customer.parquet",
+            "orders.parquet",
+            "lineitem.parquet",
+            "documents.parquet",
+            "events.parquet",
+        ):
             assert t not in sub, f"{name}: broadcast hint covers scaling table {t}:\n{sub[:2000]}"
 
 
