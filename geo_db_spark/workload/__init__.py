@@ -27,6 +27,7 @@ from geo_db_spark.workload import (
     packing_wl,
     similarity,
     sketches,
+    spatial_wl,
     text,
     tpch,
     tpch_ext,
@@ -47,6 +48,7 @@ _MODULES = (
     sketches,
     packing_wl,
     cdc_wl,
+    spatial_wl,
 )
 
 

@@ -1,0 +1,88 @@
+"""Workload entry for the grid-bucketed spatial kNN join
+(operators/spatial.py). The driver tables carry no coordinates, so both
+sides get DETERMINISTIC synthetic (lat, lon) derived from their keys by
+md5 arithmetic — identical in the DuckDB oracle, so the geometry (and
+the grid algorithm itself) is checked bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geo_db_spark.io import load
+from geo_db_spark.operators.dedup import md5_prefix64
+from geo_db_spark.operators.spatial import grid_knn_join
+from geo_db_spark.session import tune
+
+CELL_DEG = 30.0
+KNN_K = 2
+
+
+def _coords(key: F.Column):
+    lat = (md5_prefix64(key.cast("string")) % 180_000_000) / 1_000_000.0 - 90.0
+    lon = (
+        md5_prefix64(F.concat(key.cast("string"), F.lit("x"))) % 360_000_000
+    ) / 1_000_000.0 - 180.0
+    return lat.alias("lat"), lon.alias("lon")
+
+
+_COORD_SQL = (
+    "(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 8))::BIGINT % 180000000) / 1000000.0 - 90.0 AS lat, "
+    "(('0x' || substr(md5(CAST({k} AS VARCHAR) || 'x'), 1, 8))::BIGINT % 360000000) / 1000000.0 - 180.0 AS lon"
+)
+
+
+def geo_knn_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 nearest suppliers per customer by synthetic coordinates, via the
+    3x3-neighborhood grid join — never a customers x suppliers product."""
+    tune(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"), *_coords(F.col("c_custkey"))
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("site_id"), *_coords(F.col("s_suppkey") + 1_000_000)
+    )
+    return grid_knn_join(cust, supp, k=KNN_K, cell_deg=CELL_DEG).select(
+        F.col("point_id").alias("c_custkey"),
+        F.col("site_id").alias("s_suppkey"),
+        "dist2",
+        "rank",
+    )
+
+
+ORACLE_GEO_KNN = f"""
+WITH pts AS (
+  SELECT c_custkey AS point_id, {_COORD_SQL.format(k='c_custkey')} FROM customer
+),
+sts AS (
+  SELECT s_suppkey AS site_id, {_COORD_SQL.format(k='s_suppkey + 1000000')} FROM supplier
+),
+s AS (
+  SELECT site_id, lat AS s_lat, lon AS s_lon,
+         CAST(FLOOR((lat + 90.0) / {CELL_DEG}) AS BIGINT) * {int(720 / CELL_DEG)}
+           + CAST(FLOOR((lon + 180.0) / {CELL_DEG}) AS BIGINT) AS cell
+  FROM sts
+),
+p AS (
+  SELECT point_id, lat AS p_lat, lon AS p_lon,
+         CAST(FLOOR((lat + 90.0) / {CELL_DEG}) AS BIGINT) * {int(720 / CELL_DEG)}
+           + CAST(FLOOR((lon + 180.0) / {CELL_DEG}) AS BIGINT) + o.o AS cell
+  FROM pts
+  CROSS JOIN (SELECT unnest([{", ".join(str(dy * int(720 / CELL_DEG)) + " + " + str(dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))}]) AS o) o
+),
+cand AS (
+  SELECT p.point_id, s.site_id,
+         (p.p_lat - s.s_lat) * (p.p_lat - s.s_lat)
+           + (p.p_lon - s.s_lon) * (p.p_lon - s.s_lon) AS dist2
+  FROM p JOIN s USING (cell)
+)
+SELECT point_id AS c_custkey, site_id AS s_suppkey, dist2,
+       CAST(row_number() OVER (PARTITION BY point_id ORDER BY dist2, site_id) AS INT) AS rank
+FROM cand
+QUALIFY rank <= {KNN_K}
+"""
+
+
+QUERIES = {"geo_knn_customer_supplier": geo_knn_customer_supplier}
+ORACLES = {"geo_knn_customer_supplier": ORACLE_GEO_KNN}
