@@ -55,6 +55,7 @@ HEADLINE = [
     "text_stratified_sample",
     "cdc_snapshot_diff",
     "merge_upsert_customers",
+    "geo_knn_customer_supplier",
 ]
 
 
