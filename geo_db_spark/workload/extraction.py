@@ -548,3 +548,106 @@ ORACLES = {
     "x4_native_labels": _x4_oracle(),
     "x5_time_keys": _x5_oracle(),
 }
+
+
+# B5/B6 routing fixtures: every route and every defunct edge in one dump
+_B5_CLASS_SETS = {
+    "territorial_entities": ["QT"],
+    "human_settlements": ["QS"],
+    "excluded": ["QX"],
+    "excluded_settlements": ["QXS"],
+    "second_level_admin_div": [],
+    "languages": ["QL"],
+}
+
+_B5_ENTITIES = {
+    "R01": {"P31": [_q("QS")], "P17": [_q("QC")]},  # settlement+P17 -> city
+    "R02": {"P31": [_q("QS")]},                      # settlement, no P17 -> missing_p17
+    "R03": {"P31": [_q("QT")]},                      # te route
+    "R04": {"P31": [_q("QS")], "P17": [_q("QC")], "P1366": [_q("QNEW")]},  # replaced -> dropped
+    "R05": {"P31": [_q("QS"), _q("QX")], "P17": [_q("QC")]},   # excluded -> no routes
+    "R06": {
+        "P31": [_q("QL")],
+        "P424": [{"mainsnak": {"snaktype": "value", "datavalue": {"value": "eo"}}}],
+    },                                                # language route
+    "R07": {},                                        # routes nowhere
+    # replaced-by WITH P518 qualifier -> the defunct exception, still a city
+    "R08": {"P31": [_q("QS")], "P17": [_q("QC")], "P1366": [_q("QNEW", {"P518": [_FLAG]})]},
+    "R09": {"P31": [_q("QT")], "P576": [_q("QANY")]},  # dissolved -> dropped
+    "R10": {"P31": [_q("QS"), _q("QXS")], "P17": [_q("QC")]},  # excluded settlement
+    "R11": {"P31": [_q("QT"), _q("QS")], "P17": [_q("QC")]},   # te AND city
+}
+
+
+def x11_routing_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5+B6+B1 through the REAL extract_all: one row per (entity, route
+    membership) across the cities / missing_p17 / territorial_entities /
+    languages outputs — the routing predicate, the missing-P17 side
+    output, and both defunct edges (plain P1366 drop vs the P518
+    exception) checked as one driver-gated query."""
+    tune(spark)
+    from geo_db_spark.extract import class_sets_from_dict, extract_all
+
+    outs = extract_all(
+        _entities_df(spark, _B5_ENTITIES),
+        class_sets_from_dict(spark, _B5_CLASS_SETS),
+    )
+    return (
+        outs["cities"].select("id", F.lit("city").alias("route"))
+        .unionByName(outs["missing_p17"].select("id", F.lit("missing_p17").alias("route")))
+        .unionByName(outs["territorial_entities"].select("id", F.lit("te").alias("route")))
+        .unionByName(outs["languages"].select("id", F.lit("language").alias("route")))
+        .orderBy("id", "route")
+    )
+
+
+def _x11_oracle() -> str:
+    sid = "json_extract_string(stmt, '$.mainsnak.datavalue.value.id')"
+    return f"""
+WITH {_values_cte(_B5_ENTITIES)},
+p1366 AS (
+  {_explode_sql('P1366')}
+),
+defunct AS (
+  SELECT e.id FROM entities e
+  WHERE (json_array_length(json_extract(e.j, '$.claims.P1366')) > 0
+         AND NOT EXISTS (SELECT 1 FROM p1366 x WHERE x.id = e.id
+                         AND json_extract(x.stmt, '$.qualifiers.P518[0]') IS NOT NULL))
+     OR json_array_length(json_extract(e.j, '$.claims.P576')) > 0
+),
+p31 AS (
+  {_explode_sql('P31')}
+),
+kept AS (
+  SELECT id, {sid} AS class_id FROM p31
+  WHERE {sid} IS NOT NULL AND {_active_sql('stmt')}
+    AND json_extract(stmt, '$.qualifiers.P1366[0]') IS NULL
+),
+flags AS (
+  SELECT e.id,
+         coalesce(bool_or(k.class_id = 'QT'), FALSE) AS is_te,
+         coalesce(bool_or(k.class_id = 'QS'), FALSE) AS is_s,
+         coalesce(bool_or(k.class_id = 'QX'), FALSE) AS is_x,
+         coalesce(bool_or(k.class_id = 'QXS'), FALSE) AS is_xs,
+         coalesce(bool_or(k.class_id = 'QL'), FALSE) AS is_l,
+         bool_or(json_extract(e.j, '$.claims.P17') IS NOT NULL) AS has_p17,
+         bool_or(json_extract(e.j, '$.claims.P424[0].mainsnak.datavalue.value') IS NOT NULL) AS has_code
+  FROM entities e LEFT JOIN kept k ON e.id = k.id
+  WHERE e.id NOT IN (SELECT id FROM defunct)
+  GROUP BY e.id
+)
+SELECT id, route FROM (
+  SELECT id, 'city' AS route FROM flags WHERE is_s AND NOT is_x AND NOT is_xs AND has_p17
+  UNION ALL
+  SELECT id, 'missing_p17' FROM flags WHERE is_s AND NOT is_x AND NOT is_xs AND NOT has_p17
+  UNION ALL
+  SELECT id, 'te' FROM flags WHERE is_te AND NOT is_x
+  UNION ALL
+  SELECT id, 'language' FROM flags WHERE is_l AND has_code
+)
+ORDER BY id, route
+"""
+
+
+QUERIES["x11_routing_side_outputs"] = x11_routing_side_outputs
+ORACLES["x11_routing_side_outputs"] = _x11_oracle()
