@@ -651,3 +651,57 @@ ORDER BY id, route
 
 QUERIES["x11_routing_side_outputs"] = x11_routing_side_outputs
 ORACLES["x11_routing_side_outputs"] = _x11_oracle()
+
+
+# C7 fixtures: labels maps with valid, partial, and malformed values
+_C7_ENTITIES_LABELS = {
+    "L1": {"en": {"language": "en", "value": "Alpha"}, "de": {"language": "de", "value": "Beta"}},
+    "L2": {"eo": {"language": "eo", "value": "Gamo"}},
+    "L3": {"en": {"language": "en"}},               # no value -> dropped
+    "L4": {"fr": {"value": "SansLangue"}},          # no language -> dropped
+    "L5": {},                                        # empty map -> no rows
+    "L6": {"zh-hans": {"language": "zh-hans", "value": "Han"}},  # hyphenated code
+}
+_C7_LABEL_LANGS = sorted({k for v in _C7_ENTITIES_LABELS.values() for k in v})
+
+
+def x12_label_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 through the real pipeline: every labels-map value with valid
+    language+value -> (id, lang, label); partial entries silently
+    dropped (src/wiki_data_line.rs:87-103)."""
+    tune(spark)
+    from geo_db_spark.extract import plain_labels
+
+    rows = [
+        (json.dumps({"id": eid, "labels": labels, "claims": {}}),)
+        for eid, labels in _C7_ENTITIES_LABELS.items()
+    ]
+    ents = parse_entity_lines(spark.createDataFrame(rows, "value string"))
+    return plain_labels(ents).select("id", "lang", "label").orderBy("id", "lang")
+
+
+def _x12_oracle() -> str:
+    rows = ",\n    ".join(
+        "('" + eid + "', '" + json.dumps(labels).replace("'", "''") + "')"
+        for eid, labels in _C7_ENTITIES_LABELS.items()
+    )
+    langs = ", ".join(f"'{l}'" for l in _C7_LABEL_LANGS)
+    return f"""
+WITH entities(id, j) AS (SELECT * FROM (VALUES
+    {rows}
+  ) t(id, j)),
+ex AS (
+  SELECT e.id,
+         json_extract_string(e.j, '$."' || k.k || '".language') AS lang,
+         json_extract_string(e.j, '$."' || k.k || '".value') AS label
+  FROM entities e CROSS JOIN (SELECT unnest([{langs}]) AS k) k
+  WHERE json_extract(e.j, '$."' || k.k || '"') IS NOT NULL
+)
+SELECT id, lang, label FROM ex
+WHERE lang IS NOT NULL AND label IS NOT NULL
+ORDER BY id, lang
+"""
+
+
+QUERIES["x12_label_explosion"] = x12_label_explosion
+ORACLES["x12_label_explosion"] = _x12_oracle()
