@@ -393,3 +393,57 @@ def stream_apply_changes(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_cms_cells(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming frequency sketch: the count-min counter grid maintained
+    AS the streaming aggregation state. Cell increment is a count per
+    (row, bucket) — associative and commutative — so Spark's stateful
+    groupBy count IS the sketch merge across micro-batches: state is
+    bounded at d*w cells (operators/cms.py: 4x512 = 16 KiB) forever,
+    and the cell table after any prefix of batches is bit-identical to
+    the batch sketch over the same rows. Run in update/complete mode;
+    read out with cms_estimate / heavy-hitter probes on the sink side."""
+    from geo_db_spark.operators.cms import D, _row_hash
+
+    k = F.col(key_col)
+    cells = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), _row_hash(k, i).alias("b"))
+                    for i in range(D)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(F.col("c.i").alias("i"), F.col("c.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def run_streaming_cms(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Maintain the streaming CMS over an events directory; each batch
+    overwrites ``out_dir`` with the current counter cells (the same
+    rollup-maintenance sink pattern as run_streaming_hll)."""
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger=max_files_per_trigger)
+    cells = streaming_cms_cells(ev)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    writer = (
+        cells.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

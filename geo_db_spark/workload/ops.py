@@ -985,3 +985,43 @@ ORACLES = {
     "g6_pivot_event_values": ORACLE_G6,
     "g7_percentiles": ORACLE_G7,
 }
+
+
+def g19_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (mktsegment, order-priority) revenue with explicit grouping
+    flags — the last grouping-sets shape not covered by g1's ROLLUP.
+    grouping() flags (not the raw grouping_id bit layout) are emitted so
+    the output is engine-neutral."""
+    tune(spark)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    enriched = orders.join(
+        cust.select("c_custkey", "c_mktsegment"), orders.o_custkey == F.col("c_custkey")
+    ).select(
+        "c_mktsegment",
+        F.col("o_orderpriority"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    return (
+        enriched.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum("p").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        )
+    )
+
+
+ORACLE_G19 = """
+SELECT c_mktsegment, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+"""
+
+QUERIES["g19_cube_revenue"] = g19_cube_revenue
+ORACLES["g19_cube_revenue"] = ORACLE_G19

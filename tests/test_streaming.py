@@ -366,3 +366,30 @@ def test_stream_apply_changes_merges_batches(spark, tmp_path):
     assert got[2] == "upd2"
     assert got[100] == "new100" and got[101] == "new101"
     assert got[0] == "base" and len(got) == 12
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    """The streaming CMS's counter cells after consuming all batches must
+    be BIT-IDENTICAL to the batch sketch over the same rows (count sums
+    are the merge), across multiple micro-batches."""
+    from geo_db_spark.io import load
+    from geo_db_spark.operators.cms import cms_build
+    from geo_db_spark.streaming.jobs import run_streaming_cms
+
+    ev = load(spark, SF_SMOKE, "events")
+    d = tmp_path / "cms_shards"
+    ev.repartition(3).write.parquet(str(d))
+    out = str(tmp_path / "cms_out")
+    q = run_streaming_cms(
+        spark,
+        str(d),
+        str(tmp_path / "cms_ckpt"),
+        out,
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1  # genuinely multi-batch
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, cms_build(ev, "user_id").collect()))
+    assert got == want and len(got) > 0
