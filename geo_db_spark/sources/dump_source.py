@@ -1,0 +1,151 @@
+"""Custom Spark DataSource for WikiData dump files: ``spark.read.format
+("wikidata_dump")`` — the reference's input connector (A1/A4/A5,
+src/input/http.rs + src/input/mod.rs) as a first-class Spark source.
+
+What it adds over ``spark.read.text``:
+
+- **Parallel HTTP Range reads.** The reference streams the dump through
+  ONE socket (src/input/http.rs:48-152); here the file's byte range is
+  split into N partitions and every EXECUTOR issues its own
+  ``Range: bytes=start-end`` request — the dump is consumed cluster-wide
+  without landing in storage first. Servers without Range support (or
+  unknown length) degrade to a single streaming partition.
+- **The same splitting for local files** (byte ranges + line-boundary
+  ownership), so one code path covers file:// and http(s)://.
+
+Line-boundary ownership rule (the classic text-split contract): a
+partition owns every line that STARTS inside [start, end); it skips a
+partial first line (owned by the predecessor) and reads past ``end`` to
+finish its last line. ``.json.bz2`` inputs are NOT byte-splittable at
+this layer — use ``spark.read.text`` (Hadoop's splittable Bzip2Codec,
+sources/wikidata.py A2/A3) for those; this source refuses rather than
+silently mis-splitting.
+
+Python-level reads are the slow path relative to the JVM text reader —
+this source exists for the distributed-HTTP case Spark has no native
+reader for; for files already in (object) storage prefer
+``read_entity_dump``.
+
+Register once per session, then read:
+
+    spark.dataSource.register(WikidataDumpDataSource)
+    lines = spark.read.format("wikidata_dump").option("path", url).load()
+    entities = parse_entity_lines(lines)
+"""
+
+from __future__ import annotations
+
+import os
+import urllib.request
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+DEFAULT_NUM_PARTITIONS = 8
+_CHUNK = 1 << 20
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+def _http_probe(url: str) -> tuple[int | None, bool]:
+    """(content_length, accepts_ranges) via one HEAD request."""
+    req = urllib.request.Request(url, method="HEAD")
+    with urllib.request.urlopen(req) as resp:
+        n = resp.headers.get("Content-Length")
+        ranges = (resp.headers.get("Accept-Ranges") or "").lower() == "bytes"
+        return (int(n) if n is not None else None), ranges
+
+
+def _iter_lines_from_stream(stream, start: int, end: int, skip_first: bool):
+    """Yield complete lines whose first byte lies in [start, end);
+    ``stream`` is positioned at ``start`` and may read past ``end`` to
+    finish the final owned line. ``pos`` tracks the absolute offset of
+    the end of ``buf``; a line's start offset is therefore
+    ``pos - len(buf) - len(line) - 1`` after slicing it off."""
+    buf = b""
+    pos = start
+    skipping = skip_first
+    while True:
+        chunk = stream.read(_CHUNK)
+        at_eof = not chunk
+        pos += len(chunk)
+        buf += chunk
+        while True:
+            nl = buf.find(b"\n")
+            if nl < 0:
+                break
+            line, buf = buf[:nl], buf[nl + 1 :]
+            if skipping:
+                skipping = False  # predecessor owns this partial line
+                continue
+            line_start = pos - len(buf) - len(line) - 1
+            if line_start < end:
+                yield line
+            else:
+                return
+        if at_eof:
+            # unterminated final line of the file
+            if buf and not skipping and (pos - len(buf)) < end:
+                yield buf
+            return
+
+
+class _DumpReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wikidata_dump: option 'path' is required")
+        if self.path.endswith(".bz2"):
+            raise ValueError(
+                "wikidata_dump: .bz2 is not byte-splittable at this layer; "
+                "use spark.read.text (splittable Bzip2Codec) instead"
+            )
+        self.n = int(options.get("numpartitions", DEFAULT_NUM_PARTITIONS))
+        self.is_http = self.path.startswith(("http://", "https://"))
+
+    def partitions(self):
+        if self.is_http:
+            size, ranged = _http_probe(self.path)
+            if size is None or not ranged:
+                return [_Slice(0, 1 << 62)]  # single streaming partition
+        else:
+            size = os.stat(self.path).st_size
+        if size == 0:
+            return [_Slice(0, 0)]
+        n = max(1, min(self.n, size))
+        step = size // n
+        bounds = [i * step for i in range(n)] + [size]
+        return [_Slice(bounds[i], bounds[i + 1]) for i in range(n)]
+
+    def read(self, partition: _Slice):
+        start, end = partition.start, partition.end
+        if start == end:
+            return
+        skip_first = start > 0
+        if self.is_http:
+            req = urllib.request.Request(self.path)
+            if skip_first or end < (1 << 62):
+                req.add_header("Range", f"bytes={start}-")
+            with urllib.request.urlopen(req) as stream:
+                for line in _iter_lines_from_stream(stream, start, end, skip_first):
+                    yield (line.decode("utf-8", errors="replace"),)
+        else:
+            with open(self.path, "rb") as f:
+                f.seek(start)
+                for line in _iter_lines_from_stream(f, start, end, skip_first):
+                    yield (line.decode("utf-8", errors="replace"),)
+
+
+class WikidataDumpDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "wikidata_dump"
+
+    def schema(self) -> str:
+        return "value string"
+
+    def reader(self, schema) -> _DumpReader:
+        return _DumpReader(self.options)

@@ -1,0 +1,116 @@
+"""Custom wikidata_dump DataSource: byte-range splitting must partition
+the file WITHOUT losing or duplicating lines (line-start ownership), for
+local files and HTTP Range reads alike."""
+
+from __future__ import annotations
+
+import http.server
+import threading
+
+import pytest
+
+from geo_db_spark.sources.dump_source import WikidataDumpDataSource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(WikidataDumpDataSource)
+    return spark
+
+
+def _lines(n=500):
+    # variable-length lines so partition bounds land mid-line
+    return [f'{{"id": "Q{i}", "pad": "{"x" * (i % 97)}"}}' for i in range(n)]
+
+
+def test_local_split_matches_read_text(registered, tmp_path):
+    spark = registered
+    p = tmp_path / "dump.json"
+    p.write_text("\n".join(_lines()) + "\n")
+    got = (
+        spark.read.format("wikidata_dump")
+        .option("path", str(p))
+        .option("numPartitions", "7")
+        .load()
+    )
+    assert got.rdd.getNumPartitions() == 7
+    got_rows = sorted(r.value for r in got.collect())
+    want_rows = sorted(r.value for r in spark.read.text(str(p)).collect())
+    assert got_rows == want_rows
+
+
+def test_local_no_trailing_newline(registered, tmp_path):
+    spark = registered
+    p = tmp_path / "dump2.json"
+    p.write_text("\n".join(_lines(101)))  # unterminated last line
+    got = sorted(
+        r.value
+        for r in spark.read.format("wikidata_dump")
+        .option("path", str(p))
+        .option("numPartitions", "5")
+        .load()
+        .collect()
+    )
+    assert got == sorted(_lines(101))
+
+
+def test_bz2_refused(registered, tmp_path):
+    spark = registered
+    with pytest.raises(Exception, match="bz2"):
+        spark.read.format("wikidata_dump").option(
+            "path", str(tmp_path / "d.json.bz2")
+        ).load().collect()
+
+
+class _RangeHandler(http.server.BaseHTTPRequestHandler):
+    payload = b""
+
+    def log_message(self, *a):
+        pass
+
+    def do_HEAD(self):
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(self.payload)))
+        self.send_header("Accept-Ranges", "bytes")
+        self.end_headers()
+
+    def do_GET(self):
+        rng = self.headers.get("Range")
+        start = 0
+        if rng:
+            start = int(rng.split("=")[1].rstrip("-").split("-")[0])
+            body = self.payload[start:]
+            self.send_response(206)
+            self.send_header(
+                "Content-Range", f"bytes {start}-{len(self.payload) - 1}/{len(self.payload)}"
+            )
+        else:
+            body = self.payload
+            self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        try:
+            self.wfile.write(body)
+        except BrokenPipeError:
+            pass  # reader stopped early after passing its slice end
+
+
+def test_http_range_split_reads_all_lines(registered, tmp_path):
+    spark = registered
+    _RangeHandler.payload = ("\n".join(_lines(300)) + "\n").encode()
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RangeHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/dump.json"
+        got = sorted(
+            r.value
+            for r in spark.read.format("wikidata_dump")
+            .option("path", url)
+            .option("numPartitions", "4")
+            .load()
+            .collect()
+        )
+        assert got == sorted(_lines(300))
+    finally:
+        srv.shutdown()
