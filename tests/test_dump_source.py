@@ -114,3 +114,29 @@ def test_http_range_split_reads_all_lines(registered, tmp_path):
         assert got == sorted(_lines(300))
     finally:
         srv.shutdown()
+
+
+def test_dump_source_feeds_real_pipeline(registered, tmp_path):
+    """The connector's lines drive parse_entity_lines identically to the
+    spark.read.text path (read_entity_dump)."""
+    import json
+
+    from geo_db_spark.sources.wikidata import parse_entity_lines, read_entity_dump
+
+    p = tmp_path / "entities.json"
+    ents = [
+        json.dumps({"id": f"Q{i}", "claims": {"P17": [{"mainsnak": {
+            "snaktype": "value", "datavalue": {"value": {"id": "Q183"}}}}]}})
+        for i in range(50)
+    ]
+    p.write_text("[\n" + ",\n".join(ents) + "\n]\n")  # dump-style brackets+commas
+    via_source = parse_entity_lines(
+        registered.read.format("wikidata_dump")
+        .option("path", str(p))
+        .option("numPartitions", "3")
+        .load()
+    )
+    via_text = read_entity_dump(registered, str(p))
+    a = sorted(r.id for r in via_source.select("id").collect())
+    b = sorted(r.id for r in via_text.select("id").collect())
+    assert a == b and len(a) == 50
