@@ -705,3 +705,100 @@ ORDER BY id, lang
 
 QUERIES["x12_label_explosion"] = x12_label_explosion
 ORACLES["x12_label_explosion"] = _x12_oracle()
+
+
+# C4/C6 fixtures: is_2nd iso rule (raw P300[0], no guards) + P131 edges
+# (active + id-value guard) on one dump
+_C4_CLASS_SETS = {
+    "territorial_entities": ["QT"],
+    "human_settlements": [],
+    "excluded": [],
+    "excluded_settlements": [],
+    "second_level_admin_div": ["Q2"],
+    "languages": [],
+}
+
+_C4_ENTITIES = {
+    # 2nd-level with iso: P300[0] taken RAW (even inactive/ended)
+    "T1": {"P31": [_q("QT"), _q("Q2")],
+           "P300": [{"mainsnak": {"snaktype": "value", "datavalue": {"value": "de-by"}},
+                     "qualifiers": {"P582": [_t(_PAST)]}}],
+           "P131": [_q("P_A")]},
+    # 2nd-level without P300 -> iso NULL
+    "T2": {"P31": [_q("QT"), _q("Q2")], "P131": [_q("P_A"), _q("P_B")]},
+    # NOT 2nd-level: iso suppressed even though P300 present
+    "T3": {"P31": [_q("QT")],
+           "P300": [{"mainsnak": {"snaktype": "value", "datavalue": {"value": "fr-01"}}}]},
+    # edges: ended P131 dropped, novalue dropped, active kept
+    "T4": {"P31": [_q("QT")],
+           "P131": [_q("P_OLD", {"P582": [_t(_PAST)]}), _q("P_NEW"),
+                    {"mainsnak": {"snaktype": "novalue"}}]},
+}
+
+
+def x13_te_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4+C6 through the REAL pipeline: territorial_entities_out (is_2nd
+    flag, RAW P300[0] iso only when 2nd-level) unioned with parent_edges
+    (active P131 with a value id) as tagged rows."""
+    tune(spark)
+    from geo_db_spark.extract import (
+        class_sets_from_dict,
+        parent_edges,
+        territorial_entities_out,
+        with_class_flags,
+    )
+
+    ents = with_class_flags(
+        _entities_df(spark, _C4_ENTITIES), class_sets_from_dict(spark, _C4_CLASS_SETS)
+    )
+    te = territorial_entities_out(ents).select(
+        "id",
+        F.lit("te").alias("kind"),
+        F.col("is_2nd").cast("int").cast("string").alias("v1"),
+        F.col("iso").alias("v2"),
+    )
+    edges = parent_edges(ents).select(
+        "id", F.lit("edge").alias("kind"), F.col("parent").alias("v1"),
+        F.lit(None).cast("string").alias("v2"),
+    )
+    return te.unionByName(edges).orderBy("id", "kind", "v1")
+
+
+def _x13_oracle() -> str:
+    sid = "json_extract_string(stmt, '$.mainsnak.datavalue.value.id')"
+    return f"""
+WITH {_values_cte(_C4_ENTITIES)},
+p31 AS (
+  {_explode_sql('P31')}
+),
+kept AS (
+  SELECT id, {sid} AS class_id FROM p31
+  WHERE {sid} IS NOT NULL AND {_active_sql('stmt')}
+    AND json_extract(stmt, '$.qualifiers.P1366[0]') IS NULL
+),
+flags AS (
+  SELECT e.id,
+         coalesce(bool_or(k.class_id = 'Q2'), FALSE) AS is_2nd,
+         json_extract_string(e.j, '$.claims.P300[0].mainsnak.datavalue.value') AS iso0
+  FROM entities e LEFT JOIN kept k ON e.id = k.id
+  GROUP BY e.id, iso0
+),
+te AS (
+  SELECT id, 'te' AS kind, CAST(CAST(is_2nd AS INT) AS VARCHAR) AS v1,
+         CASE WHEN is_2nd THEN iso0 END AS v2
+  FROM flags
+),
+p131 AS (
+  {_explode_sql('P131')}
+),
+edges AS (
+  SELECT id, 'edge' AS kind, {sid} AS v1, NULL AS v2 FROM p131
+  WHERE {sid} IS NOT NULL AND {_active_sql('stmt')}
+)
+SELECT id, kind, v1, v2 FROM (SELECT * FROM te UNION ALL SELECT * FROM edges)
+ORDER BY id, kind, v1
+"""
+
+
+QUERIES["x13_te_extraction"] = x13_te_extraction
+ORACLES["x13_te_extraction"] = _x13_oracle()
