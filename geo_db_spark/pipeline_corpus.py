@@ -101,3 +101,48 @@ def write_curated(
         sort_within=("doc_id",),
         max_records_per_file=5_000_000,
     )
+
+
+def curate_corpus_observed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    gate: QualityGate = QualityGate(),
+    stage_dir: str | None = None,
+):
+    """curate_corpus with free pipeline telemetry: returns (curated,
+    observations) where ``observations`` maps stage name -> a
+    ``pyspark.sql.Observation`` that fills in when the curated plan
+    runs an action (write_curated / count / collect).
+
+    This is the batch counterpart of the A10 streaming ticker: metrics
+    (row counts, token totals) are computed BY the same job on the rows
+    already flowing through — zero extra scans, zero extra shuffles —
+    exactly what a 100 TB curation run wants instead of a count() per
+    stage (each of which would re-execute the lineage). Read with
+    ``obs.get`` after the action; e.g. retention = kept/in.
+    """
+    from pyspark.sql import Observation
+
+    obs_in = Observation("corpus_in")
+    docs = docs.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+    )
+    curated = curate_corpus(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        gate=gate,
+        stage_dir=stage_dir,
+    )
+    obs_out = Observation("corpus_kept")
+    curated = curated.observe(
+        obs_out,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+    )
+    return curated, {"in": obs_in, "kept": obs_out}

@@ -68,3 +68,21 @@ WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
     assert langs
     back = spark.read.parquet(out)
     assert back.count() == len(got)
+
+
+def test_curate_corpus_observed_metrics_match_counts(spark, tmp_path):
+    """The observe() telemetry must report the true per-stage row/char
+    totals from the SAME action that writes the corpus — no extra scans."""
+    from geo_db_spark.io import load
+    from geo_db_spark.pipeline_corpus import curate_corpus_observed, write_curated
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    curated, obs = curate_corpus_observed(docs)
+    write_curated(curated, str(tmp_path / "curated"))
+
+    n_in = docs.count()
+    back = spark.read.parquet(str(tmp_path / "curated"))
+    assert obs["in"].get["n_rows"] == n_in
+    assert obs["kept"].get["n_rows"] == back.count()
+    assert obs["kept"].get["n_chars"] <= obs["in"].get["n_chars"]
+    assert obs["kept"].get["n_rows"] > 0
