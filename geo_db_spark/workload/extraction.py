@@ -802,3 +802,63 @@ ORDER BY id, kind, v1
 
 QUERIES["x13_te_extraction"] = x13_te_extraction
 ORACLES["x13_te_extraction"] = _x13_oracle()
+
+
+# C11/C12 fixtures: coordinate guards + first-P424 language code
+_C11_ENTITIES = {
+    "G1": {"P625": [{"mainsnak": {"snaktype": "value",
+                     "datavalue": {"value": {"latitude": 48.1375, "longitude": 11.575}}}}],
+           "P424": [{"mainsnak": {"snaktype": "value", "datavalue": {"value": "de"}}}]},
+    # novalue snak -> both NULL
+    "G2": {"P625": [{"mainsnak": {"snaktype": "novalue"}}]},
+    # missing longitude -> both NULL (all-or-nothing)
+    "G3": {"P625": [{"mainsnak": {"snaktype": "value",
+                     "datavalue": {"value": {"latitude": -3.5}}}}]},
+    # only the FIRST P625 counts, even when a later one is complete
+    "G4": {"P625": [{"mainsnak": {"snaktype": "novalue"}},
+                    {"mainsnak": {"snaktype": "value",
+                     "datavalue": {"value": {"latitude": 1.0, "longitude": 2.0}}}}],
+           "P424": [{"mainsnak": {"snaktype": "value", "datavalue": {"value": "eo"}}},
+                    {"mainsnak": {"snaktype": "value", "datavalue": {"value": "xx"}}}]},
+    "G5": {},  # nothing at all
+}
+
+
+def x14_coordinates_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11+C12 through the real pipeline: first-P625 coordinate with
+    snaktype/lat/lon all-or-nothing guards, and first-P424 language
+    code (later statements ignored)."""
+    tune(spark)
+    from geo_db_spark.extract import coordinates, languages_out
+
+    ents = _entities_df(spark, _C11_ENTITIES)
+    coords = coordinates(ents)
+    codes = languages_out(ents).withColumnRenamed("code", "lang_code")
+    return (
+        coords.join(codes, "id", "left")
+        .select("id", "lat", "lon", "lang_code")
+        .orderBy("id")
+    )
+
+
+def _x14_oracle() -> str:
+    snak = "json_extract(e.j, '$.claims.P625[0].mainsnak')"
+    lat = f"TRY_CAST(json_extract({snak}, '$.datavalue.value.latitude') AS DOUBLE)"
+    lon = f"TRY_CAST(json_extract({snak}, '$.datavalue.value.longitude') AS DOUBLE)"
+    ok = (
+        f"({snak} IS NOT NULL AND json_extract_string({snak}, '$.snaktype') = 'value' "
+        f"AND {lat} IS NOT NULL AND {lon} IS NOT NULL)"
+    )
+    return f"""
+WITH {_values_cte(_C11_ENTITIES)}
+SELECT e.id,
+       CASE WHEN {ok} THEN {lat} END AS lat,
+       CASE WHEN {ok} THEN {lon} END AS lon,
+       json_extract_string(e.j, '$.claims.P424[0].mainsnak.datavalue.value') AS lang_code
+FROM entities e
+ORDER BY e.id
+"""
+
+
+QUERIES["x14_coordinates_language"] = x14_coordinates_language
+ORACLES["x14_coordinates_language"] = _x14_oracle()
