@@ -124,17 +124,31 @@ class _DumpReader(DataSourceReader):
         start, end = partition.start, partition.end
         if start == end:
             return
-        skip_first = start > 0
+        # Ownership: this partition owns lines whose first byte is in
+        # [start, end). A first line is only PARTIAL (predecessor's) when
+        # the byte at start-1 is not a newline — so open one byte early
+        # and peek, otherwise a line starting exactly at `start` would be
+        # skipped by this partition AND stopped-before by the previous one
+        # (caught by test_boundary_exactly_at_line_start_not_lost).
         if self.is_http:
+            fetch_from = max(start - 1, 0)
             req = urllib.request.Request(self.path)
-            if skip_first or end < (1 << 62):
-                req.add_header("Range", f"bytes={start}-")
+            if fetch_from > 0 or end < (1 << 62):
+                req.add_header("Range", f"bytes={fetch_from}-")
             with urllib.request.urlopen(req) as stream:
+                skip_first = False
+                if start > 0:
+                    skip_first = stream.read(1) != b"\n"
                 for line in _iter_lines_from_stream(stream, start, end, skip_first):
                     yield (line.decode("utf-8", errors="replace"),)
         else:
             with open(self.path, "rb") as f:
-                f.seek(start)
+                skip_first = False
+                if start > 0:
+                    f.seek(start - 1)
+                    skip_first = f.read(1) != b"\n"
+                else:
+                    f.seek(start)
                 for line in _iter_lines_from_stream(f, start, end, skip_first):
                     yield (line.decode("utf-8", errors="replace"),)
 

@@ -140,3 +140,23 @@ def test_dump_source_feeds_real_pipeline(registered, tmp_path):
     a = sorted(r.id for r in via_source.select("id").collect())
     b = sorted(r.id for r in via_text.select("id").collect())
     assert a == b and len(a) == 50
+
+
+def test_boundary_exactly_at_line_start_not_lost(registered, tmp_path):
+    """Fixed-width lines + partition bounds landing EXACTLY on line
+    starts: the ownership rule must not drop (or double-read) boundary
+    lines — the classic off-by-one in byte-range text splitting."""
+    spark = registered
+    p = tmp_path / "fixed.json"
+    lines = [f"line-{i:04d}" for i in range(100)]  # 9 chars + \n = 10 bytes
+    p.write_text("\n".join(lines) + "\n")
+    assert p.stat().st_size == 1000  # bounds at 250/500/750 = line starts
+    got = sorted(
+        r.value
+        for r in spark.read.format("wikidata_dump")
+        .option("path", str(p))
+        .option("numPartitions", "4")
+        .load()
+        .collect()
+    )
+    assert got == sorted(lines)
