@@ -181,3 +181,68 @@ def save_zorder_clustered(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+# ------------------------------------------------- versioned table (manifest)
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "") -> int:
+    """Atomic table replacement via a manifest pointer — the smallest
+    useful slice of the Delta/Iceberg commit protocol, for sinks that
+    rewrite a whole snapshot per batch (streaming CDC apply, rollup
+    maintenance).
+
+    Layout: ``table_dir/v<N>/`` holds immutable parquet snapshots;
+    ``table_dir/_MANIFEST.json`` names the current version. A writer
+    writes the NEW snapshot directory completely, then swaps the
+    manifest with an atomic rename — readers either see the old version
+    or the new one, never a half-written directory (plain
+    ``mode("overwrite")`` deletes the target before the new files
+    commit, which is exactly the crash window this closes). Old
+    versions are pruned after the swap, keeping the latest two.
+
+    Returns the committed version number. POSIX/HDFS-rename semantics;
+    on S3-class stores swap the rename for a conditional PUT.
+    """
+    import json as _json
+    import os as _os
+
+    _os.makedirs(table_dir, exist_ok=True)
+    current = read_versioned_version(table_dir)
+    version = (current if current is not None else -1) + 1
+    snap = _os.path.join(table_dir, f"v{version}")
+    df.write.mode("overwrite").parquet(snap)
+    tmp = _os.path.join(table_dir, f".{_MANIFEST}.tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"version": version, "note": mode_note}, f)
+    _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))  # the commit point
+    for old in range(version - 1):
+        old_dir = _os.path.join(table_dir, f"v{old}")
+        if _os.path.isdir(old_dir):
+            import shutil as _shutil
+
+            _shutil.rmtree(old_dir, ignore_errors=True)
+    return version
+
+
+def read_versioned_version(table_dir: str) -> int | None:
+    import json as _json
+    import os as _os
+
+    m = _os.path.join(table_dir, _MANIFEST)
+    if not _os.path.exists(m):
+        return None
+    with open(m) as f:
+        return int(_json.load(f)["version"])
+
+
+def read_versioned(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Current snapshot per the manifest; raises if none committed."""
+    v = read_versioned_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {table_dir}")
+    import os as _os
+
+    return spark.read.parquet(_os.path.join(table_dir, f"v{v}"))

@@ -338,6 +338,7 @@ def stream_apply_changes(
     keys: list[str] | None = None,
     schema: str | None = None,
     available_now: bool = True,
+    versioned: bool = False,
 ):
     """Streaming CDC apply: a file-source stream of change batches
     (parquet files of full rows, key-unique within a batch) is MERGE'd
@@ -358,6 +359,13 @@ def stream_apply_changes(
     same transformation drives a Delta/Iceberg MERGE sink where only
     key-intersecting files rewrite (see merge_upsert's docstring) —
     foreachBatch is exactly where that sink swap happens.
+
+    ``versioned=True`` treats ``target_dir`` as a manifest-pointer
+    versioned table (io.write_versioned): each batch commits a NEW
+    immutable snapshot directory and atomically swaps the manifest, so
+    a crash mid-write leaves the previous snapshot intact — plain
+    overwrite mode deletes the target before the new files commit.
+    Seed the table with ``io.write_versioned`` first.
     """
     from pyspark.sql import Window
 
@@ -383,9 +391,19 @@ def stream_apply_changes(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        target = batch_df.sparkSession.read.parquet(target_dir)
-        merged = merge_upsert(target, src, ks).localCheckpoint()
-        merged.write.mode("overwrite").parquet(target_dir)
+        sess = batch_df.sparkSession
+        if versioned:
+            from geo_db_spark.io import read_versioned, write_versioned
+
+            # old snapshot dir != new snapshot dir: no self-overwrite,
+            # no checkpoint barrier needed, atomic manifest swap
+            target = read_versioned(sess, target_dir)
+            write_versioned(merge_upsert(target, src, ks), target_dir,
+                            mode_note=f"batch {batch_id}")
+        else:
+            target = sess.read.parquet(target_dir)
+            merged = merge_upsert(target, src, ks).localCheckpoint()
+            merged.write.mode("overwrite").parquet(target_dir)
 
     writer = batches.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -117,3 +117,19 @@ def test_zorder_files_tight_on_both_dims(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.columns == ["x", "y"]
     assert back.count() == 4096
+
+
+def test_versioned_write_commits_atomically_and_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import read_versioned, read_versioned_version, write_versioned
+
+    d = str(tmp_path / "vtable")
+    assert write_versioned(spark.range(5).select(F.col("id")), d) == 0
+    assert write_versioned(spark.range(9).select(F.col("id")), d) == 1
+    assert write_versioned(spark.range(3).select(F.col("id")), d) == 2
+    assert read_versioned_version(d) == 2
+    assert read_versioned(spark, d).count() == 3
+    # only the latest two snapshot dirs survive pruning
+    vs = sorted(x for x in os.listdir(d) if x.startswith("v"))
+    assert vs == ["v1", "v2"]

@@ -393,3 +393,40 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, cms_build(ev, "user_id").collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_apply_changes_versioned(spark, tmp_path):
+    """versioned=True: each micro-batch commits a new snapshot via the
+    manifest pointer; final table state equals the overwrite path's."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import read_versioned, read_versioned_version, write_versioned
+    from geo_db_spark.streaming.jobs import stream_apply_changes
+
+    target_dir = str(tmp_path / "vtarget")
+    batches_dir = str(tmp_path / "vbatches")
+    os.makedirs(batches_dir, exist_ok=True)
+    write_versioned(
+        spark.range(10).select(F.col("id").alias("k"), F.lit("base").alias("v")),
+        target_dir,
+    )
+    spark.createDataFrame([(1, "upd1"), (100, "new100")], "k long, v string").coalesce(
+        1
+    ).write.mode("append").parquet(batches_dir)
+    _t.sleep(1.1)
+    spark.createDataFrame([(2, "upd2")], "k long, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(batches_dir)
+
+    q = stream_apply_changes(
+        spark, batches_dir, target_dir, str(tmp_path / "vck"),
+        keys=["k"], schema="k long, v string", versioned=True,
+    )
+    q.awaitTermination(120)
+    assert read_versioned_version(target_dir) >= 1
+    got = {r.k: r.v for r in read_versioned(spark, target_dir).collect()}
+    assert got[1] == "upd1" and got[2] == "upd2" and got[100] == "new100"
+    assert got[0] == "base" and len(got) == 11
