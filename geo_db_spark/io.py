@@ -188,7 +188,7 @@ def save_zorder_clustered(
 _MANIFEST = "_MANIFEST.json"
 
 
-def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "") -> int:
+def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "", keep: int = 2) -> int:
     """Atomic table replacement via a manifest pointer — the smallest
     useful slice of the Delta/Iceberg commit protocol, for sinks that
     rewrite a whole snapshot per batch (streaming CDC apply, rollup
@@ -203,8 +203,10 @@ def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "") -> int:
     commit, which is exactly the crash window this closes). Old
     versions are pruned after the swap, keeping the latest two.
 
-    Returns the committed version number. POSIX/HDFS-rename semantics;
-    on S3-class stores swap the rename for a conditional PUT.
+    Returns the committed version number. ``keep`` retained snapshots
+    give bounded time travel (``read_versioned(version=...)``).
+    POSIX/HDFS-rename semantics; on S3-class stores swap the rename for
+    a conditional PUT.
     """
     import json as _json
     import os as _os
@@ -218,7 +220,7 @@ def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "") -> int:
     with open(tmp, "w") as f:
         _json.dump({"version": version, "note": mode_note}, f)
     _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))  # the commit point
-    for old in range(version - 1):
+    for old in range(version - keep + 1):
         old_dir = _os.path.join(table_dir, f"v{old}")
         if _os.path.isdir(old_dir):
             import shutil as _shutil
@@ -238,11 +240,17 @@ def read_versioned_version(table_dir: str) -> int | None:
         return int(_json.load(f)["version"])
 
 
-def read_versioned(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Current snapshot per the manifest; raises if none committed."""
-    v = read_versioned_version(table_dir)
+def read_versioned(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Current snapshot per the manifest (or time-travel to a still-
+    retained ``version``); raises if none committed / already pruned."""
+    v = read_versioned_version(table_dir) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version under {table_dir}")
     import os as _os
 
-    return spark.read.parquet(_os.path.join(table_dir, f"v{v}"))
+    snap = _os.path.join(table_dir, f"v{v}")
+    if not _os.path.isdir(snap):
+        raise FileNotFoundError(f"version {v} not retained under {table_dir}")
+    return spark.read.parquet(snap)

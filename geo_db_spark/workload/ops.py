@@ -1025,3 +1025,45 @@ GROUP BY CUBE (c_mktsegment, o_orderpriority)
 
 QUERIES["g19_cube_revenue"] = g19_cube_revenue
 ORACLES["g19_cube_revenue"] = ORACLE_G19
+
+
+def g20_window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window functions in one deterministic pass:
+    percent_rank / cume_dist / nth_value over a per-segment balance
+    ordering (unique key tuple so every function is stable), plus
+    dense_rank for the tie-free contrast."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("decimal(12,2)").alias("bal")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("bal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("bal").cast("double").alias("acctbal"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.nth_value(F.col("bal").cast("double"), 3).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("third_lowest"),
+    )
+
+
+ORACLE_G20 = """
+SELECT c_custkey, c_mktsegment,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(dense_rank() OVER w AS INT) AS drank,
+       nth_value(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE), 3) OVER (
+         PARTITION BY c_mktsegment ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_lowest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey)
+"""
+
+QUERIES["g20_window_rank_surface"] = g20_window_rank_surface
+ORACLES["g20_window_rank_surface"] = ORACLE_G20

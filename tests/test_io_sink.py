@@ -133,3 +133,21 @@ def test_versioned_write_commits_atomically_and_prunes(spark, tmp_path):
     # only the latest two snapshot dirs survive pruning
     vs = sorted(x for x in os.listdir(d) if x.startswith("v"))
     assert vs == ["v1", "v2"]
+
+
+def test_versioned_time_travel_within_retention(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from geo_db_spark.io import read_versioned, write_versioned
+
+    d = str(tmp_path / "tt")
+    for n in (4, 7, 9):
+        write_versioned(spark.range(n).select(F.col("id")), d, keep=3)
+    assert read_versioned(spark, d).count() == 9
+    assert read_versioned(spark, d, version=1).count() == 7
+    assert read_versioned(spark, d, version=0).count() == 4
+    write_versioned(spark.range(2).select(F.col("id")), d, keep=3)  # prunes v0
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        read_versioned(spark, d, version=0)
