@@ -254,3 +254,24 @@ def read_versioned(
     if not _os.path.isdir(snap):
         raise FileNotFoundError(f"version {v} not retained under {table_dir}")
     return spark.read.parquet(snap)
+
+
+def compact_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    n_files: int = 16,
+    sort_by: tuple[str, ...] = (),
+) -> int:
+    """OPTIMIZE in miniature: rewrite the current snapshot into
+    ``n_files`` right-sized files (optionally re-sorted for tight
+    footer stats) and commit it as a NEW version — readers never see a
+    half-compacted table, and the previous version stays readable until
+    pruned. The streaming CDC apply appends one snapshot per batch;
+    running this periodically keeps the file count bounded — the same
+    maintenance split (ingest fast / compact async) every lakehouse
+    runs. Returns the committed version."""
+    df = read_versioned(spark, table_dir)
+    df = df.repartition(n_files)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    return write_versioned(df, table_dir, mode_note=f"compaction to {n_files} files")

@@ -151,3 +151,19 @@ def test_versioned_time_travel_within_retention(spark, tmp_path):
     write_versioned(spark.range(2).select(F.col("id")), d, keep=3)  # prunes v0
     with _pytest.raises(FileNotFoundError, match="not retained"):
         read_versioned(spark, d, version=0)
+
+
+def test_compact_versioned_preserves_rows_bounds_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import compact_versioned, read_versioned, write_versioned
+
+    d = str(tmp_path / "compact")
+    # a fragmented snapshot: 37 partitions -> 37 files
+    write_versioned(spark.range(1000).select(F.col("id")).repartition(37), d)
+    v = compact_versioned(spark, d, n_files=4)
+    assert v == 1
+    back = read_versioned(spark, d)
+    assert back.count() == 1000
+    files = [f for f in os.listdir(os.path.join(d, "v1")) if f.endswith(".parquet")]
+    assert len(files) <= 4
