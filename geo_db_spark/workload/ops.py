@@ -1067,3 +1067,44 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY CAST(c_acctbal AS DECIMAL(12,2))
 
 QUERIES["g20_window_rank_surface"] = g20_window_rank_surface
 ORACLES["g20_window_rank_surface"] = ORACLE_G20
+
+
+def g21_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>` / IS NOT DISTINCT FROM) join surface:
+    customers with a negative balance get a NULL segment key; a
+    null-safe join against the distinct key set still matches those
+    rows to the NULL dim row (a plain equi-join would silently drop
+    them — the classic nullable-FK bug)."""
+    tune(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("k"),
+    )
+    dim = cust.select("k").distinct().select(
+        F.col("k").alias("dk"), F.coalesce("k", F.lit("UNSEGMENTED")).alias("label")
+    )
+    return (
+        cust.join(dim, cust["k"].eqNullSafe(dim["dk"]))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_G21 = """
+WITH keyed AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS k
+  FROM customer
+),
+dim AS (
+  SELECT k AS dk, COALESCE(k, 'UNSEGMENTED') AS label FROM (SELECT DISTINCT k FROM keyed)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM keyed JOIN dim ON keyed.k IS NOT DISTINCT FROM dim.dk
+GROUP BY 1
+"""
+
+QUERIES["g21_null_safe_join"] = g21_null_safe_join
+ORACLES["g21_null_safe_join"] = ORACLE_G21
