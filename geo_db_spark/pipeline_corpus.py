@@ -146,3 +146,50 @@ def curate_corpus_observed(
         F.sum(F.length(text_col)).alias("n_chars"),
     )
     return curated, {"in": obs_in, "kept": obs_out}
+
+
+def assemble_training_set(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    gate: QualityGate = QualityGate(),
+    stage_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """The full corpus-to-training-set assembly: curate (dedup + quality
+    gate), assign deterministic train/val/test splits, and pack each
+    split's documents into fixed-budget training sequences.
+
+    Returns {"curated", "splits", "sequences"}:
+    - curated: the surviving documents (every original column);
+    - curated + a ``split`` column (md5-banded 96/2/2 —
+      operators/packing.split_assign; a document never migrates);
+    - one row per (split, source, seq_id) with n_docs / seq_tokens
+      (concat-and-chunk packing, distributed prefix sum per split).
+
+    Composition of oracle-checked pieces (dedup_*, text_quality_metrics,
+    text_split_assign, pack_sequences_report) — the 100 TB shape is the
+    sum of the per-stage shapes; nothing new shuffles here.
+    """
+    from geo_db_spark.operators.packing import pack_sequences, split_assign
+
+    curated = curate_corpus(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        gate=gate,
+        stage_dir=stage_dir,
+    )
+    splits = curated.withColumn("split", split_assign(curated, id_col))
+    sequences = None
+    for name in ("train", "val", "test"):
+        part = pack_sequences(
+            splits.filter(F.col("split") == name),
+            budget=budget,
+            id_col=id_col,
+            text_col=text_col,
+        ).withColumn("split", F.lit(name))
+        sequences = part if sequences is None else sequences.unionByName(part)
+    return {"curated": curated, "splits": splits, "sequences": sequences}

@@ -86,3 +86,39 @@ def test_curate_corpus_observed_metrics_match_counts(spark, tmp_path):
     assert obs["kept"].get["n_rows"] == back.count()
     assert obs["kept"].get["n_chars"] <= obs["in"].get["n_chars"]
     assert obs["kept"].get["n_rows"] > 0
+
+
+def test_assemble_training_set_end_to_end(spark):
+    """curate -> split -> pack composition: splits partition the curated
+    set, packing covers every split's docs exactly once, and sequence
+    token totals reconcile with the split token totals."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
+    from geo_db_spark.pipeline_corpus import assemble_training_set
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    out = assemble_training_set(docs, budget=512)
+    n_curated = out["curated"].count()
+    split_rows = out["splits"].groupBy("split").count().collect()
+    assert sum(r["count"] for r in split_rows) == n_curated
+    assert {r["split"] for r in split_rows} <= {"train", "val", "test"}
+
+    seq = out["sequences"]
+    per_split_docs = {
+        r["split"]: r["n"]
+        for r in seq.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    for r in split_rows:
+        assert per_split_docs.get(r["split"], 0) == r["count"]
+    # token reconciliation: sum of sequence tokens == sum of doc tokens per split
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    want = {
+        r["split"]: r["t"]
+        for r in out["splits"].groupBy("split").agg(F.sum(toks).alias("t")).collect()
+    }
+    got = {
+        r["split"]: r["t"]
+        for r in seq.groupBy("split").agg(F.sum("seq_tokens").alias("t")).collect()
+    }
+    assert got == want
