@@ -1108,3 +1108,33 @@ GROUP BY 1
 
 QUERIES["g21_null_safe_join"] = g21_null_safe_join
 ORACLES["g21_null_safe_join"] = ORACLE_G21
+
+
+def g22_explode_outer_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW OUTER / explode_outer surface: long words (>4 chars)
+    per part name; parts with NO long word survive the explode as a NULL
+    row (plain explode would drop them) and land in the '<none>' bucket."""
+    tune(spark)
+    part = load(spark, sf_dir, "part")
+    words = F.expr("filter(split(p_name, ' '), w -> length(w) > 4)")
+    ex = part.select("p_partkey", F.explode_outer(words).alias("w"))
+    return ex.groupBy(F.coalesce("w", F.lit("<none>")).alias("word")).agg(
+        F.count_distinct("p_partkey").alias("n_parts")
+    )
+
+
+ORACLE_G22 = """
+WITH lw AS (
+  SELECT p_partkey,
+         list_filter(regexp_split_to_array(p_name, ' '), x -> length(x) > 4) AS ws
+  FROM part
+),
+ex AS (SELECT p_partkey, unnest(ws) AS w FROM lw),
+none AS (SELECT p_partkey FROM lw WHERE len(ws) = 0)
+SELECT w AS word, CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_parts FROM ex GROUP BY 1
+UNION ALL
+SELECT '<none>', CAST(COUNT(*) AS BIGINT) FROM none HAVING COUNT(*) > 0
+"""
+
+QUERIES["g22_explode_outer_words"] = g22_explode_outer_words
+ORACLES["g22_explode_outer_words"] = ORACLE_G22
