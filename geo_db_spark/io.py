@@ -220,12 +220,13 @@ def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "", keep: in
     with open(tmp, "w") as f:
         _json.dump({"version": version, "note": mode_note}, f)
     _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))  # the commit point
-    for old in range(version - keep + 1):
-        old_dir = _os.path.join(table_dir, f"v{old}")
-        if _os.path.isdir(old_dir):
-            import shutil as _shutil
+    # prune by listing once (O(retained)) — iterating 0..version would
+    # stat an ever-growing range under the per-batch streaming apply
+    import shutil as _shutil
 
-            _shutil.rmtree(old_dir, ignore_errors=True)
+    for name in _os.listdir(table_dir):
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= version - keep:
+            _shutil.rmtree(_os.path.join(table_dir, name), ignore_errors=True)
     return version
 
 

@@ -34,13 +34,22 @@ def snapshot_diff(
     would be reported unchanged — the standard CDC trade; pass the
     changed columns to a follow-up exact join when that matters.
 
-    Null-safe: a NULL-vs-value change in any compared column changes the
-    hash (xxhash64 folds null as a fixed tag).
+    Null-safe: each column is hashed SEPARATELY first and the row hash
+    is taken over those per-column hashes. A bare multi-column
+    ``xxhash64(a, b)`` SKIPS null inputs, so (x, NULL) and (NULL, x)
+    would collide and a value moving across columns through NULL would
+    read as unchanged; the inner hash maps NULL to a fixed position-
+    preserving value instead, so any null/value flip changes the row
+    hash.
     """
     ks = list(keys)
     cols = list(compare_cols) if compare_cols else [c for c in old.columns if c not in ks]
-    o = old.select(*ks, F.xxhash64(*cols).alias("__oh"))
-    n = new.select(*ks, F.xxhash64(*cols).alias("__nh"))
+
+    def row_hash() -> F.Column:
+        return F.xxhash64(*[F.xxhash64(F.col(c)) for c in cols])
+
+    o = old.select(*ks, row_hash().alias("__oh"))
+    n = new.select(*ks, row_hash().alias("__nh"))
     j = o.join(n, ks, "full_outer")
     change = (
         F.when(F.col("__oh").isNull(), F.lit("insert"))

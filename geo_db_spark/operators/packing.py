@@ -188,7 +188,7 @@ def quantile_threshold_filter(
 SPLIT_BANDS: tuple[tuple[int, str], ...] = ((96, "train"), (98, "val"), (100, "test"))
 
 
-def split_assign(df: DataFrame, id_col: str = "doc_id") -> Column:
+def split_assign(id_col: str = "doc_id") -> Column:
     """Deterministic train/val/test assignment: md5 of the id, mod 100,
     banded 96/2/2. A pure function of the id — stable across runs,
     machines, and partitionings, which is the property that matters when

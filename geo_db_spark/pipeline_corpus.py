@@ -171,6 +171,13 @@ def assemble_training_set(
     Composition of oracle-checked pieces (dedup_*, text_quality_metrics,
     text_split_assign, pack_sequences_report) — the 100 TB shape is the
     sum of the per-stage shapes; nothing new shuffles here.
+
+    The curated set feeds FOUR downstream actions (three per-split
+    packing passes + whatever the caller does with "curated"/"splits");
+    with ``stage_dir`` it is persisted once and re-read, so the
+    curation lineage (dedup shuffles, minhash, quality gate) runs once
+    instead of once per consumer — at scale always pass a stage_dir
+    (same contract as curate_corpus).
     """
     from geo_db_spark.operators.packing import pack_sequences, split_assign
 
@@ -182,7 +189,11 @@ def assemble_training_set(
         gate=gate,
         stage_dir=stage_dir,
     )
-    splits = curated.withColumn("split", split_assign(curated, id_col))
+    if stage_dir:
+        path = f"{stage_dir}/curated"
+        curated.write.mode("overwrite").parquet(path)
+        curated = docs.sparkSession.read.parquet(path)
+    splits = curated.withColumn("split", split_assign(id_col))
     sequences = None
     for name in ("train", "val", "test"):
         part = pack_sequences(

@@ -36,6 +36,7 @@ Register once per session, then read:
 from __future__ import annotations
 
 import os
+import urllib.error
 import urllib.request
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -51,12 +52,17 @@ class _Slice(InputPartition):
 
 
 def _http_probe(url: str) -> tuple[int | None, bool]:
-    """(content_length, accepts_ranges) via one HEAD request."""
+    """(content_length, accepts_ranges) via one HEAD request. A server
+    that rejects HEAD (405/403) degrades to the single-streaming-
+    partition path instead of failing the whole read."""
     req = urllib.request.Request(url, method="HEAD")
-    with urllib.request.urlopen(req) as resp:
-        n = resp.headers.get("Content-Length")
-        ranges = (resp.headers.get("Accept-Ranges") or "").lower() == "bytes"
-        return (int(n) if n is not None else None), ranges
+    try:
+        with urllib.request.urlopen(req) as resp:
+            n = resp.headers.get("Content-Length")
+            ranges = (resp.headers.get("Accept-Ranges") or "").lower() == "bytes"
+            return (int(n) if n is not None else None), ranges
+    except urllib.error.URLError:
+        return None, False
 
 
 def _iter_lines_from_stream(stream, start: int, end: int, skip_first: bool):
@@ -133,9 +139,21 @@ class _DumpReader(DataSourceReader):
         if self.is_http:
             fetch_from = max(start - 1, 0)
             req = urllib.request.Request(self.path)
-            if fetch_from > 0 or end < (1 << 62):
+            want_range = fetch_from > 0
+            if want_range:
                 req.add_header("Range", f"bytes={fetch_from}-")
             with urllib.request.urlopen(req) as stream:
+                # a proxy/server may ignore Range and answer 200 with the
+                # FULL body — trusting it would re-read the file head as
+                # this slice (duplicated early lines, lost tail). Detect
+                # via status and discard up to our offset instead.
+                if want_range and getattr(stream, "status", 206) != 206:
+                    remaining = fetch_from
+                    while remaining > 0:
+                        skipped = stream.read(min(_CHUNK, remaining))
+                        if not skipped:
+                            return  # file shorter than our slice start
+                        remaining -= len(skipped)
                 skip_first = False
                 if start > 0:
                     skip_first = stream.read(1) != b"\n"

@@ -375,6 +375,13 @@ def stream_apply_changes(
     reader = spark.readStream
     if schema:
         reader = reader.schema(schema)
+    elif versioned:
+        # a versioned table dir holds v<N>/ snapshots + the manifest — a
+        # recursive plain read would fail (or union snapshots); infer
+        # from the CURRENT snapshot
+        from geo_db_spark.io import read_versioned
+
+        reader = reader.schema(read_versioned(spark, target_dir).schema)
     else:
         reader = reader.schema(spark.read.parquet(target_dir).schema)
     batches = reader.parquet(batches_dir)

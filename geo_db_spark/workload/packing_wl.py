@@ -106,7 +106,7 @@ def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
     return (
-        docs.withColumn("split", split_assign(docs))
+        docs.withColumn("split", split_assign())
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

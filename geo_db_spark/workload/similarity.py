@@ -772,7 +772,12 @@ def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("c_id"))
         .distinct()
     )
-    qv = emb.select(F.col("vec_id").alias("q_id"), F.col("q").alias("q_q"), F.col("qnorm").alias("q_n"))
+    # query payloads ONLY — broadcasting the unfiltered corpus here was
+    # a whole-table broadcast (caught by the r4 self-review): cand.q_id
+    # is < 10 by construction, so filter BEFORE the hint
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("q_q"), F.col("qnorm").alias("q_n")
+    )
     cv = emb.select(F.col("vec_id").alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n"))
     pairs = cand.join(F.broadcast(qv), "q_id").join(cv, "c_id")
     cos = cosine_from_quantized(int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n"))

@@ -49,3 +49,12 @@ def test_merge_then_diff_roundtrip(spark):
     got = {r.k: r.change_type for r in snapshot_diff(target, merged, ["k"]).collect()}
     # k=8 carries the same value it already had -> unchanged, not reported
     assert got == {7: "update", 200: "insert"}
+
+
+def test_snapshot_diff_detects_value_moving_across_null_columns(spark):
+    """Regression (r4 review): a bare xxhash64(a, b) SKIPS null inputs,
+    so ('x', NULL) and (NULL, 'x') collided and the update vanished."""
+    old = spark.createDataFrame([(1, "x", None)], "k int, a string, b string")
+    new = spark.createDataFrame([(1, None, "x")], "k int, a string, b string")
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "update"}

@@ -99,10 +99,10 @@ def test_quantile_filter_keeps_top_three_quarters(spark):
 
 def test_split_assign_stable_and_banded(spark):
     docs = _docs(spark, n=1000)
-    a = {r.doc_id: r.split for r in docs.select("doc_id", split_assign(docs).alias("split")).collect()}
+    a = {r.doc_id: r.split for r in docs.select("doc_id", split_assign().alias("split")).collect()}
     b = {
         r.doc_id: r.split
-        for r in docs.repartition(7).select("doc_id", split_assign(docs).alias("split")).collect()
+        for r in docs.repartition(7).select("doc_id", split_assign().alias("split")).collect()
     }
     assert a == b  # pure function of id: partitioning cannot change it
     from collections import Counter

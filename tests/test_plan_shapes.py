@@ -97,7 +97,9 @@ SCALING_HINT_OFFENDERS = [
     "q20_promotion_suppliers",
     "q21_suppliers_kept_waiting",
     # r4 additions: corpus/fact tables scale too — a hint subtree must
-    # never reach documents/embeddings/events either
+    # never reach documents/events either (embeddings is exempt from the
+    # blanket rule: ANN queries legitimately broadcast the vec_id<10
+    # query-side projection, which still scans embeddings.parquet)
     "pack_sequences_report",
     "dedup_incremental_bloom",
     "cdc_snapshot_diff",

@@ -421,9 +421,12 @@ def test_stream_apply_changes_versioned(spark, tmp_path):
         "append"
     ).parquet(batches_dir)
 
+    # schema deliberately omitted: regression for inferring it from the
+    # CURRENT versioned snapshot (a plain read of the table dir fails on
+    # the v<N>/ layout)
     q = stream_apply_changes(
         spark, batches_dir, target_dir, str(tmp_path / "vck"),
-        keys=["k"], schema="k long, v string", versioned=True,
+        keys=["k"], versioned=True,
     )
     q.awaitTermination(120)
     assert read_versioned_version(target_dir) >= 1
