@@ -24,12 +24,12 @@ W = 512  # counters per row
 
 
 def _row_hash(key: Column, i: int) -> Column:
-    """Row i's counter index for ``key``: salted 60-bit md5 mod w.
+    """Row i's counter index for ``key``: salted 60-bit md5 mod w —
+    operators/sketch.hash60 (the shared cross-engine hash convention).
     DuckDB twin: ('0x'||substr(md5('i:' || CAST(k AS VARCHAR)),1,15))::BIGINT % w."""
-    s = F.concat(F.lit(f"{i}:"), key.cast("string"))
-    return (
-        F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long") % W
-    )
+    from geo_db_spark.operators.sketch import hash60
+
+    return hash60(F.concat(F.lit(f"{i}:"), key.cast("string"))) % W
 
 
 def cms_build(df: DataFrame, key_col: str) -> DataFrame:

@@ -110,6 +110,12 @@ def c4_filter_flags(df: DataFrame, id_col: str = "doc_id",
     plus the folded ``keep`` decision. Pure row-local expressions — no
     shuffle; at 100 TB this is a map-only pass that fuses into the scan.
 
+    ``f_no_terminal_punct`` is REPORTED but deliberately NOT folded into
+    ``keep``: in C4 the terminal-punctuation rule is applied per LINE
+    (dropping lines, not documents); folding it at document granularity
+    would discard every document whose final line is a heading or list
+    item. Callers doing line-level cleanup consume the flag directly.
+
     mean word length uses non-space chars / n_tokens so it is a single
     IEEE division of two exact integers.
     """

@@ -72,12 +72,9 @@ def _estimate(s_present: Column, n_regs: Column) -> Column:
     return F.round(F.when((n_regs < M) & (raw <= SMALL), lin).otherwise(raw), 4)
 
 
-def hll_distinct_per_group(
-    df: DataFrame, value_col: str, group_cols: list[str]
-) -> DataFrame:
-    """Per-group approximate distinct count (sigma ~ 1.04/sqrt(256) =
-    6.5%). Returns group_cols + (n_regs, approx_distinct)."""
-    regs = _registers(df, value_col, group_cols)
+def estimate_from_registers(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., n_regs, approx_distinct) from a sparse register table —
+    the readout shared by the batch path and the streaming sink."""
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.expr(f"shiftleft(1L, cast({R_MAX} - __reg as int))")).alias("__s"),
         F.count(F.lit(1)).alias("n_regs"),
@@ -85,6 +82,14 @@ def hll_distinct_per_group(
     return agg.select(
         *group_cols, "n_regs", _estimate(F.col("__s"), F.col("n_regs")).alias("approx_distinct")
     )
+
+
+def hll_distinct_per_group(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group approximate distinct count (sigma ~ 1.04/sqrt(256) =
+    6.5%). Returns group_cols + (n_regs, approx_distinct)."""
+    return estimate_from_registers(_registers(df, value_col, group_cols), group_cols)
 
 
 def hll_oracle_sql(table: str, value_col: str, group_cols: list[str]) -> str:

@@ -58,9 +58,20 @@ def bucketed_range_join(
         )
     if how == "left":
         # deterministic per-key row identity: full-duplicate rows are
-        # indistinguishable, so tie order cannot change the result set
-        w = Window.partitionBy(key).orderBy(*[F.col(c) for c in left.columns])
-        left = left.withColumn("__rowid", F.row_number().over(w))
+        # indistinguishable, so tie order cannot change the result set.
+        # The window is salted by row content — partitioning by key alone
+        # would funnel every row of a hot key through ONE task (the exact
+        # skew this operator exists to avoid; r4 review); (salt, rn) is
+        # still unique per key because salt groups are disjoint.
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(64))
+        left = left.withColumn("__rjsalt", salt)
+        w = Window.partitionBy(key, "__rjsalt").orderBy(
+            *[F.col(c) for c in left.columns if c != "__rjsalt"]
+        )
+        left = left.withColumn(
+            "__rowid",
+            F.col("__rjsalt") * F.lit(1 << 40) + F.row_number().over(w),
+        ).drop("__rjsalt")
     width = max(upper_s - lower_s, 1e-6)
     bucket_us = int((bucket_s if bucket_s is not None else width) * 1_000_000)
     lo_us = int(lower_s * 1_000_000)

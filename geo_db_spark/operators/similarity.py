@@ -131,13 +131,21 @@ def cosine_topk_bruteforce_arrow(
             c_sqrt = np.sqrt(pdf["qnorm"].to_numpy(np.float64))
             cos = (v @ q_mat.T).astype(np.float64) / (q_sqrt[None, :] * c_sqrt[:, None])
             cos[c_ids[:, None] == q_ids[None, :]] = -np.inf  # self-pairs out
+            # rank key: a zero-norm vector divides 0/0, which the codegen
+            # baseline evaluates as NULL (Spark ANSI-off division) and the
+            # final `cosine DESC` window orders NULLS LAST — so those rows
+            # must be KEPT but ranked below every real cosine (>= -1).
+            # The pre-review kernel dropped them outright (bit-identity
+            # break); ranking them FIRST would instead evict real
+            # neighbors from the batch-local top-k at small k.
+            key = np.where(np.isnan(cos), -2.0, cos)
             # batch-local top-k per query under the SAME total order as the
-            # global window (cosine desc, neighbor_id asc): the global
-            # top-k is a subset of the union of batch top-ks
+            # global window (cosine desc nulls last, neighbor_id asc): the
+            # global top-k is a subset of the union of batch top-ks
             kk = min(k, cos.shape[0])
-            order = np.lexsort((c_ids[:, None].repeat(len(q_ids), 1), -cos), axis=0)[:kk]
+            order = np.lexsort((c_ids[:, None].repeat(len(q_ids), 1), -key), axis=0)[:kk]
             rows, cols = order.ravel(), np.tile(np.arange(len(q_ids)), kk)
-            keep = cos[rows, cols] > -np.inf
+            keep = key[rows, cols] > -np.inf
             yield pd.DataFrame(
                 {
                     "q_id": q_ids[cols[keep]],

@@ -278,28 +278,20 @@ def streaming_hll_registers(events: DataFrame, key_col: str = "user_id",
     sketch over the same rows (tests/test_streaming.py asserts equality
     with operators.hll over the whole directory). Run in update/complete
     mode; estimate with hll_estimate_from_registers on the sink side."""
-    from geo_db_spark.operators.hll import M, _rank
-    from geo_db_spark.operators.sketch import hash60
+    from geo_db_spark.operators.hll import _registers
 
-    h = hash60(F.col(key_col))
-    d = events.select(
-        F.col(group_col), (h % M).cast("int").alias("__b"), _rank(h).alias("__r")
-    )
-    return d.groupBy(group_col, "__b").agg(F.max("__r").alias("__reg"))
+    # the batch register derivation IS the streaming one: the max-agg is
+    # what Spark keeps as state (re-implementing it here is how the two
+    # could silently diverge — r4 review)
+    return _registers(events, key_col, [group_col])
 
 
 def hll_estimate_from_registers(regs: DataFrame, group_col: str = "event_type") -> DataFrame:
     """(group, n_regs, approx_distinct) from a sparse register table —
     the per-batch sink-side readout for streaming_hll_registers."""
-    from geo_db_spark.operators.hll import R_MAX, _estimate
+    from geo_db_spark.operators.hll import estimate_from_registers
 
-    agg = regs.groupBy(group_col).agg(
-        F.sum(F.expr(f"shiftleft(1L, cast({R_MAX} - __reg as int))")).alias("__s"),
-        F.count(F.lit(1)).alias("n_regs"),
-    )
-    return agg.select(
-        group_col, "n_regs", _estimate(F.col("__s"), F.col("n_regs")).alias("approx_distinct")
-    )
+    return estimate_from_registers(regs, [group_col])
 
 
 def run_streaming_hll(

@@ -846,7 +846,7 @@ def g16_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
 
     def first_after(df, etype, after=None):
-        src = ev.filter(F.col("event_type") == etype)
+        src = df.filter(F.col("event_type") == etype)
         if after is not None:
             src = src.join(after, "user_id").filter(F.col("ts") > F.col("t0"))
         return src.groupBy("user_id").agg(F.min("ts").alias("t0"))

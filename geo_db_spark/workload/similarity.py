@@ -284,24 +284,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tune(spark)
-    emb = with_quantized(load(spark, sf_dir, "embeddings"))
-    cent = emb.filter(F.col("vec_id") < IVF_C).select(
-        F.col("vec_id").alias("cent_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
-    )
-    scored = emb.select("vec_id", "q", "qnorm").join(F.broadcast(cent)).select(
-        "vec_id",
-        "cent_id",
-        cosine_from_quantized(
-            int_dot(F.col("q"), F.col("c_q")), F.col("qnorm"), F.col("c_n")
-        ).alias("c_score"),
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("c_score").desc(), F.col("cent_id"))
-    cells = (
-        scored.withColumn("__rn", F.row_number().over(wa))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
-    assigned = emb.join(cells, "vec_id")
+    # cell assignment via the shared codegen helper (the Arrow matmul
+    # twin _ivf_cells_assigned_arrow backs semdedup + multiprobe)
+    assigned = _ivf_cells_assigned(spark, sf_dir)
     c = assigned.select(
         F.col("cell"), F.col("vec_id").alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
     )

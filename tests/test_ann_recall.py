@@ -55,3 +55,41 @@ def test_multitable_lsh_recall_dominates_single_table(spark):
     multi = _recall(_topk_sets(ann_lsh_multitable_topk(spark, SF)), exact)
     assert multi > single
     assert multi >= 0.3, f"multitable lsh recall {multi}"
+
+
+def test_arrow_kernel_matches_codegen_on_zero_norm_vectors(spark):
+    """Regression (r4 review): a zero-norm vector divides 0/0, which the
+    codegen baseline evaluates to NULL (Spark ANSI-off division) and the
+    top-k window orders NULLS LAST — the Arrow kernel must KEEP those
+    pairs and rank them below every real cosine, not drop them."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_bruteforce_arrow,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter(F.col("vec_id") < 2)
+
+    def norm(df):
+        return sorted(
+            (r.q_id, r.neighbor_id, r.rank,
+             "null" if r.cosine is None or math.isnan(r.cosine) else round(r.cosine, 12))
+            for r in df.collect()
+        )
+
+    for k in (1, 2, 3):
+        base = norm(cosine_topk_bruteforce(corpus, queries, k=k))
+        arrow = norm(cosine_topk_bruteforce_arrow(corpus, queries, k=k))
+        assert base == arrow, f"k={k}: {base} != {arrow}"
+    # at k=3 the zero-norm corpus vector is kept and ranks LAST
+    assert any(n == 2 and r == 3 for (_, n, r, c) in base)
+    # at small k it must NOT evict a real neighbor
+    top1 = {q: n for (q, n, r, c) in norm(cosine_topk_bruteforce_arrow(corpus, queries, k=1))}
+    assert top1 == {0: 1, 1: 0}
