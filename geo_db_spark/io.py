@@ -188,6 +188,14 @@ def save_zorder_clustered(
 _MANIFEST = "_MANIFEST.json"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced for the same version of a versioned table.
+
+    The loser's snapshot was never made current; retry the whole
+    write_versioned call (re-reading the table first if the write
+    depends on it, as a CDC merge does)."""
+
+
 def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "", keep: int = 2) -> int:
     """Atomic table replacement via a manifest pointer — the smallest
     useful slice of the Delta/Iceberg commit protocol, for sinks that
@@ -207,6 +215,23 @@ def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "", keep: in
     give bounded time travel (``read_versioned(version=...)``).
     POSIX/HDFS-rename semantics; on S3-class stores swap the rename for
     a conditional PUT.
+
+    Writer coordination (ADVICE r5): the version number is CLAIMED with
+    an exclusive ``mkdir`` of the snapshot directory before any data is
+    written — two concurrent writers (e.g. a streaming CDC apply racing
+    an async compaction) that both read version N cannot both create
+    ``v<N+1>``; the loser gets :class:`ConcurrentWriteError` instead of
+    silently overwriting the winner's snapshot mid-write. The manifest
+    swap then re-checks that no LATER version committed while this
+    snapshot was being written, so the pointer never moves backwards —
+    the mkdir is Delta's "create the commit file with O_EXCL" in
+    directory form. Liveness caveat (documented, like the S3 one): a
+    writer that CRASHES after reserving leaves an orphan ``v<N+1>``
+    directory that blocks that number; since nothing newer can commit,
+    the prune never collects it — recover by deleting the uncommitted
+    directory (no ``_SUCCESS`` marker, newer than the manifest) once no
+    writer is live. Routine operation is still single-writer-at-a-time;
+    the guard turns the race from silent corruption into a loud error.
     """
     import json as _json
     import os as _os
@@ -215,10 +240,30 @@ def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "", keep: in
     current = read_versioned_version(table_dir)
     version = (current if current is not None else -1) + 1
     snap = _os.path.join(table_dir, f"v{version}")
-    df.write.mode("overwrite").parquet(snap)
-    tmp = _os.path.join(table_dir, f".{_MANIFEST}.tmp")
+    try:
+        _os.mkdir(snap)  # exclusive reservation of this version number
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"version {version} of {table_dir} already reserved by a "
+            "concurrent writer; re-read the table and retry"
+        ) from None
+    # append into the just-reserved EMPTY dir == plain write; overwrite
+    # mode would delete the directory first, releasing the reservation
+    # for the length of the write
+    df.write.mode("append").parquet(snap)
+    tmp = _os.path.join(table_dir, f".{_MANIFEST}.{version}.tmp")
     with open(tmp, "w") as f:
         _json.dump({"version": version, "note": mode_note}, f)
+    # guard the pointer: with versions claimed exclusively above, a
+    # concurrent commit can only have a DIFFERENT (later) number — never
+    # replace a newer manifest with ours
+    latest = read_versioned_version(table_dir)
+    if latest is not None and latest > version:
+        _os.remove(tmp)
+        raise ConcurrentWriteError(
+            f"version {latest} of {table_dir} committed while v{version} "
+            "was being written; retry on top of the newer snapshot"
+        )
     _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))  # the commit point
     # prune by listing once (O(retained)) — iterating 0..version would
     # stat an ever-growing range under the per-batch streaming apply

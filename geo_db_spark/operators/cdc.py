@@ -43,9 +43,21 @@ def snapshot_diff(
     hash.
     """
     ks = list(keys)
-    cols = list(compare_cols) if compare_cols else [c for c in old.columns if c not in ks]
+    # `is not None`: an explicit empty compare set means "classify by key
+    # presence only" (insert/delete, never update) — falling back to
+    # all-columns here would silently re-widen the comparison (ADVICE r5)
+    cols = (
+        list(compare_cols)
+        if compare_cols is not None
+        else [c for c in old.columns if c not in ks]
+    )
 
     def row_hash() -> F.Column:
+        if not cols:
+            # keys cover every column (or caller asked for presence-only):
+            # a constant hash keeps the plan valid — xxhash64() with zero
+            # args fails analysis — and makes the update branch unreachable
+            return F.lit(0).cast("long")
         return F.xxhash64(*[F.xxhash64(F.col(c)) for c in cols])
 
     o = old.select(*ks, row_hash().alias("__oh"))

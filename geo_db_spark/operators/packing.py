@@ -173,15 +173,20 @@ def quantile_threshold_filter(
     rest of the plan unchanged.
 
     The one-row threshold is crossJoin-broadcast: every executor compares
-    locally, no shuffle of the data side.
+    locally, no shuffle of the data side. The output is the FULL input
+    row plus the quantized ``score`` column (ADVICE r5: the previous
+    shape silently projected down to id_cols+score): the quantile runs
+    over the skinny (id, score) projection and the survivors semi-join
+    back to ``df`` — the payload columns never enter the sort/aggregate.
     """
     scored = df.select(*id_cols, F.round(score * 1_000_000).cast("long").alias("score_u"))
     thr = scored.agg(F.expr(f"percentile(score_u, {q})").alias("__thr"))
-    return (
+    kept = (
         scored.crossJoin(F.broadcast(thr))
         .filter(F.col("score_u") >= F.col("__thr"))
         .select(*id_cols, (F.col("score_u") / 1_000_000.0).alias("score"))
     )
+    return df.join(kept, list(id_cols), "inner")
 
 
 # (fraction numerators out of 100, label) — ordered; remainder is the last

@@ -43,6 +43,10 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 DEFAULT_NUM_PARTITIONS = 8
 _CHUNK = 1 << 20
+# socket-level timeout for HEAD probe + per-partition GET (seconds):
+# bounds time-to-first-byte AND each recv() stall, the two ways a
+# blackholed server hangs a task indefinitely (ADVICE r5)
+HTTP_TIMEOUT_S = 60
 
 
 class _Slice(InputPartition):
@@ -57,7 +61,9 @@ def _http_probe(url: str) -> tuple[int | None, bool]:
     partition path instead of failing the whole read."""
     req = urllib.request.Request(url, method="HEAD")
     try:
-        with urllib.request.urlopen(req) as resp:
+        # a stalled/blackholed server must fail (and be retried by the
+        # task scheduler), not hang the driver's partition planning
+        with urllib.request.urlopen(req, timeout=HTTP_TIMEOUT_S) as resp:
             n = resp.headers.get("Content-Length")
             ranges = (resp.headers.get("Accept-Ranges") or "").lower() == "bytes"
             return (int(n) if n is not None else None), ranges
@@ -142,7 +148,9 @@ class _DumpReader(DataSourceReader):
             want_range = fetch_from > 0
             if want_range:
                 req.add_header("Range", f"bytes={fetch_from}-")
-            with urllib.request.urlopen(req) as stream:
+            # timeout: a hung GET would otherwise pin the executor task
+            # forever; failing lets Spark's task retry take over
+            with urllib.request.urlopen(req, timeout=HTTP_TIMEOUT_S) as stream:
                 # a proxy/server may ignore Range and answer 200 with the
                 # FULL body — trusting it would re-read the file head as
                 # this slice (duplicated early lines, lost tail). Detect

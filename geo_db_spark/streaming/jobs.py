@@ -400,9 +400,25 @@ def stream_apply_changes(
             write_versioned(merge_upsert(target, src, ks), target_dir,
                             mode_note=f"batch {batch_id}")
         else:
+            # write the merged batch to a SIBLING temp dir first, then
+            # swap: the previous shape (localCheckpoint + in-place
+            # overwrite) kept the only copy of the target in non-reliable
+            # executor-local blocks while deleting the source it was
+            # derived from — an executor loss after lineage truncation, or
+            # a crash after the overwrite started deleting, lost the table
+            # (ADVICE r5). Here the merge is fully durable on disk before
+            # any byte of the old target is removed; a crash mid-swap
+            # leaves a recoverable __tmp dir next to the (possibly stale)
+            # target. The swap itself is still two renames, not one — for
+            # a truly atomic pointer flip use versioned=True.
+            import os as _os
+            import shutil as _shutil
+
             target = sess.read.parquet(target_dir)
-            merged = merge_upsert(target, src, ks).localCheckpoint()
-            merged.write.mode("overwrite").parquet(target_dir)
+            tmp = target_dir.rstrip("/") + f".__tmp_batch_{batch_id}"
+            merge_upsert(target, src, ks).write.mode("overwrite").parquet(tmp)
+            _shutil.rmtree(target_dir)
+            _os.rename(tmp, target_dir)
 
     writer = batches.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

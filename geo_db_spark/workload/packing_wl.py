@@ -94,9 +94,9 @@ WITH scored AS (
   FROM documents
 ),
 thr AS (SELECT quantile_cont(score_u, 0.25) AS t FROM scored)
-SELECT doc_id, score_u / 1000000.0 AS score
-FROM scored, thr
-WHERE score_u >= t
+SELECT d.*, s.score_u / 1000000.0 AS score
+FROM documents d JOIN scored s USING (doc_id), thr
+WHERE s.score_u >= t
 ORDER BY doc_id
 """
 

@@ -93,3 +93,29 @@ def test_arrow_kernel_matches_codegen_on_zero_norm_vectors(spark):
     # at small k it must NOT evict a real neighbor
     top1 = {q: n for (q, n, r, c) in norm(cosine_topk_bruteforce_arrow(corpus, queries, k=1))}
     assert top1 == {0: 1, 1: 0}
+
+
+def test_semdedup_hot_cell_cap_excludes_oversized_cells(spark):
+    """r4 verdict #1: the SemDeDup hot-cell cap must be enforced in code,
+    not claimed in a comment — members of a cell over the cap never reach
+    the quadratic Gram stage, members of normal cells still pair."""
+    from geo_db_spark.workload.similarity import semdedup_cell_pairs
+
+    rows = []
+    # hot cell 0: 12 identical vectors (cosine 1.0 — would all pair)
+    for i in range(12):
+        rows.append((0, 100 + i, [1.0, 0.0]))
+    # cool cell 1: 3 identical vectors
+    for i in range(3):
+        rows.append((1, 200 + i, [0.0, 1.0]))
+    assigned = spark.createDataFrame(
+        rows, "cell long, vec_id long, embedding array<float>"
+    )
+    pairs = semdedup_cell_pairs(assigned, max_cell=10).collect()
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert ids == {200, 201, 202}  # hot cell fully excluded
+    assert len(pairs) == 3  # C(3,2) pairs from the cool cell
+    # and without the cap the hot cell WOULD have paired (guards against
+    # the cap accidentally filtering everything)
+    uncapped = semdedup_cell_pairs(assigned, max_cell=100).collect()
+    assert len(uncapped) == 3 + 66  # C(3,2) + C(12,2)

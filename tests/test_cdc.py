@@ -29,6 +29,21 @@ def test_snapshot_diff_compare_cols_subset(spark):
     assert snapshot_diff(old, new, ["k"]).collect()[0].change_type == "update"
 
 
+def test_snapshot_diff_empty_compare_set_is_presence_only(spark):
+    """ADVICE r5: compare_cols=[] must mean insert/delete classification
+    only — not silently fall back to comparing every column — and an
+    all-key snapshot (no non-key columns) must still diff."""
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    new = spark.createDataFrame([(1, "CHANGED"), (3, "c")], "k int, name string")
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], compare_cols=[]).collect()}
+    assert got == {2: "delete", 3: "insert"}  # k=1 present both sides: not an update
+    # keys covering every column: previously xxhash64() with zero args -> analysis error
+    ok = spark.createDataFrame([(1,), (2,)], "k int")
+    nk = spark.createDataFrame([(2,), (3,)], "k int")
+    got2 = {r.k: r.change_type for r in snapshot_diff(ok, nk, ["k"]).collect()}
+    assert got2 == {1: "delete", 3: "insert"}
+
+
 def test_merge_upsert_source_wins_and_target_kept(spark):
     target = spark.createDataFrame(
         [(1, "old1"), (2, "old2"), (3, "old3")], "k int, v string"

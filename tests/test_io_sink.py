@@ -135,6 +135,67 @@ def test_versioned_write_commits_atomically_and_prunes(spark, tmp_path):
     assert vs == ["v1", "v2"]
 
 
+def test_versioned_write_concurrent_reservation_raises(spark, tmp_path):
+    """ADVICE r5: two writers that both read version N must not both
+    commit v(N+1) — the second to reserve gets ConcurrentWriteError and
+    the winner's snapshot is untouched."""
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from geo_db_spark.io import (
+        ConcurrentWriteError,
+        read_versioned,
+        read_versioned_version,
+        write_versioned,
+    )
+
+    d = str(tmp_path / "race")
+    write_versioned(spark.range(5).select(F.col("id")), d)
+    # simulate the loser: writer B reserved v1 (mkdir) while writer A is
+    # about to claim the same number
+    os.mkdir(os.path.join(d, "v1"))
+    with _pytest.raises(ConcurrentWriteError, match="already reserved"):
+        write_versioned(spark.range(9).select(F.col("id")), d)
+    assert read_versioned_version(d) == 0  # pointer never moved
+    assert read_versioned(spark, d).count() == 5
+
+
+def test_versioned_write_pointer_never_regresses(spark, tmp_path, monkeypatch):
+    """If a later version commits while this snapshot is being written,
+    the older writer must fail rather than swing the manifest backwards."""
+    import geo_db_spark.io as gio
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    d = str(tmp_path / "regress")
+    gio.write_versioned(spark.range(5).select(F.col("id")), d)
+
+    real_read = gio.read_versioned_version
+    calls = {"n": 0}
+
+    def hijack(table_dir):
+        v = real_read(table_dir)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # between this writer's version claim and its commit, a
+            # concurrent writer commits v2: reserve + write a manifest
+            # pointing past the version this writer is about to claim
+            import json
+
+            os.mkdir(os.path.join(d, "v2"))
+            with open(os.path.join(d, "_MANIFEST.json"), "w") as f:
+                json.dump({"version": 2, "note": "concurrent"}, f)
+        return v
+
+    monkeypatch.setattr(gio, "read_versioned_version", hijack)
+    with _pytest.raises(gio.ConcurrentWriteError, match="committed while"):
+        gio.write_versioned(spark.range(9).select(F.col("id")), d)
+    monkeypatch.undo()
+    assert gio.read_versioned_version(d) == 2  # the newer commit survived
+
+
 def test_versioned_time_travel_within_retention(spark, tmp_path):
     from pyspark.sql import functions as F
 

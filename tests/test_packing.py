@@ -93,8 +93,15 @@ def test_quantile_filter_keeps_top_three_quarters(spark):
     docs = _docs(spark, n=100)
     score = F.col("doc_id").cast("double")  # score == id: p25 of 0..99 = 24.75
     kept = quantile_threshold_filter(docs, score, q=0.25)
-    ids = sorted(r.doc_id for r in kept.collect())
+    # full input row survives (ADVICE r5: used to project to id+score)
+    assert set(kept.columns) == set(docs.columns) | {"score"}
+    rows = kept.collect()
+    ids = sorted(r.doc_id for r in rows)
     assert ids == list(range(25, 100))
+    by_id = {r.doc_id: r for r in rows}
+    src = {r.doc_id: r for r in docs.collect()}
+    assert by_id[30].text == src[30].text  # payload columns intact
+    assert by_id[30].score == 30.0
 
 
 def test_split_assign_stable_and_banded(spark):

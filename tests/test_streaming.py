@@ -366,6 +366,8 @@ def test_stream_apply_changes_merges_batches(spark, tmp_path):
     assert got[2] == "upd2"
     assert got[100] == "new100" and got[101] == "new101"
     assert got[0] == "base" and len(got) == 12
+    # the durable-swap rewrite (ADVICE r5) must clean up its temp dirs
+    assert not [p for p in os.listdir(tmp_path) if "__tmp_batch" in p]
 
 
 def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
