@@ -19,12 +19,18 @@ from pyspark.sql import functions as F
 
 
 def grid_cell(lat: Column, lon: Column, cell_deg: float = 1.0) -> Column:
-    """Integer grid cell id for a (lat, lon): row-major over a
-    360/cell_deg-wide grid. Pure integer arithmetic — same value in the
-    DuckDB oracle."""
+    """Integer grid cell id for a (lat, lon): row-major over an
+    exactly-(360/cell_deg)-wide grid with the LONGITUDE COLUMN WRAPPED
+    modulo the row width, so lon=+180 and lon=-180 land in the same
+    cell (they are the same meridian). Latitude rows do NOT wrap — the
+    poles are not adjacent to each other. Pure integer arithmetic —
+    same value in the DuckDB oracle."""
+    w = int(360 / cell_deg)
     ny = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
-    nx = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
-    return ny * F.lit(int(720 / cell_deg)) + nx
+    nx = F.pmod(
+        F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long"), F.lit(w)
+    )
+    return ny * F.lit(w) + nx
 
 
 def grid_knn_join(
@@ -50,16 +56,32 @@ def grid_knn_join(
     sites; ranking is a per-point window over the bounded candidate
     set. Deterministic: integer cells, exact double arithmetic, ties
     broken by site id.
+
+    Antimeridian (r4 verdict #5): the 3×3 neighborhood is built from the
+    (row, column) pair, wrapping the COLUMN modulo the row width — a
+    probe at lon≈180 reaches the lon≈-180 cells of the SAME row, and a
+    probe in the westmost column no longer leaks into the adjacent row's
+    eastmost cell (the old scalar cell±1 arithmetic did both wrong).
+    Rows beyond the pole rows simply don't exist, so a dy out of range
+    matches nothing — no pole wrap, no duplicate probe cells.
     """
-    w = int(720 / cell_deg)
+    w = int(360 / cell_deg)
+    if w < 3:
+        raise ValueError(
+            f"cell_deg={cell_deg} gives {w} longitude columns; 3x3 "
+            "probing needs at least 3 (coarser grids would probe the "
+            "same wrapped column twice)"
+        )
     s = sites.select(
         F.col(site_id),
         F.col("lat").alias("s_lat"),
         F.col("lon").alias("s_lon"),
         grid_cell(F.col("lat"), F.col("lon"), cell_deg).alias("cell"),
     )
-    # probe side: explode the 3x3 neighborhood (cell ± 1 row/col)
-    offsets = [dy * w + dx for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    # probe side: explode the 3x3 neighborhood — row offset is plain
+    # (non-existent rows match nothing), column offset wraps mod w
+    ny = F.floor((F.col("lat") + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    nx = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
     p = points.select(
         F.col(point_id),
         F.col("lat").alias("p_lat"),
@@ -67,14 +89,19 @@ def grid_knn_join(
         F.explode(
             F.array(
                 *[
-                    (grid_cell(F.col("lat"), F.col("lon"), cell_deg) + F.lit(o))
-                    for o in offsets
+                    (ny + F.lit(dy)) * F.lit(w) + F.pmod(nx + F.lit(dx), F.lit(w))
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
                 ]
             )
         ).alias("cell"),
     )
     dlat = F.col("p_lat") - F.col("s_lat")
-    dlon = F.col("p_lon") - F.col("s_lon")
+    # wrapped lon delta: min(|d|, 360-|d|) — a site 0.2° across the
+    # antimeridian is 0.2° away, not 359.8°. abs/subtract/least are
+    # exact IEEE ops, bit-identical in the DuckDB oracle.
+    dlon_abs = F.abs(F.col("p_lon") - F.col("s_lon"))
+    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
     cand = p.join(s, "cell").select(
         point_id,
         site_id,

@@ -17,6 +17,7 @@ from geo_db_spark.session import tune
 
 CELL_DEG = 30.0
 KNN_K = 2
+_W = int(360 / CELL_DEG)  # longitude columns per row (wrap width)
 
 
 def _coords(key: F.Column):
@@ -59,22 +60,31 @@ sts AS (
   SELECT s_suppkey AS site_id, {_COORD_SQL.format(k='s_suppkey + 1000000')} FROM supplier
 ),
 s AS (
+  -- column wrapped modulo the row width {_W}: lon=+180 == lon=-180
+  -- (((x % w) + w) % w is DuckDB's C-style % lifted to Spark's pmod)
   SELECT site_id, lat AS s_lat, lon AS s_lon,
-         CAST(FLOOR((lat + 90.0) / {CELL_DEG}) AS BIGINT) * {int(720 / CELL_DEG)}
-           + CAST(FLOOR((lon + 180.0) / {CELL_DEG}) AS BIGINT) AS cell
+         CAST(FLOOR((lat + 90.0) / {CELL_DEG}) AS BIGINT) * {_W}
+           + ((CAST(FLOOR((lon + 180.0) / {CELL_DEG}) AS BIGINT) % {_W}) + {_W}) % {_W} AS cell
   FROM sts
 ),
 p AS (
+  -- 3x3 neighborhood from the (row, column) pair: plain row offset,
+  -- wrapped column offset — same-row adjacency across the antimeridian
   SELECT point_id, lat AS p_lat, lon AS p_lon,
-         CAST(FLOOR((lat + 90.0) / {CELL_DEG}) AS BIGINT) * {int(720 / CELL_DEG)}
-           + CAST(FLOOR((lon + 180.0) / {CELL_DEG}) AS BIGINT) + o.o AS cell
+         (CAST(FLOOR((lat + 90.0) / {CELL_DEG}) AS BIGINT) + o.dy) * {_W}
+           + (((CAST(FLOOR((lon + 180.0) / {CELL_DEG}) AS BIGINT) + o.dx) % {_W}) + {_W}) % {_W} AS cell
   FROM pts
-  CROSS JOIN (SELECT unnest([{", ".join(str(dy * int(720 / CELL_DEG)) + " + " + str(dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))}]) AS o) o
+  CROSS JOIN (
+    SELECT unnest([{", ".join(str(dy) for dy in (-1, -1, -1, 0, 0, 0, 1, 1, 1))}]) AS dy,
+           unnest([{", ".join(str(dx) for dx in (-1, 0, 1, -1, 0, 1, -1, 0, 1))}]) AS dx
+  ) o
 ),
 cand AS (
+  -- wrapped lon delta mirrors the operator: min(|d|, 360-|d|)
   SELECT p.point_id, s.site_id,
          (p.p_lat - s.s_lat) * (p.p_lat - s.s_lat)
-           + (p.p_lon - s.s_lon) * (p.p_lon - s.s_lon) AS dist2
+           + LEAST(ABS(p.p_lon - s.s_lon), 360.0 - ABS(p.p_lon - s.s_lon))
+             * LEAST(ABS(p.p_lon - s.s_lon), 360.0 - ABS(p.p_lon - s.s_lon)) AS dist2
   FROM p JOIN s USING (cell)
 )
 SELECT point_id AS c_custkey, site_id AS s_suppkey, dist2,

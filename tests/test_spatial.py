@@ -52,3 +52,67 @@ def test_grid_knn_no_cartesian_in_plan(spark):
         grid_knn_join(pts, sites, k=1)._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_grid_knn_antimeridian_same_row_wrap(spark):
+    """r4 verdict #5: a probe at lon≈180 must reach the lon≈-180 cells of
+    the SAME latitude row (and rank them by the WRAPPED lon delta), and a
+    westmost-column probe must not leak into the adjacent row."""
+    pts = spark.createDataFrame(
+        [(1, 10.0, 179.9), (2, 10.0, -179.9)], "point_id long, lat double, lon double"
+    )
+    sites = spark.createDataFrame(
+        [
+            (100, 10.0, -179.8),  # 0.1° across the wrap from point 1
+            (200, 10.0, 179.7),   # 0.2° across the wrap from point 2
+            (300, 40.0, -179.9),  # same lon band, 30° away in lat: different row
+        ],
+        "site_id long, lat double, lon double",
+    )
+    got = {
+        (r.point_id, r.rank): (r.site_id, r.dist2)
+        for r in grid_knn_join(pts, sites, k=2, cell_deg=10.0).collect()
+    }
+    # point 1: same-side site 200 at 0.2°, then site 100 ACROSS the
+    # antimeridian at wrapped distance 0.3° (the old code missed it)
+    assert got[(1, 1)][0] == 200 and abs(got[(1, 1)][1] - 0.2 * 0.2) < 1e-9
+    assert got[(1, 2)][0] == 100 and abs(got[(1, 2)][1] - 0.3 * 0.3) < 1e-9
+    # point 2: site 100 same-side at 0.1°, site 200 across the wrap at 0.4°
+    assert got[(2, 1)][0] == 100 and abs(got[(2, 1)][1] - 0.1 * 0.1) < 1e-9
+    assert got[(2, 2)][0] == 200 and abs(got[(2, 2)][1] - 0.4 * 0.4) < 1e-9
+    # the different-row site is NOT reachable from either (row leak fixed)
+    assert all(s != 300 for s, _ in got.values())
+
+
+def test_grid_knn_wrap_matches_bruteforce(spark):
+    """Boundary sweep: points scattered within ±0.5° of the antimeridian
+    must get EXACTLY the brute-force answer under the wrapped metric."""
+    h = F.pmod(F.xxhash64(F.col("id")), F.lit(1000)) / 1000.0
+    pts = spark.range(40).select(
+        F.col("id").alias("point_id"),
+        (h * 10.0).alias("lat"),
+        # lon in [179.5, 180) for even ids, [-180, -179.5) for odd
+        F.when(F.col("id") % 2 == 0, 179.5 + h * 0.5).otherwise(-180.0 + h * 0.5).alias("lon"),
+    )
+    sites = spark.range(30).select(
+        (F.col("id") + 500).alias("site_id"),
+        (h * 10.0 + 0.3).alias("lat"),
+        F.when(F.col("id") % 2 == 1, 179.5 + h * 0.5).otherwise(-180.0 + h * 0.5).alias("lon"),
+    )
+    got = grid_knn_join(pts, sites, k=2, cell_deg=5.0)
+    dlat = F.col("lat") - F.col("s_lat")
+    dabs = F.abs(F.col("lon") - F.col("s_lon"))
+    dlon = F.least(dabs, F.lit(360.0) - dabs)
+    exact = (
+        pts.crossJoin(
+            sites.select("site_id", F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon"))
+        )
+        .select("point_id", "site_id", (dlat * dlat + dlon * dlon).alias("dist2"))
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.partitionBy("point_id").orderBy("dist2", "site_id")),
+        )
+        .filter(F.col("rank") <= 2)
+        .select("point_id", "site_id", "dist2", F.col("rank").cast("int").alias("rank"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
