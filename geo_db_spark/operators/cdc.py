@@ -98,3 +98,40 @@ def merge_upsert(
     """
     ks = list(keys)
     return source.unionByName(target.join(source, ks, "left_anti"))
+
+
+def table_changes(
+    spark,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: Sequence[str] = ("id",),
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Version-to-version changes feed over a manifest-pointer versioned
+    table (io.write_versioned) — the Delta Change Data Feed shape:
+    ``snapshot_diff`` of two retained snapshots, stamped with the commit
+    versions the change spans.
+
+    ``to_version=None`` reads the manifest's current version. Either
+    version already pruned by retention raises ``FileNotFoundError``
+    (read_versioned's error) — a CDF consumer that fell behind the
+    retention window must re-bootstrap from a full snapshot, exactly
+    Delta's rule.
+
+    Scale shape inherits snapshot_diff's: both snapshots reduce to
+    (key, xxhash64) before the full-outer join, so the feed over two
+    100 TB snapshots shuffles 16-byte rows only.
+    """
+    from geo_db_spark.io import read_versioned, read_versioned_version
+
+    to_v = to_version if to_version is not None else read_versioned_version(table_dir)
+    if to_v is None:
+        raise FileNotFoundError(f"no committed version under {table_dir}")
+    old = read_versioned(spark, table_dir, from_version)
+    new = read_versioned(spark, table_dir, to_v)
+    return snapshot_diff(old, new, keys, compare_cols).select(
+        "*",
+        F.lit(from_version).alias("from_version"),
+        F.lit(int(to_v)).alias("to_version"),
+    )

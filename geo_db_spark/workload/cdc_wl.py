@@ -106,12 +106,61 @@ GROUP BY 1
 """
 
 
+def cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Delta-CDF-shaped feed end-to-end THROUGH the versioned-table
+    layer: commit customer as v0 and the deterministic next snapshot as
+    v1 of a real manifest-pointer table (io.write_versioned), then read
+    the v0→v1 changes with operators.cdc.table_changes. Same mutation
+    recipe as cdc_snapshot_diff, so the oracle is the same diff plus the
+    version stamps."""
+    import shutil
+    import tempfile
+
+    from geo_db_spark.io import write_versioned
+    from geo_db_spark.operators.cdc import table_changes
+
+    tune(spark)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    tdir = tempfile.mkdtemp(prefix="geo_db_spark_cdf_")
+    try:
+        write_versioned(cust, tdir, keep=4)
+        write_versioned(_next_snapshot(cust), tdir, keep=4)
+        out = table_changes(spark, tdir, 0, 1, keys=["c_custkey"]).orderBy("c_custkey")
+        # materialize before the snapshot dirs are removed — the feed is
+        # small (changed keys only), so collecting it back is bounded
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+ORACLE_CDC_TABLE_CHANGES = f"""
+WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+new AS ({_NEXT_SQL})
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN n.c_custkey IS NULL THEN 'delete'
+            WHEN o.c_acctbal != n.c_acctbal OR o.c_mktsegment != n.c_mktsegment THEN 'update'
+       END AS change_type,
+       0 AS from_version,
+       1 AS to_version
+FROM old o FULL OUTER JOIN new n USING (c_custkey)
+WHERE CASE WHEN o.c_custkey IS NULL THEN 'insert'
+           WHEN n.c_custkey IS NULL THEN 'delete'
+           WHEN o.c_acctbal != n.c_acctbal OR o.c_mktsegment != n.c_mktsegment THEN 'update'
+      END IS NOT NULL
+ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "merge_upsert_customers": merge_upsert_customers,
+    "cdc_table_changes": cdc_table_changes,
 }
 
 ORACLES = {
     "cdc_snapshot_diff": ORACLE_CDC_DIFF,
     "merge_upsert_customers": ORACLE_MERGE,
+    "cdc_table_changes": ORACLE_CDC_TABLE_CHANGES,
 }

@@ -73,3 +73,28 @@ def test_snapshot_diff_detects_value_moving_across_null_columns(spark):
     new = spark.createDataFrame([(1, None, "x")], "k int, a string, b string")
     got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {1: "update"}
+
+
+def test_table_changes_versioned_feed_and_retention_error(spark, tmp_path):
+    """table_changes (Delta CDF shape) over a versioned table: v0->v1
+    classifies like snapshot_diff with version stamps; asking for a
+    version that retention pruned raises instead of silently diffing
+    the wrong snapshot."""
+    import pytest as _pytest
+
+    from geo_db_spark.io import write_versioned
+    from geo_db_spark.operators.cdc import table_changes
+
+    d = str(tmp_path / "vt")
+    v0 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    v1 = spark.createDataFrame([(1, "a"), (2, "CHANGED"), (4, "d")], "k int, v string")
+    write_versioned(v0, d, keep=2)
+    write_versioned(v1, d, keep=2)
+    got = {r.k: r.change_type for r in table_changes(spark, d, 0, 1, keys=["k"]).collect()}
+    assert got == {2: "update", 3: "delete", 4: "insert"}
+    row = table_changes(spark, d, 0, keys=["k"]).select("from_version", "to_version").first()
+    assert (row.from_version, row.to_version) == (0, 1)  # to_version defaults to current
+    # a third commit with keep=2 prunes v0: the feed must fail loudly
+    write_versioned(v1, d, keep=2)
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        table_changes(spark, d, 0, 2, keys=["k"])
