@@ -68,28 +68,26 @@ FROM f
 
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction (the model-forward-pass shape):
-    per-doc byte-statistics vector. Registered WITHOUT an oracle — the
-    float32 batch math is the non-SQL-expressible Pandas path; the
-    driver's rows-only check covers it.
-
-    The raw array column is reduced to canonicalizable scalars here
-    (ADVICE r2: pandas can't factorize ndarray cells, so returning the
-    array made the rows-only check crash — a digest verifies the same
-    computation AND actually runs). Rounding to 2 decimals absorbs
-    float32 summation jitter; the exact element values are pinned by
-    tests/test_multimodal.py against numpy."""
+    """mapInPandas feature extraction (the model-forward-pass shape),
+    now under the FULL value oracle (r4 verdict #6): the kernel emits
+    exact int64 per-chunk byte sums beside the float features, and this
+    entry surfaces the integer columns — total, first chunk, and an md5
+    over the whole sum vector — which DuckDB reproduces from the text
+    bytes with the same np.array_split chunk-boundary arithmetic
+    (first n%8 chunks get the extra byte). The float path itself is
+    pinned against numpy in tests/test_multimodal.py."""
     tune(spark)
     media = with_binary_payload(load(spark, sf_dir, "documents"))
     feats = extract_features(media)
-    feat_sum = F.aggregate(
-        "features", F.lit(0.0), lambda acc, x: acc + x.cast("double")
-    )
+    total = F.aggregate("chunk_sums", F.lit(0).cast("long"), lambda a, x: a + x)
     return feats.select(
         "doc_id",
         F.size("features").alias("n_features"),
-        F.round(feat_sum, 2).alias("feat_sum"),
-        F.round(F.element_at("features", 1).cast("double"), 2).alias("feat_first"),
+        total.alias("feat_total"),
+        F.element_at("chunk_sums", 1).alias("feat_first"),
+        F.md5(
+            F.concat_ws(",", F.col("chunk_sums").cast("array<string>")).cast("binary")
+        ).alias("feats_md5"),
     )
 
 
@@ -117,16 +115,173 @@ FROM documents
 """
 
 
+PPM_W = 4  # fixed raster width of the synthetic PPM corpus
+
+
+def with_ppm_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL image payloads: each document's text bytes become the RGB
+    raster of a binary PPM (P6), width 4 × height n//12 (the first
+    12·H bytes; docs are ASCII so byte == char). The decode path then
+    parses an actual image format, not a fake."""
+    n = F.octet_length(F.col(text_col))
+    h = F.floor(n / F.lit(PPM_W * 3)).cast("int")
+    header = F.concat(
+        F.lit(f"P6\n{PPM_W} "), h.cast("string"), F.lit("\n255\n")
+    )
+    body = F.expr(f"substring({text_col}, 1, {PPM_W * 3} * floor(octet_length({text_col}) / {PPM_W * 3}))")
+    return docs.select(
+        "doc_id", F.encode(F.concat(header, body), "utf-8").alias("payload")
+    )
+
+
+def mm_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real decode (r4 verdict #4): PPM payloads parsed by
+    operators.multimodal.decode_image (pure-NumPy P6 decoder) inside
+    Arrow-batched mapInPandas; emits the decoded dimensions and an md5
+    over the pixel array bytes, which DuckDB reproduces from the text
+    since the raster IS the leading text bytes."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_image
+
+    tune(spark)
+    media = with_ppm_payload(load(spark, sf_dir, "documents"))
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_image(bytes(payload))
+                rows.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     hashlib.md5(arr.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pixel_md5"])
+
+    return media.mapInPandas(fn, schema=out_schema)
+
+
+ORACLE_MM_IMAGE_DECODE = f"""
+SELECT doc_id,
+       CAST({PPM_W} AS INT) AS width,
+       CAST(octet_length(encode(text)) // {PPM_W * 3} AS INT) AS height,
+       md5(substr(text, 1, CAST((octet_length(encode(text)) // {PPM_W * 3}) * {PPM_W * 3} AS INT))) AS pixel_md5
+FROM documents
+"""
+
+
+def mm_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail on REAL pixels: decode the PPM, keep every 2nd row and
+    every 2nd column (arr[::2, ::2]) — an actual spatial 2× downsample,
+    not byte decimation — and emit the result's dims + pixel md5. The
+    oracle rebuilds the kept bytes from the text with the same
+    row/column offset arithmetic."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_image
+
+    tune(spark)
+    media = with_ppm_payload(load(spark, sf_dir, "documents"))
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width_out", T.IntegerType()),
+            T.StructField("height_out", T.IntegerType()),
+            T.StructField("pixel_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ds = np.ascontiguousarray(decode_image(bytes(payload))[::2, ::2])
+                rows.append(
+                    (doc_id, ds.shape[1], ds.shape[0],
+                     hashlib.md5(ds.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width_out", "height_out", "pixel_md5"]
+            )
+
+    return media.mapInPandas(fn, schema=out_schema)
+
+
+# kept pixels per kept row r (source row 2r): columns 0 and 2 of a
+# 4-wide RGB row = byte offsets 24r+[0..2] and 24r+[6..8]
+ORACLE_MM_IMAGE_DOWNSAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) // {PPM_W * 3} AS h FROM documents
+)
+SELECT doc_id,
+       CAST(2 AS INT) AS width_out,
+       CAST((h + 1) // 2 AS INT) AS height_out,
+       md5(array_to_string(list_transform(range((h + 1) // 2),
+           r -> substr(text, CAST({PPM_W * 3} * 2 * r + 1 AS INT), 3)
+                || substr(text, CAST({PPM_W * 3} * 2 * r + 7 AS INT), 3)), '')) AS pixel_md5
+FROM b
+"""
+
+
 QUERIES = {
     "mm_downsample": mm_downsample,
     "mm_media_meta": mm_media_meta,
     "mm_frame_sample": mm_frame_sample,
     "mm_feature_extract": mm_feature_extract,
+    "mm_image_decode": mm_image_decode,
+    "mm_image_downsample": mm_image_downsample,
 }
+
+ORACLE_MM_FEATURES = """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+c AS (
+  SELECT doc_id, text, n, CAST(unnest(range(8)) AS BIGINT) AS i FROM b
+),
+s AS (
+  -- np.array_split boundaries: first n%8 chunks carry the extra byte
+  SELECT doc_id, i,
+         COALESCE(CAST(list_sum(list_transform(
+             range(n // 8 + CASE WHEN i < n % 8 THEN 1 ELSE 0 END),
+             j -> ascii(substr(text, CAST(i * (n // 8) + LEAST(i, n % 8) + j + 1 AS INT), 1))
+         )) AS BIGINT), 0) AS csum
+  FROM c
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS n_features,
+       CAST(SUM(csum) AS BIGINT) AS feat_total,
+       CAST(MAX(CASE WHEN i = 0 THEN csum END) AS BIGINT) AS feat_first,
+       md5(string_agg(CAST(csum AS VARCHAR), ',' ORDER BY i)) AS feats_md5
+FROM s GROUP BY doc_id
+"""
 
 ORACLES = {
     "mm_downsample": ORACLE_MM_DOWNSAMPLE,
     "mm_media_meta": ORACLE_MM_META,
     "mm_frame_sample": ORACLE_MM_FRAMES,
-    # mm_feature_extract intentionally absent: rows-only check
+    "mm_feature_extract": ORACLE_MM_FEATURES,
+    "mm_image_decode": ORACLE_MM_IMAGE_DECODE,
+    "mm_image_downsample": ORACLE_MM_IMAGE_DOWNSAMPLE,
 }

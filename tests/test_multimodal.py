@@ -78,18 +78,72 @@ def test_mm_feature_extract_digest_is_canonical(spark):
     assert kinds == {
         "doc_id": "bigint",
         "n_features": "int",
-        "feat_sum": "double",
-        "feat_first": "double",
+        "feat_total": "bigint",
+        "feat_first": "bigint",
+        "feats_md5": "string",
     }
     rows = out.limit(10).collect()
     assert all(r["n_features"] == N_FEATURES for r in rows)
-    assert all(isinstance(r["feat_sum"], float) for r in rows)
+    assert all(isinstance(r["feat_total"], int) for r in rows)
+    assert all(len(r["feats_md5"]) == 32 for r in rows)
 
 
-def test_decode_is_stubbed():
+def test_decode_compressed_formats_still_stubbed():
+    """Only the codec-library boundary remains stubbed: JPEG/PNG magic
+    (and unknown bytes) raise; uncompressed formats decode for real."""
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg")
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
     assert fake_decode_meta(b"abc") == (4, 4, "fake")
+
+
+def test_decode_ppm_golden():
+    import numpy as np
+
+    from geo_db_spark.operators.multimodal import make_ppm
+
+    rgb = bytes(range(2 * 3 * 3))  # 2x3 image, distinct byte per sample
+    arr = decode_image(make_ppm(3, 2, rgb))
+    assert arr.shape == (2, 3, 3) and arr.dtype == np.uint8
+    assert arr.tobytes() == rgb
+    assert tuple(arr[1, 2]) == (15, 16, 17)  # bottom-right pixel
+    # whitespace/comment-tolerant header, exactly as the spec allows
+    commented = b"P6\n# a comment\n 3 2\n# more\n255\n" + rgb
+    assert decode_image(commented).tobytes() == rgb
+    with pytest.raises(NotImplementedError):  # 16-bit maxval
+        decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(ValueError):  # truncated raster
+        decode_image(b"P6\n3 2\n255\n\x01\x02")
+
+
+def test_decode_bmp_24bit_bottom_up():
+    import struct
+
+    import numpy as np
+
+    # 3x2 24-bit BMP: stride = 12 bytes (3*3=9 padded to 12), bottom-up,
+    # BGR order. Build the file by hand: 14-byte file header + 40-byte
+    # BITMAPINFOHEADER + 2 rows.
+    w, h = 3, 2
+    stride = 12
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]  # wanted RGB top row
+    bottom = [(1, 2, 3), (4, 5, 6), (7, 8, 9)]
+    def row(px):
+        raw = b"".join(bytes((b, g, r)) for (r, g, b) in px)  # BGR on disk
+        return raw + b"\x00" * (stride - len(raw))
+    pixel_data = row(bottom) + row(top)  # bottom-up: last row first
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    arr = decode_image(header + dib + pixel_data)
+    assert arr.shape == (2, 3, 3) and arr.dtype == np.uint8
+    assert [tuple(p) for p in arr[0]] == top
+    assert [tuple(p) for p in arr[1]] == bottom
+    # compressed BMP refuses
+    dib_rle = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 1, 0, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        decode_image(header + dib_rle + pixel_data)
 
 
 def test_downsample_payload_halves_bytes(spark):
