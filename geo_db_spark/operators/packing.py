@@ -66,6 +66,26 @@ def pack_sequences(
     exchanges are the shard-total groupBy and the bounded intra-shard
     windows. Deterministic: pure integer arithmetic on a fixed ordering.
     """
+    placed = _cum_token_positions(docs, source_col, id_col, text_col, shard_width)
+    placed = placed.withColumn("seq_id", F.floor(F.col("cum_before") / F.lit(budget)))
+    return placed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("id").alias("first_doc"),
+        F.max("id").alias("last_doc"),
+    )
+
+
+def _cum_token_positions(
+    docs: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    shard_width: int,
+) -> DataFrame:
+    """Phases 1-3 of the distributed prefix sum shared by both packing
+    layouts: (source, id, n_tokens, cum_before) where cum_before is the
+    exclusive running token total within the source's id order."""
     toks = docs.select(
         F.col(source_col).alias("source"),
         F.col(id_col).alias("id"),
@@ -104,17 +124,50 @@ def pack_sequences(
     # when small; otherwise the SMJ's (source, shard) exchange is the
     # SAME partitioning the intra-shard window needs, so the join and
     # the window ride one shuffle.
-    placed = (
-        sharded.join(offsets, ["source", "shard"])
-        .withColumn(
-            "cum_before",
-            F.col("shard_offset") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
-        )
-        .withColumn("seq_id", F.floor(F.col("cum_before") / F.lit(budget)))
+    return sharded.join(offsets, ["source", "shard"]).withColumn(
+        "cum_before",
+        F.col("shard_offset") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
     )
-    return placed.groupBy("source", "seq_id").agg(
+
+
+def pack_sequences_split(
+    docs: DataFrame,
+    budget: int = 2048,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_width: int = PACK_SHARD_WIDTH,
+) -> DataFrame:
+    """The OTHER standard packing layout (r4 verdict #8): documents that
+    cross a sequence boundary are SPLIT — head tokens fill the current
+    sequence exactly to ``budget``, the tail carries into the next
+    sequence(s). Every sequence holds exactly ``budget`` tokens except
+    each source's final partial one.
+
+    Same two-phase distributed prefix sum as :func:`pack_sequences`;
+    the only addition is exploding each document into the sequence range
+    it spans — ``floor(cum/b) .. floor((cum+n-1)/b)`` — with its exact
+    per-sequence token contribution computed by interval intersection.
+    A document explodes into at most ``ceil(n_tokens/budget)+1`` rows
+    (that fan-out IS the work a splitting packer does), so the exchange
+    stays proportional to total tokens / budget, never quadratic.
+
+    Returns one row per (source, seq_id): n_docs (documents contributing
+    at least one token), seq_tokens, first/last contributing doc id.
+    Pure integer arithmetic — bit-exact in the DuckDB oracle.
+    """
+    placed = _cum_token_positions(docs, source_col, id_col, text_col, shard_width)
+    placed = placed.filter(F.col("n_tokens") > 0)
+    b = F.lit(budget).cast("long")
+    s0 = F.floor(F.col("cum_before") / b)
+    s1 = F.floor((F.col("cum_before") + F.col("n_tokens") - F.lit(1)) / b)
+    spans = placed.withColumn("seq_id", F.explode(F.sequence(s0, s1)))
+    contrib = F.least(
+        (F.col("seq_id") + 1) * b, F.col("cum_before") + F.col("n_tokens")
+    ) - F.greatest(F.col("seq_id") * b, F.col("cum_before"))
+    return spans.groupBy("source", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("seq_tokens"),
+        F.sum(contrib).alias("seq_tokens"),
         F.min("id").alias("first_doc"),
         F.max("id").alias("last_doc"),
     )

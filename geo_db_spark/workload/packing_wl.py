@@ -13,6 +13,7 @@ from geo_db_spark.io import load
 from geo_db_spark.operators.packing import (
     incremental_dedup,
     pack_sequences,
+    pack_sequences_split,
     quantile_threshold_filter,
     split_assign,
 )
@@ -48,6 +49,46 @@ SELECT source,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM placed
+GROUP BY 1, 2
+ORDER BY source, seq_id
+"""
+
+
+def pack_sequences_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splitting-layout packing: every sequence exactly PACK_BUDGET
+    tokens except each source's final partial."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences_split(docs, budget=PACK_BUDGET).orderBy("source", "seq_id")
+
+
+ORACLE_PACK_SPLIT = rf"""
+WITH toks AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+placed AS (
+  -- CAST: DuckDB's SUM over BIGINT returns HUGEINT, which range() rejects
+  SELECT source, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM toks WHERE n_tokens > 0
+),
+spans AS (
+  SELECT source, doc_id, n_tokens, cum_before,
+         CAST(unnest(range(cum_before // {PACK_BUDGET},
+                           (cum_before + n_tokens - 1) // {PACK_BUDGET} + 1)) AS BIGINT) AS seq_id
+  FROM placed
+)
+SELECT source, seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST((seq_id + 1) * {PACK_BUDGET}, cum_before + n_tokens)
+                - GREATEST(seq_id * {PACK_BUDGET}, cum_before)) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM spans
 GROUP BY 1, 2
 ORDER BY source, seq_id
 """
@@ -163,6 +204,7 @@ GROUP BY 1
 
 QUERIES = {
     "pack_sequences_report": pack_sequences_report,
+    "pack_sequences_split": pack_sequences_split_report,
     "dedup_incremental_bloom": dedup_incremental_bloom,
     "text_quantile_filter": text_quantile_filter,
     "text_split_assign": text_split_assign,
@@ -171,6 +213,7 @@ QUERIES = {
 
 ORACLES = {
     "pack_sequences_report": ORACLE_PACK,
+    "pack_sequences_split": ORACLE_PACK_SPLIT,
     "dedup_incremental_bloom": ORACLE_INCREMENTAL,
     "text_quantile_filter": ORACLE_QUANTILE,
     "text_split_assign": ORACLE_SPLIT,

@@ -118,3 +118,38 @@ def test_split_assign_stable_and_banded(spark):
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > 900  # ~96%
     assert c["val"] + c["test"] < 100
+
+
+def test_pack_split_exact_budget_and_token_conservation(spark):
+    """Splitting layout: every sequence carries exactly `budget` tokens
+    except each source's final one; total tokens conserved; boundary
+    documents appear in BOTH adjacent sequences."""
+    from geo_db_spark.operators.packing import pack_sequences_split
+
+    docs = _docs(spark)
+    budget = 64
+    out = pack_sequences_split(docs, budget=budget, shard_width=16).collect()
+    per_source = {}
+    for r in out:
+        per_source.setdefault(r.source, []).append(r)
+    toks = {
+        (r.source, r.id): r.n
+        for r in docs.select(
+            "source", F.col("doc_id").alias("id"),
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n"),
+        ).collect()
+    }
+    for source, rows in per_source.items():
+        rows.sort(key=lambda r: r.seq_id)
+        assert [r.seq_id for r in rows] == list(range(len(rows)))  # contiguous
+        assert all(r.seq_tokens == budget for r in rows[:-1])  # exact fill
+        assert 0 < rows[-1].seq_tokens <= budget
+        total = sum(n for (s, _), n in toks.items() if s == source)
+        assert sum(r.seq_tokens for r in rows) == total  # conservation
+    # a document larger than the budget must span > 2 sequences somewhere
+    # in this fixture (repeat up to 90 'w' tokens with budget 64)
+    assert any(
+        rows[i].last_doc == rows[i + 1].first_doc
+        for rows in per_source.values()
+        for i in range(len(rows) - 1)
+    )
