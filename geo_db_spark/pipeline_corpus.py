@@ -156,6 +156,7 @@ def assemble_training_set(
     jaccard_threshold: float = 0.5,
     gate: QualityGate = QualityGate(),
     stage_dir: str | None = None,
+    packing: str = "spill",
 ) -> dict[str, DataFrame]:
     """The full corpus-to-training-set assembly: curate (dedup + quality
     gate), assign deterministic train/val/test splits, and pack each
@@ -178,8 +179,21 @@ def assemble_training_set(
     curation lineage (dedup shuffles, minhash, quality gate) runs once
     instead of once per consumer — at scale always pass a stage_dir
     (same contract as curate_corpus).
+
+    ``packing`` picks the layout: ``"spill"`` (concat-and-chunk,
+    boundary docs spill whole into their start sequence) or ``"split"``
+    (boundary docs split so every sequence is exactly ``budget`` tokens
+    — operators/packing.pack_sequences_split).
     """
-    from geo_db_spark.operators.packing import pack_sequences, split_assign
+    from geo_db_spark.operators.packing import (
+        pack_sequences,
+        pack_sequences_split,
+        split_assign,
+    )
+
+    if packing not in ("spill", "split"):
+        raise ValueError(f"packing must be 'spill' or 'split', got {packing!r}")
+    pack = pack_sequences if packing == "spill" else pack_sequences_split
 
     curated = curate_corpus(
         docs,
@@ -196,7 +210,7 @@ def assemble_training_set(
     splits = curated.withColumn("split", split_assign(id_col))
     sequences = None
     for name in ("train", "val", "test"):
-        part = pack_sequences(
+        part = pack(
             splits.filter(F.col("split") == name),
             budget=budget,
             id_col=id_col,

@@ -122,3 +122,40 @@ def test_assemble_training_set_end_to_end(spark):
         for r in seq.groupBy("split").agg(F.sum("seq_tokens").alias("t")).collect()
     }
     assert got == want
+
+
+def test_assemble_training_set_split_packing_mode(spark):
+    """packing='split' routes through pack_sequences_split: token totals
+    still reconcile, and within each (split, source) stream every
+    sequence but the last carries exactly `budget` tokens."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
+    from geo_db_spark.pipeline_corpus import assemble_training_set
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    out = assemble_training_set(docs, budget=512, packing="split")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    want = {
+        r["split"]: r["t"]
+        for r in out["splits"].groupBy("split").agg(F.sum(toks).alias("t")).collect()
+    }
+    got = {
+        r["split"]: r["t"]
+        for r in out["sequences"].groupBy("split").agg(F.sum("seq_tokens").alias("t")).collect()
+    }
+    assert got == want  # conservation holds through split packing
+    rows = out["sequences"].collect()
+    streams = {}
+    for r in rows:
+        streams.setdefault((r.split, r.source), []).append(r)
+    exact = 0
+    for rs in streams.values():
+        rs.sort(key=lambda r: r.seq_id)
+        assert all(r.seq_tokens == 512 for r in rs[:-1])
+        exact += len(rs) - 1
+    assert exact > 0  # the exact-fill property was actually exercised
+    with pytest.raises(ValueError, match="packing must be"):
+        assemble_training_set(docs, packing="nope")
