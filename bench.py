@@ -56,6 +56,8 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "merge_upsert_customers",
     "geo_knn_customer_supplier",
+    "pack_sequences_split",
+    "mm_image_decode",
 ]
 
 
