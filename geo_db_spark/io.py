@@ -247,23 +247,36 @@ def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "", keep: in
             f"version {version} of {table_dir} already reserved by a "
             "concurrent writer; re-read the table and retry"
         ) from None
-    # append into the just-reserved EMPTY dir == plain write; overwrite
-    # mode would delete the directory first, releasing the reservation
-    # for the length of the write
-    df.write.mode("append").parquet(snap)
     tmp = _os.path.join(table_dir, f".{_MANIFEST}.{version}.tmp")
-    with open(tmp, "w") as f:
-        _json.dump({"version": version, "note": mode_note}, f)
-    # guard the pointer: with versions claimed exclusively above, a
-    # concurrent commit can only have a DIFFERENT (later) number — never
-    # replace a newer manifest with ours
-    latest = read_versioned_version(table_dir)
-    if latest is not None and latest > version:
-        _os.remove(tmp)
-        raise ConcurrentWriteError(
-            f"version {latest} of {table_dir} committed while v{version} "
-            "was being written; retry on top of the newer snapshot"
-        )
+    try:
+        # append into the just-reserved EMPTY dir == plain write;
+        # overwrite mode would delete the directory first, releasing the
+        # reservation for the length of the write
+        df.write.mode("append").parquet(snap)
+        with open(tmp, "w") as f:
+            _json.dump({"version": version, "note": mode_note}, f)
+        # guard the pointer: with versions claimed exclusively above, a
+        # concurrent commit can only have a DIFFERENT (later) number —
+        # never replace a newer manifest with ours
+        latest = read_versioned_version(table_dir)
+        if latest is not None and latest > version:
+            raise ConcurrentWriteError(
+                f"version {latest} of {table_dir} committed while v{version} "
+                "was being written; retry on top of the newer snapshot"
+            )
+    except BaseException:
+        # un-reserve on ANY failure (transient write error, regress
+        # abort): otherwise the orphan dir wedges every retry with
+        # ConcurrentWriteError, and an abandoned-but-complete snapshot
+        # would sit where time travel could read it (r5 review)
+        import shutil as _shutil
+
+        _shutil.rmtree(snap, ignore_errors=True)
+        try:
+            _os.remove(tmp)
+        except OSError:
+            pass
+        raise
     _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))  # the commit point
     # prune by listing once (O(retained)) — iterating 0..version would
     # stat an ever-growing range under the per-batch streaming apply
@@ -291,14 +304,28 @@ def read_versioned(
 ) -> DataFrame:
     """Current snapshot per the manifest (or time-travel to a still-
     retained ``version``); raises if none committed / already pruned."""
-    v = read_versioned_version(table_dir) if version is None else version
+    current = read_versioned_version(table_dir)
+    v = current if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version under {table_dir}")
+    # a version above the manifest pointer was never committed — its
+    # directory may exist as a concurrent writer's (or crashed writer's)
+    # reservation, and serving it would read uncommitted data (r5 review)
+    if current is None or v > current:
+        raise FileNotFoundError(
+            f"version {v} of {table_dir} is not committed (current: {current})"
+        )
     import os as _os
 
     snap = _os.path.join(table_dir, f"v{v}")
     if not _os.path.isdir(snap):
         raise FileNotFoundError(f"version {v} not retained under {table_dir}")
+    if not _os.path.exists(_os.path.join(snap, "_SUCCESS")):
+        # a crashed writer's partial snapshot has no job-commit marker
+        raise FileNotFoundError(
+            f"version {v} of {table_dir} is incomplete (no _SUCCESS marker); "
+            "delete the directory to recover"
+        )
     return spark.read.parquet(snap)
 
 

@@ -128,6 +128,12 @@ def table_changes(
     to_v = to_version if to_version is not None else read_versioned_version(table_dir)
     if to_v is None:
         raise FileNotFoundError(f"no committed version under {table_dir}")
+    if from_version > to_v:
+        # reversed bounds would return a plausible-looking feed with every
+        # insert labeled delete and vice versa (r5 review) — fail loudly
+        raise ValueError(
+            f"from_version ({from_version}) must be <= to_version ({to_v})"
+        )
     old = read_versioned(spark, table_dir, from_version)
     new = read_versioned(spark, table_dir, to_v)
     return snapshot_diff(old, new, keys, compare_cols).select(

@@ -231,7 +231,15 @@ def quantile_threshold_filter(
     shape silently projected down to id_cols+score): the quantile runs
     over the skinny (id, score) projection and the survivors semi-join
     back to ``df`` — the payload columns never enter the sort/aggregate.
+    ``id_cols`` must uniquely identify rows (they are the join-back key);
+    an input that already carries a ``score`` column is rejected rather
+    than producing an ambiguous duplicate (r5 review).
     """
+    if "score" in df.columns:
+        raise ValueError(
+            "input already has a 'score' column; rename it before the "
+            "quantile gate (the output appends the computed score)"
+        )
     scored = df.select(*id_cols, F.round(score * 1_000_000).cast("long").alias("score_u"))
     thr = scored.agg(F.expr(f"percentile(score_u, {q})").alias("__thr"))
     kept = (

@@ -18,6 +18,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _grid_row_col(lat: Column, lon: Column, cell_deg: float) -> tuple[Column, Column, int]:
+    """(row, UNWRAPPED column, row width) — the single source of the grid
+    arithmetic; both the cell id and the probe neighborhood derive from
+    it so the two can never diverge (r5 review)."""
+    w = int(360 / cell_deg)
+    ny = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
+    nx = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    return ny, nx, w
+
+
 def grid_cell(lat: Column, lon: Column, cell_deg: float = 1.0) -> Column:
     """Integer grid cell id for a (lat, lon): row-major over an
     exactly-(360/cell_deg)-wide grid with the LONGITUDE COLUMN WRAPPED
@@ -25,12 +35,8 @@ def grid_cell(lat: Column, lon: Column, cell_deg: float = 1.0) -> Column:
     cell (they are the same meridian). Latitude rows do NOT wrap — the
     poles are not adjacent to each other. Pure integer arithmetic —
     same value in the DuckDB oracle."""
-    w = int(360 / cell_deg)
-    ny = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
-    nx = F.pmod(
-        F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long"), F.lit(w)
-    )
-    return ny * F.lit(w) + nx
+    ny, nx, w = _grid_row_col(lat, lon, cell_deg)
+    return ny * F.lit(w) + F.pmod(nx, F.lit(w))
 
 
 def grid_knn_join(
@@ -79,9 +85,9 @@ def grid_knn_join(
         grid_cell(F.col("lat"), F.col("lon"), cell_deg).alias("cell"),
     )
     # probe side: explode the 3x3 neighborhood — row offset is plain
-    # (non-existent rows match nothing), column offset wraps mod w
-    ny = F.floor((F.col("lat") + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
-    nx = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
+    # (non-existent rows match nothing), column offset wraps mod w;
+    # same _grid_row_col arithmetic the site cells use
+    ny, nx, _ = _grid_row_col(F.col("lat"), F.col("lon"), cell_deg)
     p = points.select(
         F.col(point_id),
         F.col("lat").alias("p_lat"),

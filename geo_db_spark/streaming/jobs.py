@@ -417,8 +417,17 @@ def stream_apply_changes(
             target = sess.read.parquet(target_dir)
             tmp = target_dir.rstrip("/") + f".__tmp_batch_{batch_id}"
             merge_upsert(target, src, ks).write.mode("overwrite").parquet(tmp)
-            _shutil.rmtree(target_dir)
+            # swap via rename-rename-rmtree: the old target is moved
+            # ASIDE (not deleted) before the new one takes its place, so
+            # the only crash window without a target_dir is between two
+            # metadata renames — and both the old and new table remain
+            # on disk for manual recovery either way (r5 review: the
+            # rmtree-first form had a window where the only copies were
+            # a tmp dir and nothing at the target path)
+            old_dir = target_dir.rstrip("/") + f".__old_batch_{batch_id}"
+            _os.rename(target_dir, old_dir)
             _os.rename(tmp, target_dir)
+            _shutil.rmtree(old_dir)
 
     writer = batches.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -98,3 +98,17 @@ def test_table_changes_versioned_feed_and_retention_error(spark, tmp_path):
     write_versioned(v1, d, keep=2)
     with _pytest.raises(FileNotFoundError, match="not retained"):
         table_changes(spark, d, 0, 2, keys=["k"])
+
+
+def test_table_changes_rejects_reversed_versions(spark, tmp_path):
+    """r5 review: reversed bounds would silently invert insert/delete."""
+    import pytest as _pytest
+
+    from geo_db_spark.io import write_versioned
+    from geo_db_spark.operators.cdc import table_changes
+
+    d = str(tmp_path / "rev")
+    write_versioned(spark.createDataFrame([(1, "a")], "k int, v string"), d, keep=3)
+    write_versioned(spark.createDataFrame([(2, "b")], "k int, v string"), d, keep=3)
+    with _pytest.raises(ValueError, match="must be <="):
+        table_changes(spark, d, 1, 0, keys=["k"])

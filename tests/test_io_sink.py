@@ -228,3 +228,53 @@ def test_compact_versioned_preserves_rows_bounds_files(spark, tmp_path):
     assert back.count() == 1000
     files = [f for f in os.listdir(os.path.join(d, "v1")) if f.endswith(".parquet")]
     assert len(files) <= 4
+
+
+def test_versioned_write_failure_unreserves_and_recovers(spark, tmp_path):
+    """r5 review: a failed snapshot write must remove its reservation —
+    otherwise every retry hits ConcurrentWriteError forever — and must
+    not leave an uncommitted directory that time travel could read."""
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from geo_db_spark.io import read_versioned, read_versioned_version, write_versioned
+
+    d = str(tmp_path / "failrec")
+    write_versioned(spark.range(5).select(F.col("id")), d)
+
+    def boom(pdf_iter):
+        raise RuntimeError("simulated executor failure")
+        yield  # pragma: no cover
+
+    bad = spark.range(10).mapInPandas(boom, "id long")
+    with _pytest.raises(Exception):
+        write_versioned(bad, d)
+    assert not os.path.isdir(os.path.join(d, "v1"))  # reservation cleaned
+    assert read_versioned_version(d) == 0
+    # the retry is NOT wedged
+    assert write_versioned(spark.range(7).select(F.col("id")), d) == 1
+    assert read_versioned(spark, d).count() == 7
+
+
+def test_read_versioned_refuses_uncommitted_and_partial(spark, tmp_path):
+    """r5 review: a version above the manifest pointer (a writer's
+    reservation) and a snapshot without its _SUCCESS marker must both be
+    unreadable."""
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from geo_db_spark.io import read_versioned, write_versioned
+
+    d = str(tmp_path / "refuse")
+    write_versioned(spark.range(5).select(F.col("id")), d)
+    # a concurrent writer's reservation with data but no commit
+    os.mkdir(os.path.join(d, "v1"))
+    spark.range(9).select(F.col("id")).write.mode("append").parquet(os.path.join(d, "v1"))
+    with _pytest.raises(FileNotFoundError, match="not committed"):
+        read_versioned(spark, d, version=1)
+    # a crashed writer's partial snapshot: no _SUCCESS marker
+    os.remove(os.path.join(d, "v0", "_SUCCESS"))
+    with _pytest.raises(FileNotFoundError, match="incomplete"):
+        read_versioned(spark, d, version=0)

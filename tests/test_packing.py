@@ -153,3 +153,13 @@ def test_pack_split_exact_budget_and_token_conservation(spark):
         for rows in per_source.values()
         for i in range(len(rows) - 1)
     )
+
+
+def test_quantile_filter_rejects_preexisting_score_column(spark):
+    """r5 review: an input 'score' column would collide with the appended
+    one and make every downstream reference ambiguous."""
+    import pytest
+
+    docs = _docs(spark, n=10).withColumn("score", F.lit(1.0))
+    with pytest.raises(ValueError, match="rename it"):
+        quantile_threshold_filter(docs, F.col("doc_id").cast("double"))
