@@ -45,11 +45,16 @@ def snapshot_diff(
     ks = list(keys)
     # `is not None`: an explicit empty compare set means "classify by key
     # presence only" (insert/delete, never update) — falling back to
-    # all-columns here would silently re-widen the comparison (ADVICE r5)
+    # all-columns here would silently re-widen the comparison (ADVICE r5).
+    # The default intersects with new's columns so a diff ACROSS a schema
+    # change (a column added or dropped between versioned snapshots —
+    # the Delta CDF evolution case) compares the common columns instead
+    # of failing analysis; pass compare_cols explicitly to demand a
+    # column that must exist on both sides.
     cols = (
         list(compare_cols)
         if compare_cols is not None
-        else [c for c in old.columns if c not in ks]
+        else [c for c in old.columns if c not in ks and c in new.columns]
     )
 
     def row_hash() -> F.Column:

@@ -1,0 +1,141 @@
+"""Exact set-similarity join via prefix filtering (AllPairs / PPJoin).
+
+The third member of the near-dup family, complementing the two
+probabilistic paths in operators/dedup.py: MinHash-LSH (banded, tunable
+recall) and min-shingle blocking (1-hash, cheap, recall-trading). This
+one is EXACT — every pair with Jaccard >= t is found, no recall loss —
+using the prefix-filtering principle (Bayardo et al., WWW'07 "Scaling Up
+All Pairs Similarity Search") with PPJoin's size and positional filters
+(Xiao et al., WWW'08): if two sets are t-similar, their first
+``|s| - ceil(t*|s|) + 1`` elements under ANY global element order must
+share at least one element — so candidates are generated only from those
+short prefixes, ordered rarest-element-first to make prefix collisions
+scarce.
+
+Scale shape: the only wide exchanges are (1) the token document-
+frequency groupBy, (2) the token->df attach join, (3) the per-doc
+collect groupBy, and (4) the prefix self-join whose keys are each
+document's RAREST tokens (by construction of the global order), so no
+stop-word-style hot key ever becomes a join key. The size filter
+(t*|a| <= |b| <= |a|/t) and the positional upper bound
+(min(|a|-pos_a, |b|-pos_b) + 1 >= ceil(t/(1+t) * (|a|+|b|))) prune
+candidates BEFORE the distinct, in pure integer arithmetic. Exact
+verification recomputes element sets only for documents appearing in a
+candidate pair (semi-join first), like the n-gram path.
+
+The threshold is a RATIONAL num/den so every comparison — prefix
+lengths, overlap bound, final Jaccard test — is exact integer
+arithmetic, bit-identical in the DuckDB oracle (the float form would
+hinge on ceil-at-representation-boundary behavior).
+
+No reference counterpart (SURVEY §2-H engine growth); cited algorithms
+are public literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geo_db_spark.operators.dedup import shingles
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All pairs (id_a < id_b) whose word-``shingle_n``-gram shingle sets
+    have Jaccard >= threshold_num/threshold_den. Returns
+    (id_a, id_b, inter, uni, jaccard) — sizes exact ints, jaccard their
+    IEEE quotient.
+    """
+    num, den = threshold_num, threshold_den
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be in (0, 1]: got {num}/{den}")
+
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("token"),
+    )
+    # global rarest-first element order: (document frequency, token)
+    tdf = sh.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
+    sets = (
+        sh.join(tdf, "token")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("tdf", "token"))).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # prefix length |s| - ceil(t*|s|) + 1, integer ceil = (a+b-1) div b
+    plen = F.expr(f"n - ((n * {num} + {den} - 1) div {den}) + 1")
+    pref = sets.select(
+        "id",
+        "n",
+        F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos0", "tk"),
+    ).select("id", "n", (F.col("pos0") + 1).alias("pos"), F.col("tk.token").alias("token"))
+
+    a, b = pref.alias("a"), pref.alias("b")
+    # overlap lower bound alpha = ceil(t/(1+t) * (n_a+n_b))
+    alpha = F.expr(f"(({num} * (a.n + b.n)) + {num} + {den} - 1) div ({num} + {den})")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id"))
+            # size filter: t*|a| <= |b| and t*|b| <= |a|
+            & (F.col("b.n") * den >= F.col("a.n") * num)
+            & (F.col("a.n") * den >= F.col("b.n") * num)
+            # positional filter: best-possible remaining overlap >= alpha
+            & (
+                F.least(
+                    F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+                )
+                + 1
+                >= alpha
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification: shingle sets only for documents IN a candidate
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    vsets = (
+        sh.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("token").alias("ts"), F.count(F.lit(1)).alias("vn"))
+    )
+    va = vsets.select(
+        F.col("id").alias("id_a"), F.col("ts").alias("ts_a"), F.col("vn").alias("n_a")
+    )
+    vb = vsets.select(
+        F.col("id").alias("id_b"), F.col("ts").alias("ts_b"), F.col("vn").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b")).cast("long")
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            (F.col("n_a") + F.col("n_b") - inter).alias("uni"),
+        )
+        # exact rational comparison: inter/uni >= num/den
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "uni",
+        (F.col("inter").cast("double") / F.col("uni")).alias("jaccard"),
+    )

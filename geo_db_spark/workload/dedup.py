@@ -259,6 +259,45 @@ SELECT id AS doc_id, {fp} AS simhash FROM votes
 """
 
 
+
+
+def dedup_simjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (prefix filtering, AllPairs/PPJoin —
+    operators/simjoin.py): every 3-gram-shingle pair with Jaccard >= 1/2,
+    no recall loss. The oracle is deliberately the BRUTE-FORCE all-pairs
+    form, so a green hash proves the prefix + size + positional filters
+    drop zero qualifying pairs."""
+    tune(spark)
+    from geo_db_spark.operators.simjoin import set_similarity_join
+
+    docs = load(spark, sf_dir, "documents")
+    return set_similarity_join(docs, 1, 2).orderBy("id_a", "id_b")
+
+
+ORACLE_SIMJOIN = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT id, list_distinct(list_filter(list_transform(list_zip(t, t[2:], t[3:]),
+      p -> CASE WHEN p[3] IS NULL THEN NULL ELSE p[1]||' '||p[2]||' '||p[3] END),
+      x -> x IS NOT NULL)) AS sh
+  FROM toks
+),
+nz AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+  FROM nz a JOIN nz b ON a.id < b.id
+)
+SELECT id_a, id_b, inter, uni, CAST(inter AS DOUBLE) / uni AS jaccard
+FROM pairs WHERE inter * 2 >= uni * 1
+ORDER BY id_a, id_b
+"""
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_exact_survivors": dedup_exact_survivors,
@@ -267,6 +306,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_cluster_survivors": dedup_cluster_survivors,
     "dedup_simhash": dedup_simhash,
+    "dedup_simjoin_exact": dedup_simjoin_exact,
 }
 
 ORACLES = {
@@ -277,4 +317,5 @@ ORACLES = {
     "dedup_minhash_lsh_pairs": _minhash_oracle(),
     "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
     "dedup_simhash": _simhash_oracle(),
+    "dedup_simjoin_exact": ORACLE_SIMJOIN,
 }

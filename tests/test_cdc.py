@@ -112,3 +112,24 @@ def test_table_changes_rejects_reversed_versions(spark, tmp_path):
     write_versioned(spark.createDataFrame([(2, "b")], "k int, v string"), d, keep=3)
     with _pytest.raises(ValueError, match="must be <="):
         table_changes(spark, d, 1, 0, keys=["k"])
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    """A column added between versions (lakehouse schema evolution) must
+    not break the CDF feed: common columns are compared, each version
+    keeps its own schema on read."""
+    from geo_db_spark.io import read_versioned, write_versioned
+    from geo_db_spark.operators.cdc import table_changes
+
+    d = str(tmp_path / "evo")
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "CHANGED", 20), (3, "c", 30)], "k int, v string, extra int"
+    )
+    write_versioned(v0, d, keep=3)
+    write_versioned(v1, d, keep=3)
+    assert read_versioned(spark, d, version=0).columns == ["k", "v"]
+    assert read_versioned(spark, d, version=1).columns == ["k", "v", "extra"]
+    got = {r.k: r.change_type for r in table_changes(spark, d, 0, 1, keys=["k"]).collect()}
+    # k=1 unchanged on the common column v (extra is new-side only)
+    assert got == {2: "update", 3: "insert"}

@@ -163,3 +163,18 @@ def test_quantile_filter_rejects_preexisting_score_column(spark):
     docs = _docs(spark, n=10).withColumn("score", F.lit(1.0))
     with pytest.raises(ValueError, match="rename it"):
         quantile_threshold_filter(docs, F.col("doc_id").cast("double"))
+
+
+def test_pack_split_no_source_wide_window(spark):
+    """pack_sequences_split must inherit the bounded-window plan shape:
+    no window partitioned by source alone over the full document set."""
+    from geo_db_spark.operators.packing import pack_sequences_split
+
+    docs = _docs(spark)
+    plan = (
+        pack_sequences_split(docs, budget=64, shard_width=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "id#" in line and "windowspecdefinition" in line:
+            assert "shard" in line, f"unbounded per-source window in plan: {line}"

@@ -1,0 +1,74 @@
+"""Exact set-similarity join (operators/simjoin.py): equality with brute
+force on planted near-dups, threshold edge behavior, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geo_db_spark.operators.dedup import shingles
+from geo_db_spark.operators.simjoin import set_similarity_join
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # near-dup of 1
+        (3, "a completely different document about spark joins and shuffles"),
+        (4, "a completely different document about spark joins and shuffles"),  # exact dup of 3
+        (5, "short text only"),  # 3 tokens -> 1 shingle
+        (6, "unrelated words entirely disjoint from every other entry here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute(spark, docs, num, den):
+    sh = docs.select(
+        F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    uni = (F.size("sa") + F.size("sb")).cast("long") - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", inter.alias("inter"), uni.alias("uni"))
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+    )
+
+
+def test_simjoin_equals_bruteforce(spark):
+    docs = _corpus(spark)
+    got = sorted(
+        (r.id_a, r.id_b, r.inter, r.uni)
+        for r in set_similarity_join(docs, 1, 2).collect()
+    )
+    want = sorted(map(tuple, _brute(spark, docs, 1, 2).collect()))
+    assert got == want
+    pairs = {(a, b) for a, b, *_ in got}
+    assert (3, 4) in pairs  # exact dup -> jaccard 1
+    assert (1, 2) in pairs  # near dup above 1/2
+    assert all(5 not in p and 6 not in p for p in pairs)
+
+
+def test_simjoin_threshold_is_exact_rational(spark):
+    """jaccard == exactly num/den must be KEPT (>=, integer cross-mult)."""
+    # doc 1: shingles {abc bcd cde}, doc 2 shares exactly 2 of 4 union ->
+    # construct: 1: "a b c d e" -> 3 shingles; 2: "a b c d x" -> 3 shingles,
+    # shares "a b c" and "b c d" -> inter 2, union 4 -> exactly 1/2
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")], "doc_id long, text string"
+    )
+    rows = set_similarity_join(docs, 1, 2).collect()
+    assert len(rows) == 1 and rows[0].inter == 2 and rows[0].uni == 4
+    # and at the next-tighter rational it must vanish
+    assert set_similarity_join(docs, 51, 100).count() == 0
+
+
+def test_simjoin_no_cartesian_in_plan(spark):
+    docs = _corpus(spark)
+    plan = (
+        set_similarity_join(docs, 1, 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
