@@ -58,6 +58,7 @@ HEADLINE = [
     "geo_knn_customer_supplier",
     "pack_sequences_split",
     "mm_image_decode",
+    "dedup_simjoin_exact",
 ]
 
 

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from geo_db_spark.operators.dedup import shingles
+from geo_db_spark.operators.dedup import _cache_session_scoped, shingles
 
 
 def set_similarity_join(
@@ -57,9 +57,15 @@ def set_similarity_join(
     if not (0 < num <= den):
         raise ValueError(f"threshold must be in (0, 1]: got {num}/{den}")
 
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("token"),
+    # (id, token) feeds THREE branches (df count, rank attach, exact
+    # verification) — without a barrier each re-scans and re-tokenizes
+    # the corpus; cache the skinny exploded rows in the same
+    # session-scoped registry the dedup signatures use (never the text)
+    sh = _cache_session_scoped(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("token"),
+        )
     )
     # global rarest-first element order: (document frequency, token)
     tdf = sh.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
