@@ -1138,3 +1138,92 @@ SELECT '<none>', CAST(COUNT(*) AS BIGINT) FROM none HAVING COUNT(*) > 0
 
 QUERIES["g22_explode_outer_words"] = g22_explode_outer_words
 ORACLES["g22_explode_outer_words"] = ORACLE_G22
+
+
+def g23_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt surface (DataFrame.unpivot, SQL stack): the wide
+    per-order metric columns (o_totalprice, o_shippriority) melt into
+    (metric, value) long form, then aggregate per metric x order-priority
+    — the wide->long reshape every metrics pipeline needs, dual of the
+    g6 pivot. Values are decimal-quantized before the sum so the hash
+    matches the oracle's exact arithmetic."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("extended_price"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    ).unpivot(
+        ["l_returnflag"],
+        ["extended_price", "discount", "tax"],
+        "metric",
+        "value",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+ORACLE_G23 = """
+WITH long AS (
+  SELECT l_returnflag, 'extended_price' AS metric, CAST(l_extendedprice AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', CAST(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'tax', CAST(l_tax AS DOUBLE) FROM lineitem
+)
+SELECT l_returnflag, metric,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM long GROUP BY 1, 2
+"""
+
+QUERIES["g23_unpivot_lineitem_metrics"] = g23_unpivot_lineitem_metrics
+ORACLES["g23_unpivot_lineitem_metrics"] = ORACLE_G23
+
+
+def g24_except_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL bag semantics (exceptAll /
+    intersectAll): multiset difference and intersection of the lineitem
+    quantity bags of two return flags, per quantity value. Bag semantics
+    matter when duplicates carry meaning (here: how many lineitems of
+    each quantity one mode has OVER the other) — the set-based g2/g12
+    EXCEPT/INTERSECT collapse them."""
+    tune(spark)
+    li = load(spark, sf_dir, "lineitem")
+    air = li.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").cast("long").alias("q"))
+    mail = li.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").cast("long").alias("q"))
+    diff = air.exceptAll(mail).groupBy("q").agg(F.count(F.lit(1)).alias("surplus"))
+    both = air.intersectAll(mail).groupBy("q").agg(F.count(F.lit(1)).alias("common"))
+    return diff.join(both, "q", "full_outer").select(
+        "q",
+        F.coalesce("surplus", F.lit(0)).alias("surplus"),
+        F.coalesce("common", F.lit(0)).alias("common"),
+    )
+
+
+ORACLE_G24 = """
+WITH a AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS ca
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+),
+m AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS cm
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(a.q, m.q) AS q,
+         COALESCE(ca, 0) AS ca, COALESCE(cm, 0) AS cm
+  FROM a FULL OUTER JOIN m USING (q)
+)
+SELECT q,
+       CAST(GREATEST(ca - cm, 0) AS BIGINT) AS surplus,
+       CAST(LEAST(ca, cm) AS BIGINT) AS common
+FROM j
+WHERE GREATEST(ca - cm, 0) > 0 OR LEAST(ca, cm) > 0
+"""
+
+QUERIES["g24_except_all_lineitems"] = g24_except_all_lineitems
+ORACLES["g24_except_all_lineitems"] = ORACLE_G24
