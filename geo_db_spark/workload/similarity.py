@@ -433,7 +433,9 @@ def _ivf_cells_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(cells, "vec_id")
 
 
-def _ivf_cells_assigned_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_cells_assigned_arrow(
+    spark: SparkSession, sf_dir: str, n_cells: int = IVF_C
+) -> DataFrame:
     """Arrow variant of `_ivf_cells_assigned`: one `V @ C.T` int64 matmul
     per corpus batch instead of per-element interpreted lambdas (the r4
     bench showed the lambda path dominating semdedup wall time). The
@@ -448,7 +450,7 @@ def _ivf_cells_assigned_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cent_rows = sorted(
-        emb.filter(F.col("vec_id") < IVF_C).select("vec_id", "embedding").collect(),
+        emb.filter(F.col("vec_id") < n_cells).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
     )
     C = np.floor(
@@ -529,10 +531,16 @@ def semdedup_cell_pairs(
     return kept.groupBy("cell").applyInPandas(cell_pairs, "id_a long, id_b long")
 
 
-def _semdedup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup_clusters_df(
+    spark: SparkSession, sf_dir: str, n_cells: int = IVF_C
+) -> DataFrame:
+    """``n_cells`` is the production anti-hot-cell knob: scale the
+    centroid count with the corpus (cells ~ N / target_cell_size) so
+    populations stay under SEMDEDUP_MAX_CELL; the cap is the backstop
+    for the power-law tail, not the sizing mechanism."""
     from geo_db_spark.operators.components import connected_components
 
-    assigned = _ivf_cells_assigned_arrow(spark, sf_dir).select(
+    assigned = _ivf_cells_assigned_arrow(spark, sf_dir, n_cells=n_cells).select(
         "cell", "vec_id", "embedding"
     )
     pairs = semdedup_cell_pairs(assigned)

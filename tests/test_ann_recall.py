@@ -119,3 +119,27 @@ def test_semdedup_hot_cell_cap_excludes_oversized_cells(spark):
     # the cap accidentally filtering everything)
     uncapped = semdedup_cell_pairs(assigned, max_cell=100).collect()
     assert len(uncapped) == 3 + 66  # C(3,2) + C(12,2)
+
+
+def test_semdedup_cell_knob_tames_hot_cells(spark):
+    """The production answer to hot cells is scaling the centroid count:
+    on the 10x-style corpus shape, 16 cells are all over the cap while
+    more cells bring populations back under it — the knob must actually
+    move cell sizes."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.workload.similarity import (
+        SEMDEDUP_MAX_CELL,
+        _ivf_cells_assigned_arrow,
+    )
+
+    sizes16 = (
+        _ivf_cells_assigned_arrow(spark, SF, n_cells=4)
+        .groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    )
+    sizes64 = (
+        _ivf_cells_assigned_arrow(spark, SF, n_cells=64)
+        .groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sizes64 < sizes16  # more cells -> smaller max population
+    assert sizes64 <= SEMDEDUP_MAX_CELL  # 500 vectors over 64 cells fits
