@@ -152,6 +152,30 @@ def purchase_click_stream_join(
     ).select("p_event_id", "p_user_id", "p_ts", "c_event_id", "c_ts", "c_value")
 
 
+def enrich_stream_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static join: enrich an event stream with a dimension
+    snapshot — the lookup pattern of every event pipeline (events ×
+    users/products/geo). Spark re-plans the static side per micro-batch,
+    so a dimension parquet refreshed in place is picked up by the NEXT
+    batch without restarting the stream; no watermark is needed because
+    the static side holds no stream state.
+
+    Left joins keep unmatched events (late-arriving dimension rows catch
+    up on re-ingest); inner drops them. Stream-side outer joins against
+    a static frame need no watermark either — only stream-stream outer
+    joins do. At 100 TB the dimension is usually broadcast-sized per
+    executor; when it is not, the micro-batch hash-join shuffles only
+    that batch's events, never the accumulated stream."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return events.join(dim, key, how)
+
+
 def maintain_windowed_rollup(
     stream: DataFrame,
     out_dir: str,

@@ -435,3 +435,44 @@ def test_stream_apply_changes_versioned(spark, tmp_path):
     got = {r.k: r.v for r in read_versioned(spark, target_dir).collect()}
     assert got[1] == "upd1" and got[2] == "upd2" and got[100] == "new100"
     assert got[0] == "base" and len(got) == 11
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
+    """Stream-static dimension join: streamed events enriched with the
+    customer dim must aggregate identically to the batch join; unmatched
+    events survive under how='left' and die under 'inner'."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
+    from geo_db_spark.streaming.jobs import enrich_stream_with_dim, read_events_stream
+
+    dim = load(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ev = read_events_stream(spark, events_dir)
+    out_dir = str(tmp_path / "enriched")
+    q = (
+        enrich_stream_with_dim(ev, dim, how="left")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    batch_ev = load(spark, SF_SMOKE, "events")
+    want = batch_ev.join(dim, "user_id", "left").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # inner drops the unmatched (events carry user_ids beyond the dim)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="how must be"):
+        enrich_stream_with_dim(ev, dim, how="full")
