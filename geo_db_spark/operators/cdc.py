@@ -51,11 +51,20 @@ def snapshot_diff(
     # the Delta CDF evolution case) compares the common columns instead
     # of failing analysis; pass compare_cols explicitly to demand a
     # column that must exist on both sides.
-    cols = (
-        list(compare_cols)
-        if compare_cols is not None
-        else [c for c in old.columns if c not in ks and c in new.columns]
-    )
+    if compare_cols is not None:
+        cols = list(compare_cols)
+    else:
+        cols = [c for c in old.columns if c not in ks and c in new.columns]
+        if not cols and any(c not in ks for c in old.columns):
+            # both sides HAVE value columns but share none (e.g. a rename
+            # across versions): defaulting to presence-only here would
+            # silently report every changed row as unchanged — demand an
+            # explicit choice instead (r5 review)
+            raise ValueError(
+                "snapshots share no non-key columns to compare; pass "
+                "compare_cols explicitly ([] for presence-only "
+                "insert/delete classification)"
+            )
 
     def row_hash() -> F.Column:
         if not cols:

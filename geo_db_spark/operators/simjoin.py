@@ -117,7 +117,17 @@ def set_similarity_join(
                 >= alpha
             ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        # carry both set sizes through: n is functionally dependent on
+        # id, so the distinct's cardinality is unchanged, and the verify
+        # stage needs no re-join against the sets aggregate (the first
+        # cut re-ran the sh⋈tdf join + groupBy TWICE just to recover
+        # sizes — two wide exchanges for data already in hand; r5 review)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .distinct()
     )
     # exact verification WITHOUT array payloads: the first cut of this
@@ -134,16 +144,11 @@ def set_similarity_join(
     # construction, so no qualifying pair is lost.
     a_tok = sh.select(F.col("id").alias("id_a"), "token")
     b_tok = sh.select(F.col("id").alias("id_b"), "token")
-    inter = (
+    pairs = (
         cand.join(a_tok, "id_a")
         .join(b_tok, ["id_b", "token"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    nsz = sets.select("id", "n")
-    pairs = (
-        inter.join(nsz.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(nsz.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -1142,11 +1142,11 @@ ORACLES["g22_explode_outer_words"] = ORACLE_G22
 
 def g23_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT / melt surface (DataFrame.unpivot, SQL stack): the wide
-    per-order metric columns (o_totalprice, o_shippriority) melt into
-    (metric, value) long form, then aggregate per metric x order-priority
-    — the wide->long reshape every metrics pipeline needs, dual of the
-    g6 pivot. Values are decimal-quantized before the sum so the hash
-    matches the oracle's exact arithmetic."""
+    per-lineitem metric columns (l_extendedprice, l_discount, l_tax)
+    melt into (metric, value) long form, then aggregate per metric x
+    return flag — the wide->long reshape every metrics pipeline needs,
+    dual of the g6 pivot. Values are decimal-quantized before the sum
+    so the hash matches the oracle's exact arithmetic."""
     tune(spark)
     li = load(spark, sf_dir, "lineitem")
     long = li.select(

@@ -7,9 +7,10 @@ graph — per-query work scales linearly with the factor, which is
 exactly what the scale-envelope run wants to measure (VERDICT r1 #9).
 Dimension tables (region, nation) are NOT replicated (they are fixed
 domains, like the real world). Document text is re-tokenized per
-replica (every token gets a '_r<k>' suffix) so replicas share no 3-gram
-shingles — the near-dup structure of the base corpus is preserved, not
-multiplied. (r5 fix: the previous form INSERTED ' r<k> ' between words,
+replica (EVERY token gets a '_r<k>' suffix, via a \S+ capture so the
+final token is suffixed too) so replicas share no 3-gram shingles — the
+near-dup structure of the base corpus is preserved, not multiplied.
+(r5 fix: the previous form INSERTED ' r<k> ' between words,
 which made any two same-replica docs sharing a single word share the
 shingle 'r<k> w r<k>' — quadratically inflating shingle-candidate sets
 for exact similarity joins; the banded/capped dedup paths masked it by
@@ -83,7 +84,7 @@ def main() -> None:
         "documents": f"""
             SELECT doc_id + k*{D} AS doc_id,
                    CASE WHEN k = 0 THEN text
-                        ELSE regexp_replace(text, ' ', '_r' || k || ' ', 'g') END AS text,
+                        ELSE regexp_replace(text, '(\S+)', '\1_r' || k, 'g') END AS text,
                    lang, source, n_chars
             FROM {{src}}, range({FACTOR}) r(k)""",
         "embeddings": f"""

@@ -123,9 +123,9 @@ def test_semdedup_hot_cell_cap_excludes_oversized_cells(spark):
 
 def test_semdedup_cell_knob_tames_hot_cells(spark):
     """The production answer to hot cells is scaling the centroid count:
-    on the 10x-style corpus shape, 16 cells are all over the cap while
-    more cells bring populations back under it — the knob must actually
-    move cell sizes."""
+    with few cells (4) the max population is far larger than with many
+    (64) — the knob must actually move cell sizes, and 500 vectors over
+    64 cells must fit under the cap."""
     from pyspark.sql import functions as F
 
     from geo_db_spark.workload.similarity import (
@@ -133,7 +133,7 @@ def test_semdedup_cell_knob_tames_hot_cells(spark):
         _ivf_cells_assigned_arrow,
     )
 
-    sizes16 = (
+    sizes4 = (
         _ivf_cells_assigned_arrow(spark, SF, n_cells=4)
         .groupBy("cell").count().agg(F.max("count")).collect()[0][0]
     )
@@ -141,5 +141,5 @@ def test_semdedup_cell_knob_tames_hot_cells(spark):
         _ivf_cells_assigned_arrow(spark, SF, n_cells=64)
         .groupBy("cell").count().agg(F.max("count")).collect()[0][0]
     )
-    assert sizes64 < sizes16  # more cells -> smaller max population
+    assert sizes64 < sizes4  # more cells -> smaller max population
     assert sizes64 <= SEMDEDUP_MAX_CELL  # 500 vectors over 64 cells fits

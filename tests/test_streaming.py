@@ -439,12 +439,25 @@ def test_stream_apply_changes_versioned(spark, tmp_path):
 
 def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
     """Stream-static dimension join: streamed events enriched with the
-    customer dim must aggregate identically to the batch join; unmatched
-    events survive under how='left' and die under 'inner'."""
+    customer dim must aggregate identically to the batch join. The smoke
+    events all match the dim (r5 review: left==inner on them, so the
+    retention claim was vacuous), so a second event file with user_ids
+    BEYOND the dim is planted — those must survive how='left' with a
+    NULL segment and die under 'inner'."""
     from pyspark.sql import functions as F
 
     from geo_db_spark.io import load
     from geo_db_spark.streaming.jobs import enrich_stream_with_dim, read_events_stream
+
+    # plant unmatched events: user_ids far beyond any customer key
+    ts_type = dict(load(spark, SF_SMOKE, "events").dtypes)["ts"]
+    spark.createDataFrame(
+        [(10_000_001, "2024-01-01 00:00:00", 9_999_991, "click", 1.0, "{}"),
+         (10_000_002, "2024-01-01 00:01:00", 9_999_992, "click", 2.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast(ts_type)).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
 
     dim = load(spark, SF_SMOKE, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
@@ -461,17 +474,25 @@ def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = (
-        spark.read.parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in back.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # batch twin over the SAME directory (incl. the planted file)
+    batch_ev = spark.read.schema(back.drop("c_mktsegment").schema).parquet(events_dir)
+    want = {
+        r["c_mktsegment"]: r["n"]
+        for r in batch_ev.join(dim, "user_id", "left")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
-    batch_ev = load(spark, SF_SMOKE, "events")
-    want = batch_ev.join(dim, "user_id", "left").groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
-    # inner drops the unmatched (events carry user_ids beyond the dim)
+        .collect()
+    }
+    assert got == want
+    assert got.get(None) == 2  # the planted unmatched events survived 'left'
+    # and 'inner' drops exactly them
+    n_inner = batch_ev.join(dim, "user_id", "inner").count()
+    assert back.count() - n_inner == 2
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="how must be"):
