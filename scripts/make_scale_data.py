@@ -84,7 +84,7 @@ def main() -> None:
         "documents": f"""
             SELECT doc_id + k*{D} AS doc_id,
                    CASE WHEN k = 0 THEN text
-                        ELSE regexp_replace(text, '(\S+)', '\1_r' || k, 'g') END AS text,
+                        ELSE regexp_replace(text, '(\\S+)', '\\1_r' || k, 'g') END AS text,
                    lang, source, n_chars
             FROM {{src}}, range({FACTOR}) r(k)""",
         "embeddings": f"""
