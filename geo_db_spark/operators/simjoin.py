@@ -117,17 +117,7 @@ def set_similarity_join(
                 >= alpha
             ),
         )
-        # carry both set sizes through: n is functionally dependent on
-        # id, so the distinct's cardinality is unchanged, and the verify
-        # stage needs no re-join against the sets aggregate (the first
-        # cut re-ran the sh⋈tdf join + groupBy TWICE just to recover
-        # sizes — two wide exchanges for data already in hand; r5 review)
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     # exact verification WITHOUT array payloads: the first cut of this
@@ -144,11 +134,22 @@ def set_similarity_join(
     # construction, so no qualifying pair is lost.
     a_tok = sh.select(F.col("id").alias("id_a"), "token")
     b_tok = sh.select(F.col("id").alias("id_b"), "token")
-    pairs = (
+    inter = (
         cand.join(a_tok, "id_a")
         .join(b_tok, ["id_b", "token"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # set sizes from the CACHED token table (one cheap count aggregate),
+    # not from re-running the sets (sh⋈tdf + collect_list) subtree — the
+    # first cut recomputed that twice; carrying n through the candidate
+    # distinct instead widened the dominant 44M-row exchange and
+    # measured SLOWER at 100x (344 s vs 206 s), so sizes attach late,
+    # to the post-aggregation (small) pair set (r5 review, iterated)
+    nsz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        inter.join(nsz.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(nsz.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
         .select(
             "id_a",
             "id_b",
