@@ -47,6 +47,24 @@ def cms_build(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def cms_sketch_per_group(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """One CMS shard per group (group_cols..., i, b, cnt) — the
+    partial-sketch form for shard-then-merge pipelines, API twin of
+    hll_sketch_per_group. cms_merge over the shards is cell-identical
+    to a single cms_build over the concatenated input (counters are an
+    algebraic sum)."""
+    k = F.col(key_col)
+    cells = df.select(
+        *group_cols,
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("i"), _row_hash(k, i).alias("b")) for i in range(D)])
+        ).alias("c"),
+    )
+    return cells.groupBy(
+        *group_cols, F.col("c.i").alias("i"), F.col("c.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def cms_merge(sketches: DataFrame) -> DataFrame:
     """Merge sketch shards: counters add cell-wise — exactly the sketch
     a single pass over the concatenated streams would build."""

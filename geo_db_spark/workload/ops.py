@@ -1227,3 +1227,38 @@ WHERE GREATEST(ca - cm, 0) > 0 OR LEAST(ca, cm) > 0
 
 QUERIES["g24_except_all_lineitems"] = g24_except_all_lineitems
 ORACLES["g24_except_all_lineitems"] = ORACLE_G24
+
+
+def g25_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS surface (completing the grouping family:
+    ROLLUP g1, CUBE g19): revenue at three chosen granularities —
+    (flag, status), (flag), and grand total — with GROUPING() markers
+    disambiguating real NULLs from subtotal rows. SQL API on a temp
+    view; Catalyst expands to the same Expand+Aggregate as cube/rollup."""
+    tune(spark)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_g25")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem_g25
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+ORACLE_G25 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+QUERIES["g25_grouping_sets_revenue"] = g25_grouping_sets_revenue
+ORACLES["g25_grouping_sets_revenue"] = ORACLE_G25

@@ -153,6 +153,25 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.filter(F.col("est_count") >= CMS_THRESHOLD)
 
 
+def sk_cms_merged_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS mergeability end-to-end: per-event_type sketch SHARDS built in
+    one pass, cell-wise-summed by cms_merge, then the same heavy-hitter
+    probe — cell-identical to the direct single-sketch build, so the
+    direct oracle gates the merged path exactly (the sk_*_merged_global
+    pattern, completing the sketch family: KMV, HLL, now CMS)."""
+    tune(spark)
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.cms import cms_estimate, cms_merge, cms_sketch_per_group
+
+    ev = load(spark, sf_dir, "events")
+    shards = cms_sketch_per_group(ev, "user_id", ["event_type"])
+    merged = cms_merge(shards.drop("event_type"))
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(merged, keys, "user_id")
+    return est.filter(F.col("est_count") >= CMS_THRESHOLD)
+
+
 def _cms_oracle() -> str:
     from geo_db_spark.operators.cms import cms_oracle_sql
 
@@ -205,6 +224,7 @@ QUERIES = {
     "sk_hll_distinct_parts": sk_hll_distinct_parts,
     "sk_hll_merged_global": sk_hll_merged_global,
     "sk_cms_heavy_hitters": sk_cms_heavy_hitters,
+    "sk_cms_merged_hitters": sk_cms_merged_hitters,
 }
 
 ORACLES = {
@@ -215,4 +235,5 @@ ORACLES = {
     "sk_hll_distinct_parts": _hll_oracle("lineitem", "l_partkey", ["l_returnflag"]),
     "sk_hll_merged_global": _hll_global_oracle(),
     "sk_cms_heavy_hitters": _cms_oracle(),
+    "sk_cms_merged_hitters": _cms_oracle(),
 }
