@@ -201,3 +201,66 @@ def test_merge_upsert_matches_dict_reference(spark, target_rows, batch_rows):
     got = {r.k: r.v for r in merge_upsert(target, batch, ["k"]).collect()}
     want = {**t_d, **b_d}
     assert got == want
+
+
+# ------------------------------------------- image decoders (pure Python)
+
+
+@_settings
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    data=st.data(),
+)
+def test_ppm_roundtrip_property(w, h, data):
+    """make_ppm -> decode_image is the identity on the pixel bytes for
+    arbitrary dimensions and payloads (the decoder is new hand-written
+    parsing code — the classic fuzz target)."""
+    from geo_db_spark.operators.multimodal import decode_image, make_ppm
+
+    rgb = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3))
+    )
+    arr = decode_image(make_ppm(w, h, rgb))
+    assert arr.shape == (h, w, 3)
+    assert arr.tobytes() == rgb
+
+
+@_settings
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    top_down=st.booleans(),
+    data=st.data(),
+)
+def test_bmp_roundtrip_property(w, h, top_down, data):
+    """Hand-assembled 24-bit BMPs (both row orders, any width incl. the
+    padding-heavy ones) decode to exactly the intended RGB grid."""
+    import struct
+
+    from geo_db_spark.operators.multimodal import decode_image
+
+    px = [
+        [
+            tuple(data.draw(st.lists(st.integers(0, 255), min_size=3, max_size=3)))
+            for _ in range(w)
+        ]
+        for _ in range(h)
+    ]
+    stride = (w * 3 + 3) & ~3
+
+    def row(r):
+        raw = b"".join(bytes((b, g, rr)) for (rr, g, b) in r)
+        return raw + b"\x00" * (stride - len(raw))
+
+    rows = px if top_down else list(reversed(px))
+    pixel_data = b"".join(row(r) for r in rows)
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(pixel_data), 0, 0, 0, 0,
+    )
+    arr = decode_image(header + dib + pixel_data)
+    assert arr.shape == (h, w, 3)
+    assert [[tuple(p) for p in r] for r in arr] == px
