@@ -237,3 +237,59 @@ ORACLES = {
     "sk_cms_heavy_hitters": _cms_oracle(),
     "sk_cms_merged_hitters": _cms_oracle(),
 }
+
+
+HIST_LO, HIST_HI = 0.0, 110_000.0
+
+
+def sk_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch (operators/histogram.py):
+    per-returnflag SHARDS cell-summed into one 64-bin histogram of
+    l_extendedprice, then p50/p95 read from the cumulative walk — the
+    one-pass fixed-memory quantile path (t-digest's deterministic
+    cousin; max error one bin width, here ~1.7k over a 0..110k range).
+    The merged cells are identical to a direct build, so the direct
+    oracle gates the sharded path."""
+    tune(spark)
+    from geo_db_spark.operators.histogram import (
+        histogram_build,
+        histogram_merge,
+        histogram_quantile,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    shards = histogram_build(
+        li, "l_extendedprice", HIST_LO, HIST_HI, group_cols=["l_returnflag"]
+    )
+    merged = histogram_merge(shards.drop("l_returnflag"))
+    return histogram_quantile(merged, 0.5, HIST_LO, HIST_HI).unionByName(
+        histogram_quantile(merged, 0.95, HIST_LO, HIST_HI)
+    )
+
+
+def _histogram_oracle() -> str:
+    from geo_db_spark.operators.histogram import N_BINS
+
+    width = (HIST_HI - HIST_LO) / N_BINS
+    def one(q: float) -> str:
+        return f"""
+SELECT CAST({q} AS DOUBLE) AS quantile, bin,
+       CAST({HIST_LO} + bin * {width} AS DOUBLE) AS est_value
+FROM cum, tot WHERE cum >= CEIL({q} * total) ORDER BY bin LIMIT 1"""
+
+    return f"""
+WITH binned AS (
+  SELECT GREATEST(LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - {HIST_LO}) / {width}) AS BIGINT), {N_BINS - 1}), 0) AS bin
+  FROM lineitem
+),
+hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY bin),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM hist),
+cum AS (SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM hist)
+({one(0.5)})
+UNION ALL
+({one(0.95)})
+"""
+
+
+QUERIES["sk_histogram_quantiles"] = sk_histogram_quantiles
+ORACLES["sk_histogram_quantiles"] = _histogram_oracle()

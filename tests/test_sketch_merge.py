@@ -90,3 +90,32 @@ def test_cms_one_sided_and_merge(spark):
     whole = {(r["i"], r["b"]): r["cnt"] for r in cms.collect()}
     got = {(r["i"], r["b"]): r["cnt"] for r in merged.collect()}
     assert got == whole
+
+
+def test_histogram_shards_merge_equals_direct_and_bounds_quantile(spark):
+    """Cell-wise shard merge must equal the direct single-pass build
+    exactly, and the quantile readout must land within one bin width of
+    the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
+    from geo_db_spark.operators.histogram import (
+        N_BINS,
+        histogram_build,
+        histogram_merge,
+        histogram_quantile,
+    )
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    lo, hi = 0.0, 110_000.0
+    direct = histogram_build(li, "l_extendedprice", lo, hi)
+    shards = histogram_build(li, "l_extendedprice", lo, hi, group_cols=["l_returnflag"])
+    merged = histogram_merge(shards.drop("l_returnflag"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    width = (hi - lo) / N_BINS
+    est = histogram_quantile(merged, 0.5, lo, hi).collect()[0]
+    exact = li.agg(
+        F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").alias("p")
+    ).collect()[0]["p"]
+    assert est.est_value <= exact <= est.est_value + width
