@@ -318,6 +318,31 @@ def hll_estimate_from_registers(regs: DataFrame, group_col: str = "event_type") 
     return estimate_from_registers(regs, [group_col])
 
 
+def streaming_histogram_cells(
+    events: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+) -> DataFrame:
+    """Streaming quantile sketch: the equi-width histogram maintained AS
+    the streaming aggregation state (operators/histogram.py). Cell
+    increment is a count per bin — associative and commutative — so the
+    stateful groupBy count IS the shard merge across micro-batches:
+    state is bounded at N_BINS cells forever, and the cell table after
+    any prefix of batches is bit-identical to the batch histogram over
+    the same rows. Read quantiles on the sink side with
+    histogram_quantile — one-pass streaming p50/p95 in fixed memory,
+    completing the streaming sketch trio (HLL distinct, CMS frequency,
+    histogram quantiles)."""
+    from geo_db_spark.operators.histogram import N_BINS, _bin_of
+
+    return (
+        events.select(_bin_of(F.col(value_col), lo, hi, N_BINS).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def run_streaming_hll(
     spark: SparkSession,
     events_dir: str,

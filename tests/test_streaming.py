@@ -497,3 +497,34 @@ def test_stream_static_enrich_matches_batch(spark, events_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="how must be"):
         enrich_stream_with_dim(ev, dim, how="full")
+
+
+def test_streaming_histogram_matches_batch_sketch(spark, events_dir, tmp_path):
+    """The streamed histogram cells after an availableNow pass must be
+    bit-identical to the batch build over the same files, and the
+    quantile readout from the streamed state must equal the batch one."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
+    from geo_db_spark.operators.histogram import histogram_build, histogram_quantile
+    from geo_db_spark.streaming.jobs import read_events_stream, streaming_histogram_cells
+
+    lo, hi = 0.0, 1000.0
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        streaming_histogram_cells(ev, "value", lo, hi)
+        .writeStream.format("memory")
+        .queryName("hist_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select bin, cnt from hist_cells").collect()))
+    batch = histogram_build(load(spark, SF_SMOKE, "events"), "value", lo, hi)
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+    streamed = spark.sql("select bin, cnt from hist_cells")
+    p50_s = histogram_quantile(streamed, 0.5, lo, hi).collect()[0]
+    p50_b = histogram_quantile(batch, 0.5, lo, hi).collect()[0]
+    assert (p50_s.bin, p50_s.est_value) == (p50_b.bin, p50_b.est_value)
