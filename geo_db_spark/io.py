@@ -228,9 +228,9 @@ def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "", keep: in
     directory form. Liveness caveat (documented, like the S3 one): a
     writer that CRASHES after reserving leaves an orphan ``v<N+1>``
     directory that blocks that number; since nothing newer can commit,
-    the prune never collects it — recover by deleting the uncommitted
-    directory (no ``_SUCCESS`` marker, newer than the manifest) once no
-    writer is live. Routine operation is still single-writer-at-a-time;
+    the prune never collects it — run :func:`recover_versioned` (removes
+    uncommitted reservations newer than the manifest) once no writer is
+    live. Routine operation is still single-writer-at-a-time;
     the guard turns the race from silent corruption into a loud error.
     """
     import json as _json
@@ -286,6 +286,33 @@ def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "", keep: in
         if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= version - keep:
             _shutil.rmtree(_os.path.join(table_dir, name), ignore_errors=True)
     return version
+
+
+def recover_versioned(table_dir: str) -> list[str]:
+    """Remove crashed-writer leftovers so the version numbers they block
+    become claimable again: snapshot directories NEWER than the manifest
+    pointer that carry no ``_SUCCESS`` marker (a reservation whose write
+    never finished), plus orphaned manifest temp files. Returns the
+    removed paths. Only call when no writer is live — a live writer's
+    in-progress reservation is indistinguishable from a crashed one by
+    design (the mkdir IS the lock)."""
+    import os as _os
+    import shutil as _shutil
+
+    current = read_versioned_version(table_dir)
+    removed: list[str] = []
+    for name in sorted(_os.listdir(table_dir)):
+        path = _os.path.join(table_dir, name)
+        if name.startswith(f".{_MANIFEST}.") and name.endswith(".tmp"):
+            _os.remove(path)
+            removed.append(path)
+        elif name.startswith("v") and name[1:].isdigit() and _os.path.isdir(path):
+            v = int(name[1:])
+            newer = current is None or v > current
+            if newer and not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+                _shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+    return removed
 
 
 def read_versioned_version(table_dir: str) -> int | None:

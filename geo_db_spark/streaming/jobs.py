@@ -441,13 +441,28 @@ def stream_apply_changes(
             )
         sess = batch_df.sparkSession
         if versioned:
-            from geo_db_spark.io import read_versioned, write_versioned
+            from geo_db_spark.io import (
+                ConcurrentWriteError,
+                read_versioned,
+                write_versioned,
+            )
 
             # old snapshot dir != new snapshot dir: no self-overwrite,
-            # no checkpoint barrier needed, atomic manifest swap
-            target = read_versioned(sess, target_dir)
-            write_versioned(merge_upsert(target, src, ks), target_dir,
-                            mode_note=f"batch {batch_id}")
+            # no checkpoint barrier needed, atomic manifest swap. A
+            # concurrent committer (e.g. async compact_versioned) makes
+            # write_versioned raise ConcurrentWriteError; the merge is a
+            # pure function of (current snapshot, batch), so re-reading
+            # and retrying on the newer snapshot is exactly correct —
+            # bounded retries, then surface the error to the stream.
+            for attempt in range(3):
+                target = read_versioned(sess, target_dir)
+                try:
+                    write_versioned(merge_upsert(target, src, ks), target_dir,
+                                    mode_note=f"batch {batch_id}")
+                    break
+                except ConcurrentWriteError:
+                    if attempt == 2:
+                        raise
         else:
             # write the merged batch to a SIBLING temp dir first, then
             # swap: the previous shape (localCheckpoint + in-place

@@ -278,3 +278,35 @@ def test_read_versioned_refuses_uncommitted_and_partial(spark, tmp_path):
     os.remove(os.path.join(d, "v0", "_SUCCESS"))
     with _pytest.raises(FileNotFoundError, match="incomplete"):
         read_versioned(spark, d, version=0)
+
+
+def test_recover_versioned_unblocks_crashed_reservation(spark, tmp_path):
+    """A crashed writer's reservation (no _SUCCESS, newer than the
+    manifest) wedges that version number; recover_versioned removes it
+    and the next write succeeds — while committed snapshots survive."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import (
+        ConcurrentWriteError,
+        read_versioned,
+        recover_versioned,
+        write_versioned,
+    )
+    import pytest as _pytest
+
+    d = str(tmp_path / "recover")
+    write_versioned(spark.range(5).select(F.col("id")), d)
+    # crashed writer: reservation with partial data, no _SUCCESS
+    os.mkdir(os.path.join(d, "v1"))
+    with open(os.path.join(d, "v1", "part-partial.parquet"), "wb") as f:
+        f.write(b"partial")
+    with open(os.path.join(d, f"._MANIFEST.json.1.tmp"), "w") as f:
+        f.write("{}")
+    with _pytest.raises(ConcurrentWriteError):
+        write_versioned(spark.range(9).select(F.col("id")), d)
+    removed = recover_versioned(d)
+    assert any(p.endswith("v1") for p in removed)
+    assert any(p.endswith(".tmp") for p in removed)
+    assert write_versioned(spark.range(9).select(F.col("id")), d) == 1
+    assert read_versioned(spark, d).count() == 9
+    assert read_versioned(spark, d, version=0).count() == 5  # committed survives
