@@ -298,6 +298,43 @@ FROM pairs WHERE inter * 2 >= uni * 1
 ORDER BY id_a, id_b
 """
 
+def dedup_simjoin_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-similarity dedup END-TO-END: the zero-recall-loss pair set
+    (prefix-filtered exact Jaccard >= 1/2) -> connected components ->
+    survivors. Unlike the MinHash/blocked variants, a duplicate pair can
+    never be missed here, so the survivor set is exactly what a
+    brute-force dedup would keep — the oracle proves it (all-pairs CTE
+    + recursive reachability)."""
+    tune(spark)
+    from geo_db_spark.operators.components import connected_components
+    from geo_db_spark.operators.simjoin import set_similarity_join
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = set_similarity_join(docs, 1, 2).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+def _simjoin_survivors_oracle() -> str:
+    return rf"""
+WITH RECURSIVE p AS ({ORACLE_SIMJOIN}),
+e AS (SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+n AS (SELECT DISTINCT a AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM n
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id
+),
+cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+"""
+
+
 QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "dedup_exact_survivors": dedup_exact_survivors,
@@ -307,6 +344,7 @@ QUERIES = {
     "dedup_cluster_survivors": dedup_cluster_survivors,
     "dedup_simhash": dedup_simhash,
     "dedup_simjoin_exact": dedup_simjoin_exact,
+    "dedup_simjoin_survivors": dedup_simjoin_survivors,
 }
 
 ORACLES = {
@@ -318,4 +356,5 @@ ORACLES = {
     "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_simjoin_exact": ORACLE_SIMJOIN,
+    "dedup_simjoin_survivors": _simjoin_survivors_oracle(),
 }
