@@ -232,12 +232,25 @@ def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "", keep: in
     uncommitted reservations newer than the manifest) once no writer is
     live. Routine operation is still single-writer-at-a-time;
     the guard turns the race from silent corruption into a loud error.
+
+    ABA guard (ADVICE r6): version numbers are only exclusive while their
+    directory exists — prune RECYCLES them. A writer that read current=N,
+    stalled, and woke after v(N+1) was committed and pruned can mkdir
+    v(N+1) successfully and would write a bogus snapshot BELOW the
+    manifest pointer. Two closures: (a) the manifest is re-read
+    immediately after the mkdir reservation and the write aborts (with
+    cleanup) if any version >= ours committed meanwhile — before a single
+    data byte is written; (b) the manifest records the COMMITTED version
+    set and :func:`read_versioned` validates against it, so even a
+    snapshot orphaned with a ``_SUCCESS`` marker by a crash in the abort
+    window is never served as committed history.
     """
     import json as _json
     import os as _os
 
     _os.makedirs(table_dir, exist_ok=True)
-    current = read_versioned_version(table_dir)
+    manifest = _read_manifest(table_dir)
+    current = manifest["version"] if manifest is not None else None
     version = (current if current is not None else -1) + 1
     snap = _os.path.join(table_dir, f"v{version}")
     try:
@@ -249,12 +262,30 @@ def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "", keep: in
         ) from None
     tmp = _os.path.join(table_dir, f".{_MANIFEST}.{version}.tmp")
     try:
+        # ABA re-check: our mkdir can succeed on a RECYCLED number if
+        # this exact version was committed and pruned while we were
+        # stalled between the manifest read and the reservation. Abort
+        # before writing any data — the crash window of the late regress
+        # check (below) would otherwise leave a complete bogus snapshot
+        # below the pointer.
+        latest = read_versioned_version(table_dir)
+        if latest is not None and latest >= version:
+            raise ConcurrentWriteError(
+                f"version {version} of {table_dir} was already committed "
+                f"(current: {latest}); the number was recycled by prune — "
+                "re-read the table and retry"
+            )
         # append into the just-reserved EMPTY dir == plain write;
         # overwrite mode would delete the directory first, releasing the
         # reservation for the length of the write
         df.write.mode("append").parquet(snap)
+        committed = _committed_versions(table_dir)
+        committed = [c for c in committed if c > version - keep] + [version]
         with open(tmp, "w") as f:
-            _json.dump({"version": version, "note": mode_note}, f)
+            _json.dump(
+                {"version": version, "note": mode_note, "committed": sorted(committed)},
+                f,
+            )
         # guard the pointer: with versions claimed exclusively above, a
         # concurrent commit can only have a DIFFERENT (later) number —
         # never replace a newer manifest with ours
@@ -290,16 +321,18 @@ def write_versioned(df: DataFrame, table_dir: str, mode_note: str = "", keep: in
 
 def recover_versioned(table_dir: str) -> list[str]:
     """Remove crashed-writer leftovers so the version numbers they block
-    become claimable again: snapshot directories NEWER than the manifest
-    pointer that carry no ``_SUCCESS`` marker (a reservation whose write
-    never finished), plus orphaned manifest temp files. Returns the
-    removed paths. Only call when no writer is live — a live writer's
-    in-progress reservation is indistinguishable from a crashed one by
-    design (the mkdir IS the lock)."""
+    become claimable again: snapshot directories the manifest's committed
+    set does not vouch for — uncommitted reservations newer than the
+    pointer (with or without ``_SUCCESS``: a crashed ABA writer can leave
+    a COMPLETE bogus snapshot, see write_versioned) — plus orphaned
+    manifest temp files. Returns the removed paths. Only call when no
+    writer is live — a live writer's in-progress reservation is
+    indistinguishable from a crashed one by design (the mkdir IS the
+    lock)."""
     import os as _os
     import shutil as _shutil
 
-    current = read_versioned_version(table_dir)
+    committed = set(_committed_versions(table_dir))
     removed: list[str] = []
     for name in sorted(_os.listdir(table_dir)):
         path = _os.path.join(table_dir, name)
@@ -307,15 +340,16 @@ def recover_versioned(table_dir: str) -> list[str]:
             _os.remove(path)
             removed.append(path)
         elif name.startswith("v") and name[1:].isdigit() and _os.path.isdir(path):
-            v = int(name[1:])
-            newer = current is None or v > current
-            if newer and not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            # no manifest ever named this version: crashed reservation
+            # (above the pointer, complete or not) or an ABA writer's
+            # bogus snapshot below it — both unservable, both removable
+            if int(name[1:]) not in committed:
                 _shutil.rmtree(path, ignore_errors=True)
                 removed.append(path)
     return removed
 
 
-def read_versioned_version(table_dir: str) -> int | None:
+def _read_manifest(table_dir: str) -> dict | None:
     import json as _json
     import os as _os
 
@@ -323,7 +357,34 @@ def read_versioned_version(table_dir: str) -> int | None:
     if not _os.path.exists(m):
         return None
     with open(m) as f:
-        return int(_json.load(f)["version"])
+        return _json.load(f)
+
+
+def _committed_versions(table_dir: str) -> list[int]:
+    """Versions the manifest vouches for. Manifests written before the
+    committed-set existed (r5 and earlier) are migrated by trusting the
+    retained directories' ``_SUCCESS`` markers one last time — from the
+    next commit on, the explicit set is authoritative."""
+    import os as _os
+
+    manifest = _read_manifest(table_dir)
+    if manifest is None:
+        return []
+    if "committed" in manifest:
+        return [int(v) for v in manifest["committed"]]
+    current = int(manifest["version"])
+    out = []
+    for name in _os.listdir(table_dir):
+        if name.startswith("v") and name[1:].isdigit():
+            v = int(name[1:])
+            if v <= current and _os.path.exists(_os.path.join(table_dir, name, "_SUCCESS")):
+                out.append(v)
+    return sorted(out)
+
+
+def read_versioned_version(table_dir: str) -> int | None:
+    manifest = _read_manifest(table_dir)
+    return None if manifest is None else int(manifest["version"])
 
 
 def read_versioned(
@@ -347,6 +408,14 @@ def read_versioned(
     snap = _os.path.join(table_dir, f"v{v}")
     if not _os.path.isdir(snap):
         raise FileNotFoundError(f"version {v} not retained under {table_dir}")
+    # the manifest's committed set is the ledger — a bogus snapshot left
+    # below the pointer by a crashed ABA writer carries _SUCCESS but was
+    # never named in any manifest swap, so it is refused here (ADVICE r6)
+    if v not in _committed_versions(table_dir):
+        raise FileNotFoundError(
+            f"version {v} of {table_dir} is not in the manifest's committed "
+            "set (crashed-writer leftover); run recover_versioned"
+        )
     if not _os.path.exists(_os.path.join(snap, "_SUCCESS")):
         # a crashed writer's partial snapshot has no job-commit marker
         raise FileNotFoundError(

@@ -55,15 +55,33 @@ def snapshot_diff(
         cols = list(compare_cols)
     else:
         cols = [c for c in old.columns if c not in ks and c in new.columns]
-        if not cols and any(c not in ks for c in old.columns):
-            # both sides HAVE value columns but share none (e.g. a rename
-            # across versions): defaulting to presence-only here would
+        old_extra = any(c not in ks for c in old.columns)
+        new_extra = [c for c in new.columns if c not in ks and c not in old.columns]
+        if not cols and (old_extra or new_extra):
+            # EITHER side has value columns but they share none (a rename
+            # across versions, or a keys-only snapshot diffed against a
+            # widened one): defaulting to presence-only here would
             # silently report every changed row as unchanged — demand an
-            # explicit choice instead (r5 review)
+            # explicit choice instead. Symmetric on purpose (ADVICE r6:
+            # the old-side-only check let a keys-only `old` degrade the
+            # diff to presence-only without a word).
             raise ValueError(
                 "snapshots share no non-key columns to compare; pass "
                 "compare_cols explicitly ([] for presence-only "
                 "insert/delete classification)"
+            )
+        if new_extra:
+            # columns added on the new side cannot be compared against
+            # anything — they are excluded, which means a row whose only
+            # change is in a new column reads as unchanged; say so
+            # instead of hiding it (ADVICE r6)
+            import warnings
+
+            warnings.warn(
+                f"snapshot_diff: new-side-only columns {new_extra} are "
+                "excluded from comparison (no old-side counterpart); rows "
+                "differing only there will classify as unchanged",
+                stacklevel=2,
             )
 
     def row_hash() -> F.Column:

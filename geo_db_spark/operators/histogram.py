@@ -82,3 +82,74 @@ def histogram_quantile(
         "bin",
         (F.lit(lo) + F.col("bin") * F.lit(width)).alias("est_value"),
     )
+
+
+def histogram_quantile_refined(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """Two-pass refinement (the module docstring's promised tightening):
+    pass 1 builds the coarse ``n_bins`` histogram and locates the bin
+    holding rank ``ceil(q*N)`` plus the residual rank within it; pass 2
+    re-bins ONLY that bracket into ``n_bins`` sub-bins and walks to the
+    residual rank — quantile error (hi-lo)/n_bins² with the same fixed
+    ≤ n_bins sketch state per pass, exact integer rank and exact double
+    edge arithmetic throughout (bit-identical in the oracle).
+
+    Scale shape: two full scans (the price of the 4096× error
+    reduction), zero data shuffles — the bracket is a one-row broadcast,
+    the pass-2 filter rides the scan behind it, and both cumulative
+    walks run over ≤ n_bins sketch rows. Rows are matched to the
+    bracket by their COARSE bin assignment (same clamped `_bin_of`),
+    so under-lo / over-hi clamping stays consistent across passes."""
+    width = (hi - lo) / n_bins
+    sub_width = width / n_bins
+    h1 = histogram_build(df, value_col, lo, hi, n_bins)
+    total = h1.agg(F.sum("cnt").alias("total"))
+    wspec = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    bracket = (
+        h1.crossJoin(F.broadcast(total))
+        .withColumn("cum", F.sum("cnt").over(wspec))
+        .withColumn("rank", F.ceil(F.lit(q) * F.col("total")))
+        .filter(F.col("cum") >= F.col("rank"))
+        .orderBy("bin")
+        .limit(1)
+        .select(
+            F.col("bin").alias("coarse_bin"),
+            (F.col("rank") - (F.col("cum") - F.col("cnt"))).alias("rank_rem"),
+        )
+    )
+    v = F.col(value_col).cast("double")
+    blo = F.lit(lo) + F.col("coarse_bin") * F.lit(width)
+    sub_bin = F.greatest(
+        F.least(
+            F.floor((F.col("__v") - F.col("blo")) / F.lit(sub_width)).cast("long"),
+            F.lit(n_bins - 1),
+        ),
+        F.lit(0),
+    )
+    sub_hist = (
+        df.select(_bin_of(F.col(value_col), lo, hi, n_bins).alias("cb"), v.alias("__v"))
+        .join(F.broadcast(bracket), F.col("cb") == F.col("coarse_bin"))
+        .withColumn("blo", blo)
+        .withColumn("sub_bin", sub_bin)
+        .groupBy("coarse_bin", "rank_rem", "blo", "sub_bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w2 = Window.orderBy("sub_bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        sub_hist.withColumn("cum", F.sum("cnt").over(w2))
+        .filter(F.col("cum") >= F.col("rank_rem"))
+        .orderBy("sub_bin")
+        .limit(1)
+        .select(
+            F.lit(q).alias("quantile"),
+            F.col("coarse_bin").alias("bin"),
+            "sub_bin",
+            (F.col("blo") + F.col("sub_bin") * F.lit(sub_width)).alias("est_value"),
+        )
+    )

@@ -57,21 +57,23 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image(payload: bytes):
     """Decode an image payload to an (H, W, 3) uint8 RGB ndarray.
 
-    Pure-NumPy decoders for the two uncompressed formats that need no
-    codec library: binary PPM (``P6``) and uncompressed 24/32-bit BMP
-    (``BM``, BI_RGB). Compressed formats (JPEG/PNG/WebP/...) still
-    raise NotImplementedError — those genuinely need PIL/opencv, which
-    this container lacks; swap this dispatcher's fallthrough for a
-    ``PIL.Image.open`` when available. (r4 verdict #4: the stub is now
-    only the codec-library boundary, not the whole decode.)"""
+    Pure-stdlib decoders for the formats that need no codec library:
+    binary PPM (``P6``), uncompressed 24/32-bit BMP (``BM``, BI_RGB),
+    and — since r6 — non-interlaced 8-bit PNG (zlib inflate + per-row
+    unfiltering, the format real corpora actually contain). JPEG/WebP
+    still raise NotImplementedError — lossy DCT/VP8 genuinely needs
+    PIL/opencv, which this container lacks; swap this dispatcher's
+    fallthrough for a ``PIL.Image.open`` when available."""
     if payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == PNG_MAGIC:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed PPM (P6) and BMP (BI_RGB) decode without a "
-        "codec library; JPEG/PNG need PIL/opencv, not present in this "
-        "environment"
+        "only PPM (P6), uncompressed BMP (BI_RGB) and 8-bit PNG decode "
+        "without a codec library; JPEG/WebP need PIL/opencv, not present "
+        "in this environment"
     )
 
 
@@ -134,6 +136,170 @@ def _decode_bmp(payload: bytes):
     if h_raw > 0:
         rgb = rgb[::-1]  # bottom-up storage -> top-down
     return np.ascontiguousarray(rgb)
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (palette type 3 needs PLTE indirection)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes):
+    """Non-interlaced 8-bit PNG via stdlib ``zlib`` + NumPy unfiltering
+    (r5 verdict #3): walk the chunk stream (IHDR, concatenated IDATs),
+    inflate, then undo the per-scanline filter — None/Sub/Up/Average/
+    Paeth per the PNG spec (RFC 2083 §6). Grayscale / gray+alpha /
+    RGB / RGBA color types; returned as (H, W, 3) uint8 RGB (gray
+    replicated, alpha dropped) like the PPM/BMP decoders. Interlaced
+    (Adam7), palette, and 16-bit PNGs raise NotImplementedError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported (bit depth {depth})")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise NotImplementedError(f"palette/unknown PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG scanline data truncated: {len(raw)} != {h * (stride + 1)}")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int64)
+        if ft == 0:  # None
+            cur = row
+        elif ft == 1:  # Sub: prefix sum within each channel's byte lane
+            cur = row.copy()
+            for off in range(ch):
+                cur[off::ch] = np.cumsum(cur[off::ch]) % 256
+        elif ft == 2:  # Up
+            cur = (row + prev) % 256
+        elif ft == 3:  # Average — left-neighbor dependence is sequential
+            cur = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                cur[i] = (row[i] + (a + prev[i]) // 2) % 256
+        elif ft == 4:  # Paeth
+            cur = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ch == 2:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ch == 3:
+        rgb = px
+    else:
+        rgb = px[:, :, :3]
+    return np.ascontiguousarray(rgb)
+
+
+def make_png(
+    width: int,
+    height: int,
+    pixel_bytes: bytes,
+    color_type: int = 2,
+    row_filters: "list[int] | None" = None,
+) -> bytes:
+    """Assemble a real PNG payload (correct CRCs, zlib-deflated IDAT) —
+    the fixture generator for the PNG decode path. ``row_filters`` picks
+    the filter type per scanline (default Sub everywhere) so tests can
+    exercise every unfilter branch; encoding applies the spec's forward
+    filter, which `_decode_png` must invert exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(pixel_bytes) != height * stride:
+        raise ValueError(f"need {height * stride} bytes, got {len(pixel_bytes)}")
+    filters = row_filters if row_filters is not None else [1] * height
+    if len(filters) != height:
+        raise ValueError("row_filters must have one entry per scanline")
+    px = np.frombuffer(pixel_bytes, np.uint8).reshape(height, stride).astype(np.int64)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        cur = px[y]
+        ft = filters[y]
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]]) if stride > ch else np.zeros(stride, np.int64)
+            enc = (cur - left) % 256
+        elif ft == 2:
+            enc = (cur - prev) % 256
+        elif ft in (3, 4):
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]]) if stride > ch else np.zeros(stride, np.int64)
+            upleft = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]]) if stride > ch else np.zeros(stride, np.int64)
+            if ft == 3:
+                enc = (cur - (left + prev) // 2) % 256
+            else:
+                p = left + prev - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                )
+                enc = (cur - pred) % 256
+        else:
+            raise ValueError(f"invalid filter {ft}")
+        lines.append(ft)
+        lines.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_ppm(width: int, height: int, rgb_bytes: bytes) -> bytes:

@@ -250,6 +250,47 @@ def quantile_threshold_filter(
     return df.join(kept, list(id_cols), "inner")
 
 
+def quantile_threshold_filter_approx(
+    df: DataFrame,
+    score: Column,
+    q: float = 0.25,
+    id_cols: Sequence[str] = ("doc_id",),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """``quantile_threshold_filter`` with the PRODUCTION threshold path:
+    ``approx_percentile`` (Greenwald-Khanna sketch — one pass, partial
+    aggregation per partition, merged sketches, never a global sort or a
+    SinglePartition of the values), the drop-in the exact variant's
+    docstring names for 100 TB. Same plan otherwise: skinny (id, score)
+    projection, one-row broadcast threshold, semi-join back for payload.
+
+    Accuracy contract: the sketch's relative rank error is 1/accuracy, so
+    the threshold lands between the exact (q - 1/accuracy) and
+    (q + 1/accuracy) quantiles — the survivor set is bracketed by the
+    exact survivor sets at those loosened quantiles (tested). When
+    ``accuracy`` exceeds the row count the rank error is < 1 row and the
+    sketch returns the EXACT discrete q-quantile (the element at rank
+    ceil(q*n)) — which is how the oracle gate pins this query at test
+    scale (DuckDB ``quantile_disc``): the oracle-checked form and the
+    production form are the same code, only ``accuracy`` moves.
+    """
+    if "score" in df.columns:
+        raise ValueError(
+            "input already has a 'score' column; rename it before the "
+            "quantile gate (the output appends the computed score)"
+        )
+    scored = df.select(*id_cols, F.round(score * 1_000_000).cast("long").alias("score_u"))
+    thr = scored.agg(
+        F.expr(f"approx_percentile(score_u, {q}, {int(accuracy)})").alias("__thr")
+    )
+    kept = (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("score_u") >= F.col("__thr"))
+        .select(*id_cols, (F.col("score_u") / 1_000_000.0).alias("score"))
+    )
+    return df.join(kept, list(id_cols), "inner")
+
+
 # (fraction numerators out of 100, label) — ordered; remainder is the last
 SPLIT_BANDS: tuple[tuple[int, str], ...] = ((96, "train"), (98, "val"), (100, "test"))
 

@@ -22,10 +22,26 @@ def _grid_row_col(lat: Column, lon: Column, cell_deg: float) -> tuple[Column, Co
     """(row, UNWRAPPED column, row width) — the single source of the grid
     arithmetic; both the cell id and the probe neighborhood derive from
     it so the two can never diverge (r5 review)."""
-    w = int(360 / cell_deg)
+    w = _row_width(cell_deg)
     ny = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
     nx = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
     return ny, nx, w
+
+
+def _row_width(cell_deg: float) -> int:
+    """360/cell_deg, validated to be an exact integer. A non-divisor
+    cell_deg (e.g. 0.7 -> 514.28... columns) would TRUNCATE here and fold
+    the last partial column into column 0 via pmod, making one seam
+    column ~2x wide — the docstring's exactly-(360/cell_deg)-wide grid
+    would be a lie (ADVICE r6). Raise like the w < 3 guard does."""
+    w = 360.0 / cell_deg
+    if abs(w - round(w)) > 1e-9:
+        raise ValueError(
+            f"cell_deg={cell_deg} does not divide 360 evenly "
+            f"(360/cell_deg = {w}); the wrapped grid needs an integer "
+            "column count — pick a divisor of 360 (1.0, 0.5, 0.25, ...)"
+        )
+    return int(round(w))
 
 
 def grid_cell(lat: Column, lon: Column, cell_deg: float = 1.0) -> Column:
@@ -71,7 +87,7 @@ def grid_knn_join(
     Rows beyond the pole rows simply don't exist, so a dy out of range
     matches nothing — no pole wrap, no duplicate probe cells.
     """
-    w = int(360 / cell_deg)
+    w = _row_width(cell_deg)
     if w < 3:
         raise ValueError(
             f"cell_deg={cell_deg} gives {w} longitude columns; 3x3 "
@@ -119,3 +135,122 @@ def grid_knn_join(
         .filter(F.col("rank") <= k)
         .select(point_id, site_id, "dist2", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def grid_knn_join_exact(
+    points: DataFrame,
+    sites: DataFrame,
+    k: int = 1,
+    cell_deg: float = 1.0,
+    point_id: str = "point_id",
+    site_id: str = "site_id",
+) -> DataFrame:
+    """Exact k nearest ``sites`` per point: ``grid_knn_join``'s blocking
+    with an iterative RING EXPANSION for the points the 3x3 neighborhood
+    cannot satisfy (r5 verdict #4) — the recursive-frontier pattern of
+    operators/closure.py applied to space.
+
+    Round at radius r probes the (2r+1)^2 cell neighborhood (column
+    offsets wrapped mod the row width; once 2r+1 >= width the probe is
+    the full row). A point is DONE when it has >= k candidates whose
+    distance is <= r*cell_deg — any unprobed site sits >= r full cells
+    away (Chebyshev cell distance >= r+1, gap of r cells), so nothing
+    outside the probed region can beat the accepted top-k: the result is
+    exact, not best-effort. Unsatisfied points re-probe at 2r; doubling
+    makes the round count logarithmic in the grid size, and the frontier
+    (sparse-neighborhood points only) shrinks geometrically. When the
+    probe covers the whole grid the point is done unconditionally — if it
+    still has < k rows there ARE fewer than k sites on earth.
+
+    Scale shape: every round's join is still cell-local; the quadratic
+    (2r+1)^2 explode applies only to the shrinking unsatisfied subset,
+    never the full point set. The driver-side loop materializes one
+    COUNT per round (bounded scalar, same pattern as closure.py's
+    convergence check).
+    """
+    import math
+
+    w = _row_width(cell_deg)
+    if w < 3:
+        raise ValueError(
+            f"cell_deg={cell_deg} gives {w} longitude columns; grid "
+            "probing needs at least 3"
+        )
+    n_rows = math.ceil(180.0 / cell_deg)
+    s = sites.select(
+        F.col(site_id),
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        grid_cell(F.col("lat"), F.col("lon"), cell_deg).alias("cell"),
+    )
+    pending = points.select(
+        F.col(point_id),
+        F.col("lat").alias("p_lat"),
+        F.col("lon").alias("p_lon"),
+    )
+    dlat = F.col("p_lat") - F.col("s_lat")
+    dlon_abs = F.abs(F.col("p_lon") - F.col("s_lon"))
+    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
+    dist2 = dlat * dlat + dlon * dlon
+    wr = Window.partitionBy(point_id).orderBy(F.col("dist2"), F.col(site_id))
+
+    spark = points.sparkSession
+    out = spark.createDataFrame(
+        [], f"{point_id} {dict(points.dtypes)[point_id]}, {site_id} "
+        f"{dict(sites.dtypes)[site_id]}, dist2 double, rank int"
+    )
+    r = 1
+    while True:
+        # offset grid for this radius, resolved in PYTHON so wrapped
+        # columns are probed exactly once (2r+1 >= w -> all w residues
+        # as offsets; re-deriving -r..r there would duplicate cells)
+        dxs = range(-r, r + 1) if 2 * r + 1 <= w else range(w)
+        dys = range(-r, r + 1)
+        ny, nx, _ = _grid_row_col(F.col("p_lat"), F.col("p_lon"), cell_deg)
+        probes = pending.select(
+            point_id,
+            "p_lat",
+            "p_lon",
+            F.explode(
+                F.array(
+                    *[
+                        (ny + F.lit(dy)) * F.lit(w) + F.pmod(nx + F.lit(dx), F.lit(w))
+                        for dy in dys
+                        for dx in dxs
+                    ]
+                )
+            ).alias("cell"),
+        )
+        ranked = (
+            probes.join(s, "cell")
+            .select(point_id, site_id, dist2.alias("dist2"))
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+        )
+        covered_all = r >= n_rows and 2 * r + 1 >= w
+        if covered_all:
+            return out.unionByName(
+                ranked.select(
+                    point_id, site_id, "dist2", F.col("rank").cast("int").alias("rank")
+                )
+            )
+        # done = k candidates found AND the worst accepted one is closer
+        # than anything the unprobed cells could hold
+        guarantee = float(r * cell_deg) ** 2
+        done_pts = (
+            ranked.groupBy(point_id)
+            .agg(F.count("*").alias("__n"), F.max("dist2").alias("__maxd"))
+            .filter((F.col("__n") >= k) & (F.col("__maxd") <= F.lit(guarantee)))
+            .select(point_id)
+        )
+        out = out.unionByName(
+            ranked.join(done_pts, point_id, "left_semi").select(
+                point_id, site_id, "dist2", F.col("rank").cast("int").alias("rank")
+            )
+        )
+        pending = pending.join(done_pts, point_id, "left_anti")
+        # bounded-scalar convergence check (closure.py pattern); also
+        # checkpoint-free because each round recomputes from `points`
+        if pending.limit(1).count() == 0:
+            return out
+        r *= 2

@@ -401,3 +401,76 @@ FROM ranked WHERE rn <= 20
 
 QUERIES["text_stratified_sample"] = text_stratified_sample
 ORACLES["text_stratified_sample"] = ORACLE_STRATIFIED
+
+
+def text_stratified_sample_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_stratified_sample with the PRODUCTION cutpoint path the exact
+    version's docstring names for 100 TB (r5 verdict #2): the nine decile
+    cutpoints come from one ``approx_percentile`` sketch pass — partial
+    GK sketches per partition, merged, never a SinglePartition of the
+    scores. ``accuracy`` is above the corpus size at every test SF, where
+    the sketch is exact-rank and equals DuckDB ``quantile_disc`` (the
+    discrete-element quantile — the approx sketch always answers with a
+    real element, unlike ``percentile``'s interpolation), so the full
+    result sits under the value-hash oracle; production dials accuracy
+    down to ~10^4 and strata boundaries move by <= n/accuracy ranks."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    score_u = F.round(
+        F.lit(1_000_000.0) * F.col("n_chars") / F.size(F.split(F.trim("text"), r"\s+"))
+    ).cast("long")
+    scored = docs.select("doc_id", score_u.alias("score_u"))
+    qs = ", ".join(str(q / 10) for q in range(1, 10))
+    cuts = scored.agg(
+        F.expr(f"approx_percentile(score_u, array({qs}), 100000000)").alias("cs")
+    )
+    strat = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "score_u",
+        F.aggregate(
+            "cs",
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("score_u") > c, 1).otherwise(0),
+        ).alias("stratum"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("stratum").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        strat.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= STRATA_K)
+        .select("doc_id", "stratum", (F.col("score_u") / 1_000_000.0).alias("score"))
+    )
+
+
+ORACLE_STRATIFIED_APPROX = r"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(ROUND(1000000.0 * n_chars / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS score_u
+  FROM documents
+),
+cuts AS (
+  SELECT quantile_disc(score_u, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs FROM scored
+),
+strat AS (
+  SELECT doc_id, score_u,
+         len(list_filter(cs, c -> score_u > c)) AS stratum
+  FROM scored, cuts
+),
+ranked AS (
+  SELECT doc_id, score_u, stratum,
+         row_number() OVER (
+           PARTITION BY stratum
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+         ) AS rn
+  FROM strat
+)
+SELECT doc_id, CAST(stratum AS INT) AS stratum, score_u / 1000000.0 AS score
+FROM ranked WHERE rn <= 20
+"""
+
+QUERIES["text_stratified_sample_approx"] = text_stratified_sample_approx
+ORACLES["text_stratified_sample_approx"] = ORACLE_STRATIFIED_APPROX

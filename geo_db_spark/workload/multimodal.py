@@ -1,12 +1,13 @@
 """Multimodal-column workload entries over `documents`.
 
 The binary-payload corpus is derived deterministically from document
-text (operators/multimodal.py: the decode itself is stubbed — no media
-libs in this container — but schema, partitioning and Arrow batch
-plumbing are real). Metadata and frame-sampling are pure functions of
-the payload bytes, so they get FULL DuckDB oracles (the corpus is
-ASCII, so byte == codepoint); the mapInPandas feature extractor is the
-genuinely non-SQL-expressible path and is registered rows-only.
+text. The decode path is REAL for codec-free formats — PPM, BMP, and
+(since r6) zlib-deflated PNG, all decoded by operators/multimodal.py's
+pure stdlib+NumPy decoders inside Arrow-batched mapInPandas; only
+JPEG/WebP remain the documented codec-library boundary. Every query
+here carries a FULL DuckDB value oracle (the corpus is ASCII, so
+byte == codepoint and DuckDB can reproduce raster bytes and chunk sums
+from the text).
 """
 
 from __future__ import annotations
@@ -51,7 +52,8 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one row per 64-byte offset of each
     payload, produced by Arrow-batched mapInPandas (1 row -> many)."""
     tune(spark)
-    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").withColumn("text", _ascii_guard("text"))
+    media = with_binary_payload(docs)
     return frame_sample(media, every_n_bytes=64)
 
 
@@ -77,7 +79,8 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first n%8 chunks get the extra byte). The float path itself is
     pinned against numpy in tests/test_multimodal.py."""
     tune(spark)
-    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").withColumn("text", _ascii_guard("text"))
+    media = with_binary_payload(docs)
     feats = extract_features(media)
     total = F.aggregate("chunk_sums", F.lit(0).cast("long"), lambda a, x: a + x)
     return feats.select(
@@ -99,7 +102,8 @@ def mm_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from geo_db_spark.operators.multimodal import downsample_payload
 
-    media = with_binary_payload(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").withColumn("text", _ascii_guard("text"))
+    media = with_binary_payload(docs)
     return downsample_payload(media, factor=2).select(
         "doc_id", "n_bytes_out", "resized_md5"
     )
@@ -118,18 +122,43 @@ FROM documents
 PPM_W = 4  # fixed raster width of the synthetic PPM corpus
 
 
+def _ascii_guard(text_col: str) -> F.Column:
+    """The raster/oracle arithmetic here indexes by CHARS (substring,
+    ascii) while payloads count BYTES (octet_length) — sound only while
+    the corpus is ASCII. Validate the invariant where the payload is
+    built so a future non-ASCII corpus fails LOUDLY instead of silently
+    desynchronizing the DuckDB md5 oracles (ADVICE r6)."""
+    return F.when(
+        F.octet_length(F.col(text_col)) == F.length(F.col(text_col)),
+        F.col(text_col),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("non-ASCII document text breaks the byte==char payload "
+                      "invariant (doc text has "),
+                F.length(F.col(text_col)).cast("string"),
+                F.lit(" chars but "),
+                F.octet_length(F.col(text_col)).cast("string"),
+                F.lit(" bytes)"),
+            )
+        )
+    )
+
+
 def with_ppm_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """REAL image payloads: each document's text bytes become the RGB
     raster of a binary PPM (P6), width 4 × height n//12 (the first
-    12·H bytes; docs are ASCII so byte == char). The decode path then
-    parses an actual image format, not a fake."""
+    12·H bytes; the ASCII byte==char invariant is runtime-asserted by
+    `_ascii_guard`). The decode path then parses an actual image
+    format, not a fake."""
+    guarded = docs.withColumn(text_col, _ascii_guard(text_col))
     n = F.octet_length(F.col(text_col))
     h = F.floor(n / F.lit(PPM_W * 3)).cast("int")
     header = F.concat(
         F.lit(f"P6\n{PPM_W} "), h.cast("string"), F.lit("\n255\n")
     )
     body = F.expr(f"substring({text_col}, 1, {PPM_W * 3} * floor(octet_length({text_col}) / {PPM_W * 3}))")
-    return docs.select(
+    return guarded.select(
         "doc_id", F.encode(F.concat(header, body), "utf-8").alias("payload")
     )
 
@@ -182,6 +211,65 @@ SELECT doc_id,
        md5(substr(text, 1, CAST((octet_length(encode(text)) // {PPM_W * 3}) * {PPM_W * 3} AS INT))) AS pixel_md5
 FROM documents
 """
+
+
+def mm_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG end-to-end (r5 verdict #3): each document's leading 12·H text
+    bytes become a 4-wide RGB raster encoded as a REAL PNG — stdlib zlib
+    deflate, correct CRCs, per-scanline filter type cycling through all
+    five spec filters ((doc_id + row) % 5) — then decoded back by the
+    pure stdlib+NumPy PNG decoder (inflate + unfilter), all inside one
+    Arrow-batched mapInPandas pass. Emits decoded dims + pixel md5; the
+    oracle reproduces both straight from the text, so a decoder bug in
+    ANY filter branch breaks the value hash."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_image, make_png
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant (ADVICE r6)
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char raster/oracle arithmetic"
+                    )
+                h = len(raw) // (PPM_W * 3)
+                raster = raw[: h * PPM_W * 3]
+                filters = [(int(doc_id) + y) % 5 for y in range(h)]
+                png = make_png(PPM_W, h, raster, color_type=2, row_filters=filters)
+                arr = decode_image(png)
+                rows.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     hashlib.md5(arr.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pixel_md5"])
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+# decode(encode(raster)) must be the identity, so the oracle is the same
+# text-byte arithmetic as the PPM decode oracle
+ORACLE_MM_IMAGE_DECODE_PNG = ORACLE_MM_IMAGE_DECODE
 
 
 def mm_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,6 +338,7 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
     "mm_feature_extract": mm_feature_extract,
     "mm_image_decode": mm_image_decode,
+    "mm_image_decode_png": mm_image_decode_png,
     "mm_image_downsample": mm_image_downsample,
 }
 
@@ -283,5 +372,6 @@ ORACLES = {
     "mm_frame_sample": ORACLE_MM_FRAMES,
     "mm_feature_extract": ORACLE_MM_FEATURES,
     "mm_image_decode": ORACLE_MM_IMAGE_DECODE,
+    "mm_image_decode_png": ORACLE_MM_IMAGE_DECODE_PNG,
     "mm_image_downsample": ORACLE_MM_IMAGE_DOWNSAMPLE,
 }

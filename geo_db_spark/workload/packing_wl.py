@@ -15,6 +15,7 @@ from geo_db_spark.operators.packing import (
     pack_sequences,
     pack_sequences_split,
     quantile_threshold_filter,
+    quantile_threshold_filter_approx,
     split_assign,
 )
 from geo_db_spark.operators.relational import salted_join
@@ -142,6 +143,37 @@ ORDER BY doc_id
 """
 
 
+def text_quantile_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the quality gate: identical plan to
+    text_quantile_filter but the threshold comes from the one-pass
+    approx_percentile sketch (r5 verdict #2 — the documented at-scale
+    swap, now actually exercised under the oracle gate). ``accuracy`` is
+    set above the corpus row count at every test SF, where the GK sketch
+    is exact-rank and equals DuckDB's ``quantile_disc``; production would
+    dial it down to the default 10^4 and accept the bracketed survivor
+    set (tests/test_packing.py pins the bracket)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    score = F.col("n_chars").cast("double") / F.size(F.split(F.trim("text"), r"\s+"))
+    return quantile_threshold_filter_approx(
+        docs, score, q=0.25, accuracy=100_000_000
+    ).orderBy("doc_id")
+
+
+ORACLE_QUANTILE_APPROX = r"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(ROUND(1000000.0 * n_chars / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS score_u
+  FROM documents
+),
+thr AS (SELECT quantile_disc(score_u, 0.25) AS t FROM scored)
+SELECT d.*, s.score_u / 1000000.0 AS score
+FROM documents d JOIN scored s USING (doc_id), thr
+WHERE s.score_u >= t
+ORDER BY doc_id
+"""
+
+
 def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load(spark, sf_dir, "documents")
@@ -207,6 +239,7 @@ QUERIES = {
     "pack_sequences_split": pack_sequences_split_report,
     "dedup_incremental_bloom": dedup_incremental_bloom,
     "text_quantile_filter": text_quantile_filter,
+    "text_quantile_filter_approx": text_quantile_filter_approx,
     "text_split_assign": text_split_assign,
     "g18_salted_join_events": g18_salted_join_events,
 }
@@ -216,6 +249,7 @@ ORACLES = {
     "pack_sequences_split": ORACLE_PACK_SPLIT,
     "dedup_incremental_bloom": ORACLE_INCREMENTAL,
     "text_quantile_filter": ORACLE_QUANTILE,
+    "text_quantile_filter_approx": ORACLE_QUANTILE_APPROX,
     "text_split_assign": ORACLE_SPLIT,
     "g18_salted_join_events": ORACLE_SALTED,
 }

@@ -293,3 +293,70 @@ UNION ALL
 
 QUERIES["sk_histogram_quantiles"] = sk_histogram_quantiles
 ORACLES["sk_histogram_quantiles"] = _histogram_oracle()
+
+
+def sk_histogram_quantiles_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass refined histogram quantile (r5 verdict #6): coarse 64-bin
+    pass locates the rank's bracket, second pass re-bins that one bracket
+    into 64 sub-bins — p50/p95 of l_extendedprice with ~27-unit error
+    (width/64² over 0..110k) instead of ~1.7k, still fixed ≤64-row sketch
+    state per pass and zero data shuffles (the bracket is a one-row
+    broadcast). Exact-arithmetic DuckDB oracle."""
+    tune(spark)
+    from geo_db_spark.operators.histogram import histogram_quantile_refined
+
+    li = load(spark, sf_dir, "lineitem")
+    return histogram_quantile_refined(
+        li, "l_extendedprice", 0.5, HIST_LO, HIST_HI
+    ).unionByName(
+        histogram_quantile_refined(li, "l_extendedprice", 0.95, HIST_LO, HIST_HI)
+    )
+
+
+def _histogram_refined_oracle() -> str:
+    from geo_db_spark.operators.histogram import N_BINS
+
+    width = (HIST_HI - HIST_LO) / N_BINS
+    subw = width / N_BINS
+
+    def one(q: float) -> str:
+        # same double association as the Spark plan: blo = lo + cb*width,
+        # sub index = floor((v - blo)/subw), est = blo + sb*subw
+        return f"""
+SELECT CAST({q} AS DOUBLE) AS quantile, bin, sub_bin,
+       CAST(({HIST_LO} + bin * {width}) + sub_bin * {subw} AS DOUBLE) AS est_value
+FROM (
+  SELECT coarse_bin AS bin, rank_rem, sub_bin,
+         SUM(cnt) OVER (ORDER BY sub_bin) AS cum2
+  FROM (
+    SELECT coarse_bin, rank_rem, sub_bin, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT b.coarse_bin, b.rank_rem,
+             GREATEST(LEAST(CAST(FLOOR((binned.v - ({HIST_LO} + b.coarse_bin * {width})) / {subw}) AS BIGINT), {N_BINS - 1}), 0) AS sub_bin
+      FROM binned, (
+        SELECT bin AS coarse_bin,
+               CAST(CEIL({q} * total) AS BIGINT) - (cum - cnt) AS rank_rem
+        FROM cum, tot WHERE cum >= CEIL({q} * total) ORDER BY bin LIMIT 1
+      ) b
+      WHERE binned.bin = b.coarse_bin
+    ) GROUP BY 1, 2, 3
+  )
+) WHERE cum2 >= rank_rem ORDER BY sub_bin LIMIT 1"""
+
+    return f"""
+WITH binned AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+         GREATEST(LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - {HIST_LO}) / {width}) AS BIGINT), {N_BINS - 1}), 0) AS bin
+  FROM lineitem
+),
+hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY bin),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM hist),
+cum AS (SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM hist)
+({one(0.5)})
+UNION ALL
+({one(0.95)})
+"""
+
+
+QUERIES["sk_histogram_quantiles_refined"] = sk_histogram_quantiles_refined
+ORACLES["sk_histogram_quantiles_refined"] = _histogram_refined_oracle()

@@ -95,10 +95,11 @@ def test_arrow_kernel_matches_codegen_on_zero_norm_vectors(spark):
     assert top1 == {0: 1, 1: 0}
 
 
-def test_semdedup_hot_cell_cap_excludes_oversized_cells(spark):
-    """r4 verdict #1: the SemDeDup hot-cell cap must be enforced in code,
-    not claimed in a comment — members of a cell over the cap never reach
-    the quadratic Gram stage, members of normal cells still pair."""
+def test_semdedup_hot_cell_subsplit_bounds_and_still_pairs(spark):
+    """r5 verdict #1: an over-cap cell must no longer be dropped wholesale
+    — it sub-splits into <= max_cell chunks that each still pair, so the
+    cap stays a hard memory bound while saturation degrades to partial
+    recall instead of zero pairs."""
     from geo_db_spark.workload.similarity import semdedup_cell_pairs
 
     rows = []
@@ -111,14 +112,74 @@ def test_semdedup_hot_cell_cap_excludes_oversized_cells(spark):
     assigned = spark.createDataFrame(
         rows, "cell long, vec_id long, embedding array<float>"
     )
-    pairs = semdedup_cell_pairs(assigned, max_cell=10).collect()
-    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
-    assert ids == {200, 201, 202}  # hot cell fully excluded
-    assert len(pairs) == 3  # C(3,2) pairs from the cool cell
-    # and without the cap the hot cell WOULD have paired (guards against
-    # the cap accidentally filtering everything)
+    pairs = [(r.id_a, r.id_b) for r in semdedup_cell_pairs(assigned, max_cell=10).collect()]
+    # chunk 0 = ids 100..109 (C(10,2)=45), chunk 1 = ids 110..111 (1),
+    # cool cell = C(3,2)=3; the 20 cross-chunk pairs are the documented
+    # recall loss — but the hot cell is NOT a no-op
+    assert len(pairs) == 45 + 1 + 3
+    hot = [(a, b) for a, b in pairs if a < 200]
+    assert len(hot) == 46
+    # no pair crosses the chunk boundary (memory bound respected)
+    assert all(not (a <= 109 and b >= 110) for a, b in hot)
+    # both chunks of the hot cell produced pairs
+    assert (110, 111) in hot and (100, 101) in hot
+    # and without chunking pressure the result is the full pair set
     uncapped = semdedup_cell_pairs(assigned, max_cell=100).collect()
     assert len(uncapped) == 3 + 66  # C(3,2) + C(12,2)
+
+
+def test_semdedup_subsplit_oracle_parity_on_saturated_corpus(spark, tmp_path):
+    """End-to-end DuckDB parity with the sub-split ACTIVE: a corpus whose
+    dominant cell exceeds SEMDEDUP_MAX_CELL (the sf corpora never do) —
+    clusters, survivors, and cell sizes must all match the oracle, the
+    hot cell must report n_chunks=2, and pairs must still be found."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geo_db_spark.verify import _norm_rows
+    from geo_db_spark.workload import similarity as S
+
+    # 16 centroid vectors pointing in scattered directions, then 600
+    # near-identical vectors that all land in one cell (> max_cell=512)
+    vecs, labels = [], []
+    for i in range(16):
+        vecs.append([float((i * 7) % 13 - 6), float((i * 5) % 11 - 5),
+                     float((i * 3) % 7 - 3), 1.0])
+        labels.append(i % 3)
+    for j in range(600):
+        vecs.append([100.0, (j % 7) * 0.01, ((j * 3) % 11) * 0.01, 0.5])
+        labels.append(j % 3)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+
+    sizes = S.emb_semdedup_cell_sizes(spark, d)
+    hot = [r for r in sizes.collect() if r.is_hot]
+    assert hot and any(r.n_chunks == 2 for r in hot)  # sub-split active
+
+    for fn, sql in [
+        (S.emb_semdedup_cell_sizes, S.ORACLE_SEMDEDUP_CELL_SIZES),
+        (S.emb_semdedup_clusters, S.ORACLE_SEMDEDUP_CLUSTERS),
+        (S.emb_semdedup_survivors, S.ORACLE_SEMDEDUP_SURVIVORS),
+    ]:
+        sdf = fn(spark, d)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        rel = con.sql(sql)
+        o_rows = rel.fetchall()
+        assert sorted(sdf.columns) == sorted(rel.columns)
+        assert _norm_rows(s_rows, sdf.columns) == _norm_rows(o_rows, rel.columns), fn.__name__
+    # the saturated cell still deduped: clusters exist and survivors < corpus
+    assert S.emb_semdedup_clusters(spark, d).count() > 0
+    assert S.emb_semdedup_survivors(spark, d).count() < len(vecs)
 
 
 def test_semdedup_cell_knob_tames_hot_cells(spark):

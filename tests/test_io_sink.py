@@ -310,3 +310,69 @@ def test_recover_versioned_unblocks_crashed_reservation(spark, tmp_path):
     assert write_versioned(spark.range(9).select(F.col("id")), d) == 1
     assert read_versioned(spark, d).count() == 9
     assert read_versioned(spark, d, version=0).count() == 5  # committed survives
+
+
+def test_versioned_write_aba_recycled_version_aborts_before_data(spark, tmp_path, monkeypatch):
+    """ADVICE r6: prune recycles version numbers. A writer stalled after
+    reading current=N can mkdir-reserve v(N+1) after that exact version
+    was committed AND pruned; the post-reservation manifest re-check must
+    abort (with cleanup) before any data is written."""
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    import geo_db_spark.io as gio
+
+    d = str(tmp_path / "aba")
+    for n in (5, 6, 7, 8):  # commits v0..v3 with keep=2 -> v0, v1 pruned
+        gio.write_versioned(spark.range(n).select(F.col("id")), d, keep=2)
+    assert not os.path.isdir(os.path.join(d, "v1"))  # recycled number
+
+    # stalled writer: saw the manifest when current was 0, wakes up now —
+    # only its FIRST read (the version computation) is stale
+    real = gio._read_manifest
+    calls = {"n": 0}
+
+    def stale_once(table_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return {"version": 0, "committed": [0]}
+        return real(table_dir)
+
+    monkeypatch.setattr(gio, "_read_manifest", stale_once)
+    with _pytest.raises(gio.ConcurrentWriteError, match="recycled by prune"):
+        gio.write_versioned(spark.range(99).select(F.col("id")), d, keep=2)
+    monkeypatch.setattr(gio, "_read_manifest", real)
+    # the bogus reservation was cleaned up; history is intact
+    assert not os.path.isdir(os.path.join(d, "v1"))
+    assert gio.read_versioned(spark, d).count() == 8
+    assert gio.read_versioned(spark, d, version=2).count() == 7
+
+
+def test_versioned_committed_set_refuses_bogus_snapshot_below_pointer(spark, tmp_path):
+    """ADVICE r6, the crash half: an ABA writer that dies AFTER the Spark
+    job commits (complete snapshot, _SUCCESS present) but before the
+    regress-abort cleanup leaves a never-committed v1 BELOW the manifest
+    pointer. The manifest's committed set must refuse to serve it, and
+    recover_versioned must remove it."""
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from geo_db_spark.io import read_versioned, recover_versioned, write_versioned
+
+    d = str(tmp_path / "aba_crash")
+    for n in (5, 6, 7, 8):  # v0..v3, keep=2 -> v1 pruned, current=3
+        write_versioned(spark.range(n).select(F.col("id")), d, keep=2)
+    # crashed ABA writer's COMPLETE bogus snapshot on the recycled number
+    os.mkdir(os.path.join(d, "v1"))
+    spark.range(99).select(F.col("id")).write.mode("append").parquet(os.path.join(d, "v1"))
+    assert os.path.exists(os.path.join(d, "v1", "_SUCCESS"))
+
+    with _pytest.raises(FileNotFoundError, match="committed set"):
+        read_versioned(spark, d, version=1)
+    removed = recover_versioned(d)
+    assert any(p.endswith("v1") for p in removed)
+    # committed history untouched
+    assert read_versioned(spark, d).count() == 8
+    assert read_versioned(spark, d, version=2).count() == 7

@@ -162,3 +162,79 @@ def test_downsample_payload_halves_bytes(spark):
     for r in rows:
         assert r["n_bytes_out"] == (r["n_in"] + 1) // 2
         assert len(r["resized"]) == r["n_bytes_out"]
+
+
+def test_decode_png_golden_and_refusals():
+    """PNG: golden decode through the dispatcher, plus the documented
+    refusals (16-bit, interlaced, palette, truncated scanlines)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from geo_db_spark.operators.multimodal import PNG_MAGIC, decode_image, make_png
+
+    rgb = bytes(range(2 * 3 * 3))
+    arr = decode_image(make_png(3, 2, rgb, color_type=2, row_filters=[0, 4]))
+    assert arr.shape == (2, 3, 3) and arr.dtype == np.uint8
+    assert arr.tobytes() == rgb
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    def png_with_ihdr(depth=8, color=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+        idat = zlib.compress(b"\x00\x01\x02\x03")
+        return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+    with pytest.raises(NotImplementedError):  # 16-bit
+        decode_image(png_with_ihdr(depth=16))
+    with pytest.raises(NotImplementedError):  # Adam7
+        decode_image(png_with_ihdr(interlace=1))
+    with pytest.raises(NotImplementedError):  # palette
+        decode_image(png_with_ihdr(color=3))
+    bad = PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
+    ) + chunk(b"IDAT", zlib.compress(b"\x00\x01")) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):  # truncated scanlines
+        decode_image(bad)
+
+
+def test_mm_image_decode_png_matches_oracle(spark):
+    """The PNG workload query under its DuckDB oracle at smoke SF — the
+    encode(filters cycling)->decode->md5 loop must reproduce the raw
+    text-byte raster exactly."""
+    import duckdb
+
+    from geo_db_spark.verify import _norm_rows, duckdb_con
+    from geo_db_spark.workload.multimodal import (
+        ORACLE_MM_IMAGE_DECODE_PNG,
+        mm_image_decode_png,
+    )
+    from tests.conftest import SF_SMOKE
+
+    sdf = mm_image_decode_png(spark, SF_SMOKE)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    assert len(s_rows) > 0
+    con = duckdb_con(SF_SMOKE)  # keep the connection alive past .sql()
+    rel = con.sql(ORACLE_MM_IMAGE_DECODE_PNG)
+    o_rows = rel.fetchall()
+    assert _norm_rows(s_rows, sdf.columns) == _norm_rows(o_rows, rel.columns)
+
+
+def test_ascii_guard_raises_on_non_ascii_corpus(spark):
+    """ADVICE r6: a non-ASCII corpus must fail LOUDLY in the payload
+    builders, not silently desynchronize the byte/char oracles."""
+    from pyspark.sql.utils import PythonException
+
+    from geo_db_spark.workload.multimodal import with_ppm_payload
+
+    docs = spark.createDataFrame(
+        [(1, "plain ascii text here xx"), (2, "café au lait non-ascii")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="non-ASCII|USER_RAISED"):
+        with_ppm_payload(docs).collect()

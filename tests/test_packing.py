@@ -178,3 +178,48 @@ def test_pack_split_no_source_wide_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "id#" in line and "windowspecdefinition" in line:
             assert "shard" in line, f"unbounded per-source window in plan: {line}"
+
+
+def test_quantile_filter_approx_exact_rank_at_high_accuracy(spark):
+    """accuracy > n: the GK sketch is exact-rank — the approx gate's
+    survivor set equals the discrete-quantile gate's. With score == id
+    over 0..99, quantile_disc(0.25) = the rank-25 element = 24, so ids
+    24..99 survive (one MORE than the interpolating exact gate keeps —
+    the documented disc-vs-cont difference, not an error)."""
+    from geo_db_spark.operators.packing import quantile_threshold_filter_approx
+
+    docs = _docs(spark, n=100)
+    score = F.col("doc_id").cast("double")
+    kept = quantile_threshold_filter_approx(docs, score, q=0.25, accuracy=1_000_000)
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == list(range(24, 100))
+    assert set(kept.columns) == set(docs.columns) | {"score"}
+
+
+def test_quantile_filter_approx_bracketed_at_low_accuracy(spark):
+    """The PRODUCTION regime (accuracy << n): the sketch's relative rank
+    error is 1/accuracy, so the approx survivor set must sit between the
+    exact survivor sets at the loosened quantiles q ± 1/accuracy — the
+    tolerance envelope of r5 verdict #2."""
+    from geo_db_spark.operators.packing import quantile_threshold_filter_approx
+
+    n, accuracy, q = 2000, 50, 0.25  # rank error <= n/accuracy = 40 rows
+    docs = _docs(spark, n=n)
+    score = F.col("doc_id").cast("double")
+    approx_ids = {
+        r.doc_id
+        for r in quantile_threshold_filter_approx(
+            docs, score, q=q, accuracy=accuracy
+        ).collect()
+    }
+    eps = 1.0 / accuracy
+    lo_ids = {  # exact survivors at the LOOSER quantile: superset
+        r.doc_id
+        for r in quantile_threshold_filter(docs, score, q=q - eps).collect()
+    }
+    hi_ids = {  # exact survivors at the TIGHTER quantile: subset
+        r.doc_id
+        for r in quantile_threshold_filter(docs, score, q=q + eps).collect()
+    }
+    assert hi_ids <= approx_ids <= lo_ids
+    assert len(hi_ids) < len(lo_ids)  # the envelope is non-degenerate

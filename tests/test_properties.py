@@ -264,3 +264,40 @@ def test_bmp_roundtrip_property(w, h, top_down, data):
     arr = decode_image(header + dib + pixel_data)
     assert arr.shape == (h, w, 3)
     assert [[tuple(p) for p in r] for r in arr] == px
+
+
+@_settings
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, color_type, data):
+    """make_png -> decode_image is the identity for arbitrary dims, all
+    four supported color types, and arbitrary per-scanline filter choices
+    — every unfilter branch (None/Sub/Up/Average/Paeth) under fuzz, the
+    r6 analog of the PPM/BMP roundtrips."""
+    import numpy as np
+
+    from geo_db_spark.operators.multimodal import decode_image, make_png
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch)
+        )
+    )
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    arr = decode_image(make_png(w, h, raw, color_type=color_type, row_filters=filters))
+    assert arr.shape == (h, w, 3)
+    px = np.frombuffer(raw, np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        exp = np.repeat(px, 3, axis=2)
+    elif ch == 2:
+        exp = np.repeat(px[:, :, :1], 3, axis=2)
+    elif ch == 3:
+        exp = px
+    else:
+        exp = px[:, :, :3]
+    assert np.array_equal(arr, exp)

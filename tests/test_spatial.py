@@ -116,3 +116,85 @@ def test_grid_knn_wrap_matches_bruteforce(spark):
         .select("point_id", "site_id", "dist2", F.col("rank").cast("int").alias("rank"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_cell_deg_must_divide_360(spark):
+    """ADVICE r6: a non-divisor cell_deg would truncate the row width and
+    fold the last partial column into column 0 — raise instead."""
+    import pytest
+
+    from geo_db_spark.operators.spatial import grid_cell
+
+    with pytest.raises(ValueError, match="does not divide 360"):
+        grid_cell(F.lit(0.0), F.lit(0.0), cell_deg=0.7)
+
+
+def _brute_knn(pts, sites, k):
+    """Exact kNN under the same wrapped-longitude metric the grid uses."""
+    dlat = F.col("lat") - F.col("s_lat")
+    dlon_abs = F.abs(F.col("lon") - F.col("s_lon"))
+    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
+    return (
+        pts.crossJoin(
+            sites.select(
+                F.col("site_id"), F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon")
+            )
+        )
+        .select("point_id", "site_id", (dlat * dlat + dlon * dlon).alias("dist2"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("point_id").orderBy("dist2", "site_id")
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select("point_id", "site_id", "dist2", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def test_grid_knn_exact_ring_expansion_matches_bruteforce_on_sparse_sites(spark):
+    """r5 verdict #4: sites so sparse the 3x3 neighborhood holds < k of
+    them — grid_knn_join under-fills BY DESIGN; grid_knn_join_exact must
+    ring-expand and equal brute force."""
+    from geo_db_spark.operators.spatial import grid_knn_join, grid_knn_join_exact
+
+    pts = _xy(spark, 40, 1, scale=60.0).withColumnRenamed("id", "point_id")
+    # 5 sites scattered over the whole patch: most 3x3 neighborhoods at
+    # cell_deg=5 are empty or hold one site
+    sites = _xy(spark, 5, 7, scale=60.0).withColumnRenamed("id", "site_id")
+    got = grid_knn_join_exact(pts, sites, k=3, cell_deg=5.0)
+    exact = _brute_knn(pts, sites, 3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+    # the motivating gap: the one-ring version under-fills here
+    approx = grid_knn_join(pts, sites, k=3, cell_deg=5.0)
+    assert approx.count() < got.count()
+
+
+def test_grid_knn_exact_k_exceeding_site_count_returns_all(spark):
+    """Fewer than k sites on earth: the expansion must terminate at full
+    grid coverage and return every site ranked, not loop."""
+    from geo_db_spark.operators.spatial import grid_knn_join_exact
+
+    pts = _xy(spark, 6, 1, scale=30.0).withColumnRenamed("id", "point_id")
+    sites = _xy(spark, 2, 7, scale=30.0).withColumnRenamed("id", "site_id")
+    got = grid_knn_join_exact(pts, sites, k=5, cell_deg=15.0)
+    exact = _brute_knn(pts, sites, 5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+    assert got.count() == 6 * 2
+
+
+def test_grid_knn_exact_antimeridian(spark):
+    """Ring expansion must keep the wrapped-column arithmetic: a point at
+    lon=179.5 whose neighbors sit at lon=-179.5."""
+    from geo_db_spark.operators.spatial import grid_knn_join_exact
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 179.5), (2, 10.0, -179.5)], "point_id int, lat double, lon double"
+    )
+    sites = spark.createDataFrame(
+        [(10, 0.2, -179.8), (20, 0.0, 170.0), (30, 40.0, 0.0)],
+        "site_id int, lat double, lon double",
+    )
+    got = grid_knn_join_exact(pts, sites, k=2, cell_deg=5.0)
+    exact = _brute_knn(pts, sites, 2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))

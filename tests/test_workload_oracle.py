@@ -13,10 +13,11 @@ from tests.conftest import SF_SMOKE
 NAMES = sorted(workload.queries().keys())
 
 
-# Genuinely non-SQL-expressible ops (Pandas-batch math): the driver
-# records a rows-only check for these. Keep the list EXPLICIT so a
-# forgotten oracle still fails the test.
-ROWS_ONLY = {"mm_feature_extract"}
+# Genuinely non-SQL-expressible ops (Pandas-batch math) would go here;
+# since r5 every declared query carries a full value oracle
+# (mm_feature_extract gained one via exact int64 chunk sums), so the
+# every-query-has-an-oracle assert runs at full strength.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle():
