@@ -61,6 +61,31 @@ HEADLINE = [
     "dedup_simjoin_exact",
 ]
 
+# Tier-2 (r5 verdict #7): the expensive families that had no wall-clock
+# record in any BENCH round — graph fixed-point, closure variants, tf-idf,
+# the x-family extraction paths — plus every query new this round. Rotate
+# membership as new families land; HEADLINE stays stable for
+# round-over-round comparison.
+TIER2 = [
+    "g13_pagerank",
+    "d3_closure_doubling",
+    "text_tfidf_topterms",
+    "x3_population_argmax",
+    "x10_labels_by_country",
+    "x13_te_extraction",
+    "ann_ivf_multiprobe_topk",
+    "embedding_near_dup_lsh",
+    "dedup_simjoin_survivors",
+    "text_pii_scan",
+    "text_contamination_check",
+    "sk_histogram_quantiles_refined",
+    "text_quantile_filter_approx",
+    "text_stratified_sample_approx",
+    "mm_image_decode_png",
+    "geo_knn_exact_customer_supplier",
+    "sk_kmv_set_ops_parts",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -99,7 +124,7 @@ def main() -> None:
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     runs_raw: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + TIER2:
         fn = qs[name]
         raw = []
         for _ in range(RUNS):
@@ -109,7 +134,7 @@ def main() -> None:
             assert n >= 0
         runs_raw[name] = raw
         timings[name] = min(raw)
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings[n] for n in HEADLINE), 4)
     load_end = os.getloadavg()
     print(
         json.dumps(
@@ -123,6 +148,11 @@ def main() -> None:
                 # walls expose cold/warm spread, and the host 1/5/15-min
                 # loadavg before+after tells noise from regression
                 "runs_raw": runs_raw,
+                # headline total excludes tier-2 so `value` stays
+                # comparable with BENCH_r01..r05; tier-2 walls are in
+                # `queries`/`runs_raw` like every other entry
+                "tier2": TIER2,
+                "value_with_tier2": round(sum(timings.values()), 4),
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

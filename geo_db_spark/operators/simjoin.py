@@ -100,6 +100,26 @@ def set_similarity_join(
     a, b = pref.alias("a"), pref.hint("merge").alias("b")
     # overlap lower bound alpha = ceil(t/(1+t) * (n_a+n_b))
     alpha = F.expr(f"(({num} * (a.n + b.n)) + {num} + {den} - 1) div ({num} + {den})")
+    # PPJoin indexing-prefix refinement (r5 verdict #8, Xiao WWW'08 §3):
+    # a t-similar pair must share a token that lies in the PROBING prefix
+    # (|s| - ceil(t|s|) + 1, what `pref` explodes) of the processing-
+    # later set AND in the shorter INDEXING prefix
+    # (|s| - ceil(2t/(1+t)|s|) + 1) of the processing-earlier one —
+    # processing order is (size, id) ascending, and a.id < b.id already
+    # holds, so on equal sizes `a` is the earlier/indexed side. With
+    # 2t/(1+t) = 2*num/(num+den), integer ceil keeps it exact. Each
+    # candidate pair must now collide in a strictly shorter window on
+    # one side, cutting candidates before the distinct at zero recall
+    # loss (the brute-force-derived oracle pins that).
+    idx_a = F.expr(
+        f"a.n - ((2 * {num} * a.n + {num} + {den} - 1) div ({num} + {den})) + 1"
+    )
+    idx_b = F.expr(
+        f"b.n - ((2 * {num} * b.n + {num} + {den} - 1) div ({num} + {den})) + 1"
+    )
+    in_index_prefix = F.when(
+        F.col("a.n") <= F.col("b.n"), F.col("a.pos") <= idx_a
+    ).otherwise(F.col("b.pos") <= idx_b)
     cand = (
         a.join(
             b,
@@ -115,7 +135,8 @@ def set_similarity_join(
                 )
                 + 1
                 >= alpha
-            ),
+            )
+            & in_index_prefix,
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

@@ -125,3 +125,52 @@ def kmv_estimate(ks: Column, k: int = 64) -> Column:
     return F.when(n < k, n.cast("double")).otherwise(
         F.lit(float(k - 1)) * F.lit(H_MAX) / F.element_at(ks, k)
     )
+
+
+def kmv_set_estimates(sk_a: DataFrame, sk_b: DataFrame, k: int = 64) -> DataFrame:
+    """SET OPERATIONS on two KMV sketch states — union, intersection, and
+    Jaccard estimates without touching the raw data (Beyer et al.,
+    SIGMOD'07 §4; the same construction DataSketches ships as theta-sketch
+    set ops). Inputs are single-row (ks) states from kmv_sketch_per_group
+    / kmv_merge; output is one row:
+
+      rho        = |L ∩ A ∩ B| where L = the k smallest of A ∪ B
+                   (the union sketch a direct pass would build)
+      union_est  = KMV estimate from L
+      jaccard_est = rho / |L|        (unbiased Jaccard estimator)
+      inter_est  = jaccard_est * union_est
+
+    Everything is integer set algebra over two <= k-element arrays plus
+    the one KMV division — deterministic and bit-identical in the DuckDB
+    oracle, unlike the engine-private HLL++ sketch. Scale shape: the
+    whole computation runs on 2k longs; the expensive part (building the
+    per-side sketches) already shuffles hashes only."""
+    a = sk_a.select(F.col("ks").alias("ka"))
+    b = sk_b.select(F.col("ks").alias("kb"))
+    j = a.crossJoin(b)  # 1 row x 1 row
+    union_l = F.slice(F.array_sort(F.array_union(F.col("ka"), F.col("kb"))), 1, k)
+    return (
+        j.select(
+            F.size("ka").alias("n_a"),
+            F.size("kb").alias("n_b"),
+            union_l.alias("__l"),
+            F.array_intersect(F.col("ka"), F.col("kb")).alias("__ab"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect(F.col("__l"), F.col("__ab"))).alias("rho"),
+            F.size("__l").alias("k_used"),
+            kmv_estimate(F.col("__l"), k).alias("union_est"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "rho",
+            "union_est",
+            (F.col("rho").cast("double") / F.col("k_used")).alias("jaccard_est"),
+            (
+                F.col("rho").cast("double") / F.col("k_used") * F.col("union_est")
+            ).alias("inter_est"),
+        )
+    )

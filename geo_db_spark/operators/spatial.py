@@ -202,24 +202,32 @@ def grid_knn_join_exact(
     r = 1
     while True:
         # offset grid for this radius, resolved in PYTHON so wrapped
-        # columns are probed exactly once (2r+1 >= w -> all w residues
-        # as offsets; re-deriving -r..r there would duplicate cells)
-        dxs = range(-r, r + 1) if 2 * r + 1 <= w else range(w)
-        dys = range(-r, r + 1)
+        # columns are probed exactly once (2r+1 >= w -> all w residues as
+        # offsets; re-deriving -r..r there would duplicate cells), and
+        # carried as a BROADCAST (dy, dx) table rather than an exploded
+        # array literal — a (2r+1)² array expression at large radii blew
+        # past janino's method-size limit and killed whole-stage codegen
+        # (r6, found by the full-suite run). Row offsets are clipped to
+        # the grid height: rows beyond the poles never match anything.
+        dxs = list(range(-r, r + 1)) if 2 * r + 1 <= w else list(range(w))
+        rcap = min(r, n_rows)
+        offsets = spark.createDataFrame(
+            [(dy, dx) for dy in range(-rcap, rcap + 1) for dx in dxs],
+            "dy int, dx int",
+        )
         ny, nx, _ = _grid_row_col(F.col("p_lat"), F.col("p_lon"), cell_deg)
-        probes = pending.select(
-            point_id,
-            "p_lat",
-            "p_lon",
-            F.explode(
-                F.array(
-                    *[
-                        (ny + F.lit(dy)) * F.lit(w) + F.pmod(nx + F.lit(dx), F.lit(w))
-                        for dy in dys
-                        for dx in dxs
-                    ]
-                )
-            ).alias("cell"),
+        probes = (
+            pending.withColumns({"__ny": ny, "__nx": nx})
+            .crossJoin(F.broadcast(offsets))
+            .select(
+                point_id,
+                "p_lat",
+                "p_lon",
+                (
+                    (F.col("__ny") + F.col("dy")) * F.lit(w)
+                    + F.pmod(F.col("__nx") + F.col("dx"), F.lit(w))
+                ).alias("cell"),
+            )
         )
         ranked = (
             probes.join(s, "cell")
@@ -243,14 +251,21 @@ def grid_knn_join_exact(
             .filter((F.col("__n") >= k) & (F.col("__maxd") <= F.lit(guarantee)))
             .select(point_id)
         )
+        # localCheckpoint per round (the closure.py iteration pattern):
+        # without it, round r's plan re-derives every prior round's
+        # windows and anti-joins — lineage grows geometrically with the
+        # doubled radii and the full-suite run OOM'd a broadcast on the
+        # accumulated tree (r6); with it, each round starts from
+        # materialized rows
         out = out.unionByName(
             ranked.join(done_pts, point_id, "left_semi").select(
                 point_id, site_id, "dist2", F.col("rank").cast("int").alias("rank")
             )
+        ).localCheckpoint(eager=True)
+        pending = pending.join(done_pts, point_id, "left_anti").localCheckpoint(
+            eager=True
         )
-        pending = pending.join(done_pts, point_id, "left_anti")
-        # bounded-scalar convergence check (closure.py pattern); also
-        # checkpoint-free because each round recomputes from `points`
+        # bounded-scalar convergence check (closure.py pattern)
         if pending.limit(1).count() == 0:
             return out
         r *= 2

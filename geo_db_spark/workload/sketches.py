@@ -55,6 +55,75 @@ def sk_kmv_merged_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sk_kmv_set_ops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style SET OPERATIONS on sketch state (r6): union,
+    intersection, and Jaccard of the distinct-part sets of returnflag R
+    vs A lineitems, estimated from the two 64-long KMV states alone —
+    never re-touching the data (Beyer et al. SIGMOD'07; the audience-
+    overlap query every 100 TB deployment runs on synopses). All set
+    algebra over the <= k-element arrays, deterministic, bit-identical
+    in the DuckDB oracle."""
+    tune(spark)
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.sketch import kmv_set_estimates, kmv_sketch_per_group
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    sk = kmv_sketch_per_group(li, "l_partkey", ["l_returnflag"], k=KMV_K)
+    a = sk.filter(F.col("l_returnflag") == "R").select("ks")
+    b = sk.filter(F.col("l_returnflag") == "A").select("ks")
+    est = kmv_set_estimates(a, b, k=KMV_K)
+    return est.select(
+        "n_a",
+        "n_b",
+        "rho",
+        F.round("union_est", 4).alias("union_est"),
+        F.round("jaccard_est", 4).alias("jaccard_est"),
+        F.round("inter_est", 4).alias("inter_est"),
+    )
+
+
+ORACLE_KMV_SET_OPS = f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+),
+r AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM d
+),
+ka AS (SELECT h FROM r WHERE l_returnflag = 'R' AND rn <= {KMV_K}),
+kb AS (SELECT h FROM r WHERE l_returnflag = 'A' AND rn <= {KMV_K}),
+lu AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn
+  FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+),
+l AS (SELECT h FROM lu WHERE rn <= {KMV_K}),
+stats AS (
+  SELECT (SELECT count(*) FROM ka) AS n_a,
+         (SELECT count(*) FROM kb) AS n_b,
+         (SELECT count(*) FROM l JOIN ka USING (h) JOIN kb USING (h)) AS rho,
+         (SELECT count(*) FROM l) AS k_used,
+         (SELECT max(h) FROM l) AS hk
+),
+est AS (
+  SELECT n_a, n_b, rho, k_used,
+         CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+              ELSE {float(KMV_K - 1)} * {float(1 << 60)} / hk END AS union_raw
+  FROM stats
+)
+SELECT CAST(n_a AS INT) AS n_a, CAST(n_b AS INT) AS n_b, CAST(rho AS INT) AS rho,
+       round(union_raw, 4) AS union_est,
+       round(CAST(rho AS DOUBLE) / k_used, 4) AS jaccard_est,
+       round(CAST(rho AS DOUBLE) / k_used * union_raw, 4) AS inter_est
+FROM est
+"""
+
+
 ORACLE_KMV_MERGED = f"""
 WITH d AS (
   SELECT DISTINCT event_type,
@@ -220,6 +289,7 @@ QUERIES = {
     "sk_kmv_distinct_users": sk_kmv_distinct_users,
     "sk_kmv_distinct_parts": sk_kmv_distinct_parts,
     "sk_kmv_merged_global": sk_kmv_merged_global,
+    "sk_kmv_set_ops_parts": sk_kmv_set_ops_parts,
     "sk_hll_distinct_users": sk_hll_distinct_users,
     "sk_hll_distinct_parts": sk_hll_distinct_parts,
     "sk_hll_merged_global": sk_hll_merged_global,
@@ -231,6 +301,7 @@ ORACLES = {
     "sk_kmv_distinct_users": kmv_oracle_sql("events", "user_id", ["event_type"], k=KMV_K),
     "sk_kmv_distinct_parts": kmv_oracle_sql("lineitem", "l_partkey", ["l_returnflag"], k=KMV_K),
     "sk_kmv_merged_global": ORACLE_KMV_MERGED,
+    "sk_kmv_set_ops_parts": ORACLE_KMV_SET_OPS,
     "sk_hll_distinct_users": _hll_oracle("events", "user_id", ["event_type"]),
     "sk_hll_distinct_parts": _hll_oracle("lineitem", "l_partkey", ["l_returnflag"]),
     "sk_hll_merged_global": _hll_global_oracle(),

@@ -198,3 +198,33 @@ def test_grid_knn_exact_antimeridian(spark):
     got = grid_knn_join_exact(pts, sites, k=2, cell_deg=5.0)
     exact = _brute_knn(pts, sites, 2)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_grid_knn_exact_many_rounds_under_tuned_session(spark):
+    """Regression (r6): with AQE on (the mid-suite tune() state) and a
+    fine grid forcing MANY doubling rounds, the ring loop must neither
+    OOM a broadcast on accumulated lineage (fixed: per-round
+    localCheckpoint) nor kill whole-stage codegen with a giant probe
+    array literal (fixed: broadcast offsets table)."""
+    from geo_db_spark.operators.spatial import grid_knn_join_exact
+    from geo_db_spark.session import tune
+
+    tune(spark)  # AQE on — the state the full suite runs spatial in
+    try:
+        # 2 points, 2 sites on opposite corners; cell_deg=2 -> w=180,
+        # n_rows=90: satisfying k=2 forces expansion to near-full grid
+        pts = spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, 50.0, 120.0)], "point_id int, lat double, lon double"
+        )
+        sites = spark.createDataFrame(
+            [(10, -80.0, -170.0), (20, 80.0, 170.0)],
+            "site_id int, lat double, lon double",
+        )
+        got = grid_knn_join_exact(pts, sites, k=2, cell_deg=2.0)
+        rows = sorted(map(tuple, got.collect()))
+        exact = sorted(map(tuple, _brute_knn(
+            pts, sites, 2).collect()))
+        assert rows == exact
+        assert len(rows) == 4
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")  # restore conftest state
