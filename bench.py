@@ -84,6 +84,7 @@ TIER2 = [
     "mm_image_decode_png",
     "geo_knn_exact_customer_supplier",
     "sk_kmv_set_ops_parts",
+    "ids_stable_documents",
 ]
 
 

@@ -1,0 +1,90 @@
+"""Distributed stable-ID assignment: global row numbers without a
+single-partition sort.
+
+The naive ``row_number() OVER (ORDER BY key)`` plans a WINDOW over
+SinglePartition — every row through ONE task, the textbook 100 TB
+scale-killer (and the reason zipWithIndex-style RDD escapes get reached
+for). This operator produces the identical numbering with the two-phase
+shape every large engine uses:
+
+1. range-repartition + sort within partitions on the order key — the
+   same scalable exchange ``save_range_clustered`` uses (sampled
+   boundaries, balanced partitions even under skew);
+2. count rows per partition (a map-side-combined aggregate, one row out
+   per partition), cumulative-sum the counts DRIVER-SIDE (bounded scalar
+   work, the closure.py convergence-check pattern) into per-partition
+   offsets;
+3. global id = partition offset + the within-partition ordinal.
+
+The ordinal comes from ``monotonically_increasing_id``'s documented
+layout (record number in the low 33 bits, assigned in partition row
+order — i.e. the sort order step 1 just established), so NO window and
+no further exchange is needed: after the range exchange the only moving
+data is one (pid, count) row per partition plus the broadcast offsets.
+A ``Window.partitionBy(pid)`` here would re-shuffle the whole table on
+hash(pid) — Spark cannot see that pid already IS the partitioning.
+
+Because range partitions are ordered and the within-partition sort is
+total, the result equals the single-window numbering exactly — the
+DuckDB oracle is literally ``row_number() OVER (ORDER BY ...)``. The
+order key must be UNIQUE (ties would make both forms nondeterministic);
+callers pass the table's key columns.
+
+No reference counterpart (SURVEY §2-H engine growth); the two-phase
+prefix-sum construction is textbook (same shape as operators/packing.py
+and Spark's own zipWithIndex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LOW33 = (1 << 33) - 1
+
+
+def assign_stable_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_name: str = "stable_id",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """All input columns plus ``id_name`` = the 1-based rank of the row
+    under ``order_cols`` — computed without any single-partition stage
+    and without re-shuffling the data after the range exchange."""
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+    ranged = df.repartitionByRange(n_partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    marked = ranged.withColumns(
+        {
+            "__pid": F.spark_partition_id(),
+            # low 33 bits of monotonically_increasing_id = 0-based row
+            # ordinal within the partition, in the sorted physical order
+            "__ord": F.monotonically_increasing_id().bitwiseAND(F.lit(_LOW33)),
+        }
+    )
+    # one output row per partition; boundaries come from the range
+    # sampler, but the FINAL ids are boundary-independent: offsets are
+    # cumulative in partition order and partitions are key-ordered
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in marked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    # offsets attach via a broadcast join, NOT a branch-per-partition
+    # when-chain — at 100 TB the partition count is in the tens of
+    # thousands and a giant expression tree is a janino method-size
+    # cliff (the exact failure grid_knn_join_exact hit, SCALE.md r6)
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    return (
+        marked.join(F.broadcast(off_df), "__pid")
+        .withColumn(id_name, (F.col("__off") + F.col("__ord") + F.lit(1)).cast("long"))
+        .drop("__pid", "__ord", "__off")
+    )

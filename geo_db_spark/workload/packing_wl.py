@@ -207,6 +207,29 @@ GROUP BY 1
 """
 
 
+def ids_stable_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed stable-ID assignment (operators/ids.py): the global
+    row_number every training corpus needs for sample addressing,
+    computed WITHOUT the single-partition window the naive form plans —
+    range exchange + per-partition counts + driver prefix sum + the
+    monotonic-id ordinal. The oracle is the naive form itself, so the
+    green hash proves the two-phase construction equals it exactly."""
+    tune(spark)
+    from geo_db_spark.operators.ids import assign_stable_ids
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_stable_ids(docs, ["source", "doc_id"]).select(
+        "doc_id", "source", "stable_id"
+    )
+
+
+ORACLE_STABLE_IDS = """
+SELECT doc_id, source,
+       row_number() OVER (ORDER BY source, doc_id) AS stable_id
+FROM documents
+"""
+
+
 def g18_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe equi-join: events (hot user_ids at production scale) vs
     the customer dimension via salted_join — identical result set to the
@@ -241,6 +264,7 @@ QUERIES = {
     "text_quantile_filter": text_quantile_filter,
     "text_quantile_filter_approx": text_quantile_filter_approx,
     "text_split_assign": text_split_assign,
+    "ids_stable_documents": ids_stable_documents,
     "g18_salted_join_events": g18_salted_join_events,
 }
 
@@ -251,5 +275,6 @@ ORACLES = {
     "text_quantile_filter": ORACLE_QUANTILE,
     "text_quantile_filter_approx": ORACLE_QUANTILE_APPROX,
     "text_split_assign": ORACLE_SPLIT,
+    "ids_stable_documents": ORACLE_STABLE_IDS,
     "g18_salted_join_events": ORACLE_SALTED,
 }

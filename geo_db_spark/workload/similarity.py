@@ -512,10 +512,12 @@ def semdedup_cell_pairs(
     - determinism: chunking is a pure function of (cell, vec_id order),
       bit-identical in the DuckDB oracle (same row_number / integer div).
 
-    Cost: the rank needs a sort-per-cell exchange and the Gram groupBy
-    re-exchanges on (cell, chunk) — two shuffles of the skinny
-    (cell, vec_id, embedding) rows where the drop policy managed one.
-    The second exchange is what buys the hard bound; both are linear."""
+    Cost vs the r5 drop policy: ONE within-partition sort, zero extra
+    shuffles — hashpartitioning(cell) already satisfies the Gram stage's
+    (cell, chunk) clustering (partitioning keys ⊆ grouping keys), so the
+    row_number window and the applyInPandas still share the single
+    exchange (plan-verified: one hashpartitioning in the executed
+    plan)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window

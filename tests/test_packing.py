@@ -223,3 +223,28 @@ def test_quantile_filter_approx_bracketed_at_low_accuracy(spark):
     }
     assert hi_ids <= approx_ids <= lo_ids
     assert len(hi_ids) < len(lo_ids)  # the envelope is non-degenerate
+
+
+def test_assign_stable_ids_equals_global_window_and_avoids_single_partition(spark):
+    """The two-phase id assignment must equal row_number() OVER (ORDER BY
+    ...) exactly, and its physical plan must contain no SinglePartition
+    window — the thing the operator exists to avoid."""
+    from pyspark.sql import Window
+
+    from geo_db_spark.operators.ids import assign_stable_ids
+
+    docs = _docs(spark, n=500)
+    got = assign_stable_ids(docs, ["source", "doc_id"], n_partitions=7)
+    naive = docs.withColumn(
+        "stable_id",
+        F.row_number().over(Window.orderBy("source", "doc_id")).cast("long"),
+    )
+    key = lambda rows: sorted((r.doc_id, r.stable_id) for r in rows)
+    assert key(got.collect()) == key(naive.collect())
+    # ids are a permutation-free 1..n numbering
+    ids = sorted(r.stable_id for r in got.collect())
+    assert ids == list(range(1, 501))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in naive_plan  # the contrast the test pins

@@ -167,3 +167,20 @@ def test_triangle_count_no_product_joins(spark, qs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "array_intersect" in plan
+
+
+def test_semdedup_subsplit_single_exchange(spark):
+    """The r6 sub-split must NOT add a shuffle: hashpartitioning(cell)
+    satisfies the Gram stage's (cell, chunk) clustering, so the
+    row_number window and the applyInPandas share one exchange."""
+    from geo_db_spark.workload.similarity import (
+        _ivf_cells_assigned_arrow,
+        semdedup_cell_pairs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    assigned = _ivf_cells_assigned_arrow(spark, SF_SMOKE).select(
+        "cell", "vec_id", "embedding"
+    )
+    plan = semdedup_cell_pairs(assigned)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
