@@ -133,3 +133,30 @@ def test_table_changes_across_schema_evolution(spark, tmp_path):
     got = {r.k: r.change_type for r in table_changes(spark, d, 0, 1, keys=["k"]).collect()}
     # k=1 unchanged on the common column v (extra is new-side only)
     assert got == {2: "update", 3: "insert"}
+
+
+def test_snapshot_diff_symmetric_raise_and_new_side_warning(spark):
+    """ADVICE r6: (a) a keys-only OLD snapshot diffed against a widened
+    NEW one must raise (previously it silently degraded to presence-only);
+    (b) new-side-only columns that can't be compared must warn."""
+    import warnings
+
+    import pytest as _pytest
+
+    # (a) old is keys-only, new has value columns, intersection empty
+    old = spark.createDataFrame([(1,), (2,)], "k int")
+    new = spark.createDataFrame([(1, "a"), (3, "c")], "k int, v string")
+    with _pytest.raises(ValueError, match="share no non-key columns"):
+        snapshot_diff(old, new, ["k"])
+    # explicit presence-only still works
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], compare_cols=[]).collect()}
+    assert got == {2: "delete", 3: "insert"}
+
+    # (b) shared column exists, but new also grew one -> warn, compare shared
+    old2 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    new2 = spark.createDataFrame([(1, "a", 9), (2, "X", 9)], "k int, v string, extra int")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got2 = {r.k: r.change_type for r in snapshot_diff(old2, new2, ["k"]).collect()}
+    assert got2 == {2: "update"}  # k=1 unchanged on the shared column
+    assert any("new-side-only" in str(x.message) for x in w)
