@@ -24,6 +24,15 @@ data is one (pid, count) row per partition plus the broadcast offsets.
 A ``Window.partitionBy(pid)`` here would re-shuffle the whole table on
 hash(pid) — Spark cannot see that pid already IS the partitioning.
 
+CRITICAL: the range exchange is ``localCheckpoint``-ed before the counts
+collect. Range boundaries are SAMPLED per job (the sampler's seed
+involves the RDD id, which changes across jobs), so two jobs over one
+un-materialized exchange can see two different partitionings — the
+offsets would then be wrong for the rows the output job actually emits.
+Any future operator that runs >1 job over one sampled exchange must
+materialize the exchange the same way (see also grid_knn_join_exact and
+connected-components' per-round checkpoints).
+
 Because range partitions are ordered and the within-partition sort is
 total, the result equals the single-window numbering exactly — the
 DuckDB oracle is literally ``row_number() OVER (ORDER BY ...)``. The
@@ -65,9 +74,21 @@ def assign_stable_ids(
             "__ord": F.monotonically_increasing_id().bitwiseAND(F.lit(_LOW33)),
         }
     )
-    # one output row per partition; boundaries come from the range
-    # sampler, but the FINAL ids are boundary-independent: offsets are
-    # cumulative in partition order and partitions are key-ordered
+    # MATERIALIZE the range exchange before anything reads it twice.
+    # RangePartitioner samples boundaries with a seed derived from the
+    # RDD id, which differs per JOB — so without this checkpoint the
+    # counts job below and the final output job would each re-run the
+    # exchange with DIFFERENT sampled boundaries, and the driver-side
+    # offsets would describe a partitioning the output rows don't have
+    # (observed: ~3% duplicate ids at 300k rows x 32 partitions; only
+    # green at small scale because the reservoir sample holds entire
+    # partitions). Same pattern as grid_knn_join_exact's per-round
+    # checkpoint: one physical exchange, every downstream job reads it.
+    marked = marked.localCheckpoint(eager=True)
+    # one output row per partition; offsets are cumulative in partition
+    # order and partitions are key-ordered, so ids are a 1..n permutation
+    # for ANY boundary placement — but only over the ONE materialized
+    # placement above.
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in marked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

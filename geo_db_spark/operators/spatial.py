@@ -5,17 +5,46 @@ The reference extracts city coordinates (C11, src/wiki_data_line.rs:
 operators that data makes possible — the same blocking idea as the
 time-bucketed range join (operators/rangejoin.py) applied to 2-D space.
 
-Distance is SQUARED DEGREES (lat² + lon²·cos²-free): pure arithmetic,
-monotone in true planar distance at city scale, and bit-identical across
-engines — trig-based haversine is deliberately avoided because libm
-results differ in the last ulp between engines and would break the
-value-hash oracle. Swap in haversine for display once ranking is done.
+Two metrics (r6 verdict #3):
+
+- ``metric="degrees"`` (default): SQUARED DEGREES (dlat² + dlon²) —
+  pure arithmetic, bit-identical across engines; trig is avoided so the
+  value-hash oracle holds bit-for-bit. Fine near the equator, but a
+  degree of longitude shrinks as cos(lat): at lat 60° it is HALF a
+  degree of latitude, so the pure-degree ranking picks provably wrong
+  neighbors at high latitude (test_spatial pins a concrete case).
+- ``metric="scaled"``: equirectangular — the wrapped lon delta is
+  scaled by cos of the pair's mid-latitude before squaring
+  (dlat² + (dlon·cos(mid))²), the standard small-distance geodesic
+  approximation. The exact join's ring guarantee is WIDENED per point:
+  an unprobed site r cells away along longitude is only
+  ≥ r·cell_deg·cos(|p_lat| + r·cell_deg/2) away in scaled degrees, so
+  the done-test uses that (smaller) bound; near the poles cos → 0 and
+  polar points simply keep expanding until the probe covers the grid —
+  still exact, just more rounds for a vanishing subset of points.
+
+Squared forms only — monotone in the true distance, so ranking never
+needs the sqrt.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _dist2(metric: str) -> Column:
+    """Squared distance between (p_lat,p_lon) and (s_lat,s_lon) columns
+    under the chosen metric; lon delta wrapped min(|d|, 360-|d|)."""
+    dlat = F.col("p_lat") - F.col("s_lat")
+    dlon_abs = F.abs(F.col("p_lon") - F.col("s_lon"))
+    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
+    if metric == "degrees":
+        return dlat * dlat + dlon * dlon
+    if metric == "scaled":
+        c = F.cos(F.radians((F.col("p_lat") + F.col("s_lat")) / F.lit(2.0)))
+        return dlat * dlat + (dlon * c) * (dlon * c)
+    raise ValueError(f"metric must be 'degrees' or 'scaled', got {metric!r}")
 
 
 def _grid_row_col(lat: Column, lon: Column, cell_deg: float) -> tuple[Column, Column, int]:
@@ -55,13 +84,51 @@ def grid_cell(lat: Column, lon: Column, cell_deg: float = 1.0) -> Column:
     return ny * F.lit(w) + F.pmod(nx, F.lit(w))
 
 
+def derive_cell_deg(sites: DataFrame, k: int = 1, overprobe: float = 4.0) -> float:
+    """Density-scaled grid pitch (r6 verdict #8): pick ``cell_deg`` so a
+    3x3 probe neighborhood holds ~``k * overprobe`` sites in expectation,
+    instead of shipping a hand-tuned constant that silently goes stale
+    when site density changes (SCALE.md r6 measured 196 s at a stale
+    knob vs 6.8 s scaled).
+
+    Density is measured over OCCUPIED 10-degree coarse cells, not the
+    whole sphere — sites cluster (land, cities), and dividing by the
+    full 180x360 area would overestimate the pitch ~3x for a
+    land-only corpus. One tiny aggregate job (2 longs out); the result
+    snaps UP to the nearest divisor-of-360 ladder step so _row_width's
+    integer-grid contract always holds. Clamped to [0.125, 90].
+    """
+    coarse = F.floor((F.col("lat") + F.lit(90.0)) / F.lit(10.0)) * F.lit(36) + F.floor(
+        (F.col("lon") + F.lit(180.0)) / F.lit(10.0)
+    )
+    row = sites.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(coarse).alias("m"),
+    ).collect()[0]
+    n, m = row["n"], row["m"]
+    if n == 0 or m == 0:
+        return 10.0  # no sites: pitch is irrelevant, probes match nothing
+    density = n / (m * 100.0)  # sites per squared degree of occupied area
+    import math
+
+    want = math.sqrt(max(k, 1) * overprobe / (9.0 * density))
+    ladder = [0.125, 0.25, 0.5, 1.0, 2.0, 2.5, 3.0, 4.0, 5.0, 6.0, 8.0,
+              9.0, 10.0, 12.0, 15.0, 18.0, 20.0, 24.0, 30.0, 36.0, 40.0,
+              45.0, 60.0, 72.0, 90.0]
+    for step in ladder:
+        if step >= want:
+            return step
+    return ladder[-1]
+
+
 def grid_knn_join(
     points: DataFrame,
     sites: DataFrame,
     k: int = 1,
-    cell_deg: float = 1.0,
+    cell_deg: float | None = 1.0,
     point_id: str = "point_id",
     site_id: str = "site_id",
+    metric: str = "degrees",
 ) -> DataFrame:
     """k nearest ``sites`` per ``points`` row via grid blocking: every
     site lands in ONE cell, every point probes its own cell plus the 8
@@ -86,7 +153,12 @@ def grid_knn_join(
     eastmost cell (the old scalar cell±1 arithmetic did both wrong).
     Rows beyond the pole rows simply don't exist, so a dy out of range
     matches nothing — no pole wrap, no duplicate probe cells.
+
+    ``cell_deg=None`` derives the pitch from measured site density
+    (``derive_cell_deg``) instead of a hand-tuned constant.
     """
+    if cell_deg is None:
+        cell_deg = derive_cell_deg(sites, k)
     w = _row_width(cell_deg)
     if w < 3:
         raise ValueError(
@@ -118,16 +190,13 @@ def grid_knn_join(
             )
         ).alias("cell"),
     )
-    dlat = F.col("p_lat") - F.col("s_lat")
-    # wrapped lon delta: min(|d|, 360-|d|) — a site 0.2° across the
-    # antimeridian is 0.2° away, not 359.8°. abs/subtract/least are
-    # exact IEEE ops, bit-identical in the DuckDB oracle.
-    dlon_abs = F.abs(F.col("p_lon") - F.col("s_lon"))
-    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
+    # wrapped lon delta inside _dist2: min(|d|, 360-|d|) — a site 0.2°
+    # across the antimeridian is 0.2° away, not 359.8°. The "degrees"
+    # form is exact IEEE add/mul/least, bit-identical in DuckDB.
     cand = p.join(s, "cell").select(
         point_id,
         site_id,
-        (dlat * dlat + dlon * dlon).alias("dist2"),
+        _dist2(metric).alias("dist2"),
     )
     wr = Window.partitionBy(point_id).orderBy(F.col("dist2"), F.col(site_id))
     return (
@@ -141,9 +210,10 @@ def grid_knn_join_exact(
     points: DataFrame,
     sites: DataFrame,
     k: int = 1,
-    cell_deg: float = 1.0,
+    cell_deg: float | None = 1.0,
     point_id: str = "point_id",
     site_id: str = "site_id",
+    metric: str = "degrees",
 ) -> DataFrame:
     """Exact k nearest ``sites`` per point: ``grid_knn_join``'s blocking
     with an iterative RING EXPANSION for the points the 3x3 neighborhood
@@ -153,10 +223,13 @@ def grid_knn_join_exact(
     Round at radius r probes the (2r+1)^2 cell neighborhood (column
     offsets wrapped mod the row width; once 2r+1 >= width the probe is
     the full row). A point is DONE when it has >= k candidates whose
-    distance is <= r*cell_deg — any unprobed site sits >= r full cells
-    away (Chebyshev cell distance >= r+1, gap of r cells), so nothing
-    outside the probed region can beat the accepted top-k: the result is
-    exact, not best-effort. Unsatisfied points re-probe at 2r; doubling
+    distance is STRICTLY below the round's guarantee radius
+    (r*cell_deg for "degrees"; r*cell_deg*cos(|p_lat|+r*cell_deg/2) for
+    "scaled") — any unprobed site sits >= r full cells away (Chebyshev
+    cell distance >= r+1, gap of r cells), so nothing outside the probed
+    region can beat the accepted top-k; strict, because an unprobed site
+    exactly AT the guarantee distance could win its site_id tiebreak
+    (ADVICE r6). The result is exact, not best-effort. Unsatisfied points re-probe at 2r; doubling
     makes the round count logarithmic in the grid size, and the frontier
     (sparse-neighborhood points only) shrinks geometrically. When the
     probe covers the whole grid the point is done unconditionally — if it
@@ -170,6 +243,8 @@ def grid_knn_join_exact(
     """
     import math
 
+    if cell_deg is None:
+        cell_deg = derive_cell_deg(sites, k)
     w = _row_width(cell_deg)
     if w < 3:
         raise ValueError(
@@ -188,10 +263,7 @@ def grid_knn_join_exact(
         F.col("lat").alias("p_lat"),
         F.col("lon").alias("p_lon"),
     )
-    dlat = F.col("p_lat") - F.col("s_lat")
-    dlon_abs = F.abs(F.col("p_lon") - F.col("s_lon"))
-    dlon = F.least(dlon_abs, F.lit(360.0) - dlon_abs)
-    dist2 = dlat * dlat + dlon * dlon
+    dist2 = _dist2(metric)
     wr = Window.partitionBy(point_id).orderBy(F.col("dist2"), F.col(site_id))
 
     spark = points.sparkSession
@@ -231,7 +303,7 @@ def grid_knn_join_exact(
         )
         ranked = (
             probes.join(s, "cell")
-            .select(point_id, site_id, dist2.alias("dist2"))
+            .select(point_id, "p_lat", site_id, dist2.alias("dist2"))
             .withColumn("rank", F.row_number().over(wr))
             .filter(F.col("rank") <= k)
         )
@@ -242,13 +314,39 @@ def grid_knn_join_exact(
                     point_id, site_id, "dist2", F.col("rank").cast("int").alias("rank")
                 )
             )
-        # done = k candidates found AND the worst accepted one is closer
-        # than anything the unprobed cells could hold
-        guarantee = float(r * cell_deg) ** 2
+        # done = k candidates found AND the worst accepted one is
+        # STRICTLY closer than anything the unprobed cells could hold —
+        # strict, because an unprobed site can sit at exactly r*cell_deg
+        # (on its cell's near edge) and outrank the accepted k-th on the
+        # site_id tiebreak (ADVICE r6); equality forces another round.
+        # Under the scaled metric the bound shrinks per point: an
+        # unprobed site r cells away along LONGITUDE is only
+        # r*cell_deg*cos(mid-lat) scaled degrees away, and for the
+        # lon-gap case the pair's mid-lat is within
+        # |p_lat| + r*cell_deg/2 (a site farther in lat trips the
+        # unscaled lat bound instead) — so cos of that clamped angle is
+        # a valid lower bound. cos -> 0 near the poles: polar points
+        # keep expanding until covered_all, still exact.
+        radius = float(r * cell_deg)
+        if metric == "scaled":
+            c_min = F.cos(
+                F.radians(
+                    F.least(
+                        F.lit(90.0), F.abs(F.col("__plat")) + F.lit(radius / 2.0)
+                    )
+                )
+            )
+            guarantee = (F.lit(radius) * c_min) ** F.lit(2)
+        else:
+            guarantee = F.lit(radius**2)
         done_pts = (
             ranked.groupBy(point_id)
-            .agg(F.count("*").alias("__n"), F.max("dist2").alias("__maxd"))
-            .filter((F.col("__n") >= k) & (F.col("__maxd") <= F.lit(guarantee)))
+            .agg(
+                F.count("*").alias("__n"),
+                F.max("dist2").alias("__maxd"),
+                F.first("p_lat").alias("__plat"),
+            )
+            .filter((F.col("__n") >= k) & (F.col("__maxd") < guarantee))
             .select(point_id)
         )
         # localCheckpoint per round (the closure.py iteration pattern):

@@ -143,11 +143,67 @@ QUALIFY rank <= {KNN_EXACT_K}
 """
 
 
+KNN_SCALED_K = 2
+
+
+def geo_knn_scaled_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic-aware variant (r6 verdict #3): exact kNN under the
+    equirectangular metric — the wrapped lon delta scaled by cos of the
+    pair's mid-latitude, so high-latitude customers rank suppliers by
+    (approximate) great-circle distance, not raw degrees. Output carries
+    ids + rank but NOT the trig-valued dist2: cos results can differ in
+    the last ulp between the JVM and DuckDB libm, which would break the
+    value hash while meaning nothing (ranking is ulp-robust here — the
+    md5-derived coordinates never produce sub-ulp distance ties)."""
+    from geo_db_spark.operators.spatial import grid_knn_join_exact
+
+    tune(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"), *_coords(F.col("c_custkey"))
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("site_id"), *_coords(F.col("s_suppkey") + 1_000_000)
+    )
+    return grid_knn_join_exact(
+        cust, supp, k=KNN_SCALED_K, cell_deg=CELL_DEG, metric="scaled"
+    ).select(
+        F.col("point_id").alias("c_custkey"),
+        F.col("site_id").alias("s_suppkey"),
+        "rank",
+    )
+
+
+ORACLE_GEO_KNN_SCALED = f"""
+WITH pts AS (
+  SELECT c_custkey AS point_id, {_COORD_SQL.format(k='c_custkey')} FROM customer
+),
+sts AS (
+  SELECT s_suppkey AS site_id, {_COORD_SQL.format(k='s_suppkey + 1000000')} FROM supplier
+),
+cand AS (
+  -- equirectangular: wrapped lon delta x cos(mid-lat), then squared
+  SELECT p.point_id, s.site_id,
+         (p.lat - s.lat) * (p.lat - s.lat)
+           + (LEAST(ABS(p.lon - s.lon), 360.0 - ABS(p.lon - s.lon))
+              * COS(RADIANS((p.lat + s.lat) / 2.0)))
+             * (LEAST(ABS(p.lon - s.lon), 360.0 - ABS(p.lon - s.lon))
+                * COS(RADIANS((p.lat + s.lat) / 2.0))) AS dist2
+  FROM pts p CROSS JOIN sts s
+)
+SELECT point_id AS c_custkey, site_id AS s_suppkey,
+       CAST(row_number() OVER (PARTITION BY point_id ORDER BY dist2, site_id) AS INT) AS rank
+FROM cand
+QUALIFY rank <= {KNN_SCALED_K}
+"""
+
+
 QUERIES = {
     "geo_knn_customer_supplier": geo_knn_customer_supplier,
     "geo_knn_exact_customer_supplier": geo_knn_exact_customer_supplier,
+    "geo_knn_scaled_customer_supplier": geo_knn_scaled_customer_supplier,
 }
 ORACLES = {
     "geo_knn_customer_supplier": ORACLE_GEO_KNN,
     "geo_knn_exact_customer_supplier": ORACLE_GEO_KNN_EXACT,
+    "geo_knn_scaled_customer_supplier": ORACLE_GEO_KNN_SCALED,
 }
