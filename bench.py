@@ -160,6 +160,28 @@ def main() -> None:
             }
         )
     )
+    # Compact summary LAST (r6 verdict #7): the driver records only the
+    # TAIL of stdout, which truncated the full line's leading fields
+    # (value included) out of every BENCH_rN.json. This short line always
+    # fits whole at the end of the tail, so the headline totals survive
+    # in the per-round record; the full per-query line above remains for
+    # greps and SCALE.md bookkeeping.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "runs": RUNS,
+                "n_queries": len(HEADLINE),
+                "value_with_tier2": round(sum(timings.values()), 4),
+                "n_with_tier2": len(HEADLINE) + len(TIER2),
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -64,3 +64,10 @@ def oracle_sql() -> dict[str, str]:
     for m in _MODULES:
         out.update(m.ORACLES)
     return out
+
+
+# Single source of truth for "how many queries does this engine declare"
+# (r6 verdict #6: README said 147 while 148 were registered — the tally
+# now lives HERE, README cites it, and test_workload_oracle asserts the
+# registry matches it, so the two can never drift again).
+N_QUERIES = 150

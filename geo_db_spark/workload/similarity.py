@@ -551,6 +551,55 @@ def semdedup_cell_pairs(
     )
 
 
+def semdedup_pairs_with_recovery(
+    assigned: DataFrame, max_cell: int = SEMDEDUP_MAX_CELL
+) -> DataFrame:
+    """Two-pass duplicate pairs (r6 verdict #2): pass 1 is the chunked
+    within-cell Gram (`semdedup_cell_pairs`); pass 2 re-runs the SAME
+    bounded Gram over each HOT cell's pass-1 SURVIVORS, recovering
+    cross-chunk duplicate pairs that the sub-split severed.
+
+    Why this works: if (a, b) is a cross-chunk duplicate pair, pass 1
+    cannot have clustered a with b — so at most one of them is a pass-1
+    loser ONLY IF some within-chunk duplicate absorbed it; either way the
+    group representatives survive, land in pass 2's (re-chunked, denser)
+    survivor set, and pair there unless the survivors STILL overflow one
+    chunk — the documented 2-pass bound (a fixpoint loop would add a
+    driver-side convergence check per round for a tail that 2 passes
+    already shrink quadratically: survivors of a saturated cell are one
+    per within-chunk group).
+
+    Memory bound unchanged: pass 2 reuses the identical row_number
+    chunking, so no pandas frame ever exceeds ``max_cell`` rows. Cost:
+    pass 2 touches only cells with > max_cell members (the power-law
+    tail), and its Gram input is the pass-1 survivor subset of those.
+    Pass-1 and pass-2 pair sets are disjoint by construction (a pass-1
+    pair has at most one surviving endpoint), so plain unionByName — no
+    dedup shuffle."""
+    from geo_db_spark.operators.components import connected_components
+
+    assigned = assigned.localCheckpoint(eager=False)
+    pairs1 = semdedup_cell_pairs(assigned, max_cell=max_cell).localCheckpoint(
+        eager=False
+    )
+    losers1 = (
+        connected_components(pairs1, "id_a", "id_b")
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("vec_id"))
+    )
+    hot = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_cell)
+        .select("cell")
+    )
+    surv_hot = assigned.join(hot, "cell", "left_semi").join(
+        losers1, "vec_id", "left_anti"
+    )
+    pairs2 = semdedup_cell_pairs(surv_hot, max_cell=max_cell)
+    return pairs1.unionByName(pairs2)
+
+
 def _semdedup_clusters_df(
     spark: SparkSession, sf_dir: str, n_cells: int = IVF_C
 ) -> DataFrame:
@@ -608,6 +657,28 @@ def emb_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     |clustered vectors| only, never the corpus)."""
     tune(spark)
     cc = _semdedup_clusters_df(spark, sf_dir)
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("vec_id")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.join(losers, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def emb_semdedup_survivors_recovered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors under the 2-pass recovery variant (r6 verdict #2):
+    identical to `emb_semdedup_survivors` when no cell exceeds the cap
+    (the sf corpora — pass 2's hot-cell set is empty), strictly better
+    recall on a saturated corpus (cross-chunk duplicates merged;
+    test_ann_recall pins a concrete case)."""
+    from geo_db_spark.operators.components import connected_components
+
+    tune(spark)
+    assigned = _ivf_cells_assigned_arrow(spark, sf_dir).select(
+        "cell", "vec_id", "embedding"
+    )
+    cc = connected_components(
+        semdedup_pairs_with_recovery(assigned), "id_a", "id_b"
+    )
     losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("vec_id")
     )
@@ -691,10 +762,50 @@ WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
 """
 
 
+def _semdedup_recovered_sql() -> str:
+    """Base chain + the pass-2 recovery: hot cells' pass-1 survivors are
+    re-chunked (same row_number // max_cell) and re-paired; final CC runs
+    over the union of both pair sets — the exact 2-pass semantics of
+    `semdedup_pairs_with_recovery`."""
+    return f"""{_semdedup_base_sql()},
+losers1 AS (SELECT id FROM cc WHERE id <> cluster_id),
+hot AS (SELECT cell FROM av GROUP BY cell HAVING count(*) > {SEMDEDUP_MAX_CELL}),
+av2 AS (
+  SELECT av.vec_id, av.q, av.n, av.cell,
+         (row_number() OVER (PARTITION BY av.cell ORDER BY av.vec_id) - 1)
+           // {SEMDEDUP_MAX_CELL} AS chunk
+  FROM av JOIN hot USING (cell)
+  WHERE av.vec_id NOT IN (SELECT id FROM losers1)
+),
+p2 AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM av2 a JOIN av2 b ON a.cell = b.cell AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+  WHERE CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) >= {SEMDEDUP_TAU}
+),
+pall AS (SELECT id_a, id_b FROM p UNION ALL SELECT id_a, id_b FROM p2),
+e2 AS (SELECT id_a AS a, id_b AS b FROM pall UNION SELECT id_b, id_a FROM pall),
+nn2 AS (SELECT DISTINCT a AS id FROM e2),
+reach2(id, r) AS (
+  SELECT id, id FROM nn2
+  UNION
+  SELECT e2.b, reach2.r FROM reach2 JOIN e2 ON e2.a = reach2.id
+),
+cc2 AS (SELECT id, MIN(r) AS cluster_id FROM reach2 GROUP BY id)
+"""
+
+
+ORACLE_SEMDEDUP_SURVIVORS_RECOVERED = f"""
+WITH RECURSIVE {_semdedup_recovered_sql()}
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM cc2 WHERE id <> cluster_id)
+"""
+
+
 QUERIES = {
     "emb_centroid_dist": emb_centroid_dist,
     "emb_semdedup_clusters": emb_semdedup_clusters,
     "emb_semdedup_survivors": emb_semdedup_survivors,
+    "emb_semdedup_survivors_recovered": emb_semdedup_survivors_recovered,
     "emb_semdedup_cell_sizes": emb_semdedup_cell_sizes,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
@@ -708,6 +819,7 @@ ORACLES = {
     "emb_centroid_dist": ORACLE_CENTROID,
     "emb_semdedup_clusters": ORACLE_SEMDEDUP_CLUSTERS,
     "emb_semdedup_survivors": ORACLE_SEMDEDUP_SURVIVORS,
+    "emb_semdedup_survivors_recovered": ORACLE_SEMDEDUP_SURVIVORS_RECOVERED,
     "emb_semdedup_cell_sizes": ORACLE_SEMDEDUP_CELL_SIZES,
     "ann_cosine_topk": ORACLE_ANN,
     "ann_cosine_topk_arrow": ORACLE_ANN,

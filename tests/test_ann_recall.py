@@ -170,6 +170,7 @@ def test_semdedup_subsplit_oracle_parity_on_saturated_corpus(spark, tmp_path):
         (S.emb_semdedup_cell_sizes, S.ORACLE_SEMDEDUP_CELL_SIZES),
         (S.emb_semdedup_clusters, S.ORACLE_SEMDEDUP_CLUSTERS),
         (S.emb_semdedup_survivors, S.ORACLE_SEMDEDUP_SURVIVORS),
+        (S.emb_semdedup_survivors_recovered, S.ORACLE_SEMDEDUP_SURVIVORS_RECOVERED),
     ]:
         sdf = fn(spark, d)
         s_rows = [tuple(r) for r in sdf.collect()]
@@ -204,3 +205,58 @@ def test_semdedup_cell_knob_tames_hot_cells(spark):
     )
     assert sizes64 < sizes4  # more cells -> smaller max population
     assert sizes64 <= SEMDEDUP_MAX_CELL  # 500 vectors over 64 cells fits
+
+
+def test_semdedup_recovery_pass_finds_cross_chunk_pairs(spark):
+    """r6 verdict #2: a duplicate pair severed by the sub-split chunking
+    must be recovered by pass 2. Construct a hot cell where chunk 0 holds
+    one orientation and chunk 1 another: pass 1 finds only within-chunk
+    pairs; the pass-1 survivors (one per within-chunk group) then fit one
+    chunk together and pair across the old boundary."""
+    from geo_db_spark.workload.similarity import (
+        semdedup_cell_pairs,
+        semdedup_pairs_with_recovery,
+    )
+    from geo_db_spark.operators.components import connected_components
+
+    rows = []
+    # ids 100..109 fill chunk 0 (max_cell=10): 5 "A"-direction + 5 "B"
+    for i in range(5):
+        rows.append((0, 100 + i, [1.0, 0.0]))
+    for i in range(5):
+        rows.append((0, 105 + i, [0.0, 1.0]))
+    # ids 110..113 land in chunk 1: 2 more A + 2 more B — their A/B
+    # partners all sit across the chunk boundary
+    rows.append((0, 110, [1.0, 0.0]))
+    rows.append((0, 111, [1.0, 0.0]))
+    rows.append((0, 112, [0.0, 1.0]))
+    rows.append((0, 113, [0.0, 1.0]))
+    assigned = spark.createDataFrame(
+        rows, "cell long, vec_id long, embedding array<float>"
+    )
+
+    p1 = {(r.id_a, r.id_b) for r in semdedup_cell_pairs(assigned, max_cell=10).collect()}
+    # pass 1 alone: no pair crosses the boundary
+    assert all(not (a <= 109 and b >= 110) for a, b in p1)
+    # so pass-1 clustering leaves FOUR groups (A/B x chunk0/chunk1)
+    cc1 = connected_components(
+        spark.createDataFrame(sorted(p1), "id_a long, id_b long"), "id_a", "id_b"
+    )
+    assert cc1.select("cluster_id").distinct().count() == 4
+
+    pall = semdedup_pairs_with_recovery(assigned, max_cell=10)
+    cross = [(r.id_a, r.id_b) for r in pall.collect() if r.id_a <= 109 and r.id_b >= 110]
+    # recovery found cross-chunk duplicates: the surviving representatives
+    # (100 and 105 from chunk 0; 110 and 112 from chunk 1) pair up
+    assert (100, 110) in cross and (105, 112) in cross
+    # final clustering: exactly TWO groups (all A merged, all B merged)
+    cc2 = connected_components(pall, "id_a", "id_b")
+    got = {r.id: r.cluster_id for r in cc2.collect()}
+    assert {got[i] for i in (100, 101, 102, 103, 104, 110, 111)} == {100}
+    assert {got[i] for i in (105, 106, 107, 108, 109, 112, 113)} == {105}
+    # memory bound unchanged: no recovered pair set exceeded the cap —
+    # implied by construction (pass 2 reuses the same chunking); and on a
+    # cap-free corpus pass 2 is a no-op (hot set empty)
+    cool = spark.createDataFrame(rows[:4], "cell long, vec_id long, embedding array<float>")
+    same = {(r.id_a, r.id_b) for r in semdedup_pairs_with_recovery(cool, max_cell=10).collect()}
+    assert same == {(r.id_a, r.id_b) for r in semdedup_cell_pairs(cool, max_cell=10).collect()}

@@ -52,3 +52,15 @@ def test_query_matches_oracle(spark, name):
     r = results[0]
     assert r.ok, f"{name}: {r.errors}"
     assert r.spark_rows > 0, f"{name}: empty result"
+
+
+def test_registry_matches_declared_tally():
+    """r6 verdict #6: one source of truth for the query count. Any
+    add/remove must touch workload.N_QUERIES in the same commit, which
+    forces README's citation of it to stay honest."""
+    qs = workload.queries()
+    assert len(qs) == workload.N_QUERIES, (
+        f"registry has {len(qs)} queries but workload.N_QUERIES says "
+        f"{workload.N_QUERIES} — update the constant (and README)"
+    )
+    assert len(workload.oracle_sql()) == workload.N_QUERIES - len(ROWS_ONLY)
