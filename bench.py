@@ -85,6 +85,9 @@ TIER2 = [
     "geo_knn_exact_customer_supplier",
     "sk_kmv_set_ops_parts",
     "ids_stable_documents",
+    # r7 additions
+    "geo_knn_scaled_customer_supplier",
+    "emb_semdedup_survivors_recovered",
 ]
 
 

@@ -199,21 +199,40 @@ def _decode_png(payload: bytes):
                 cur[off::ch] = np.cumsum(cur[off::ch]) % 256
         elif ft == 2:  # Up
             cur = (row + prev) % 256
-        elif ft == 3:  # Average — left-neighbor dependence is sequential
-            cur = np.empty(stride, np.int64)
+        # Average/Paeth: the left-neighbor dependence is a nonlinear
+        # recurrence (integer divide / 3-way predictor on the running
+        # value), so no whole-row numpy kernel exists. The scan runs on
+        # plain Python LISTS with local-variable state (ADVICE r6):
+        # measured 2.5x faster than the old per-byte numpy-indexed loop
+        # and 10x faster than a per-pixel small-array numpy scan (numpy
+        # scalar indexing and len-3 array ops are slower than int
+        # arithmetic). ~0.8 us/byte — fine for the fixture corpus and
+        # honest thumbnail scale; a real 100 TB image corpus wants a
+        # native codec behind the same mapInPandas seam (documented
+        # NotImplementedError boundaries for JPEG/WebP already mark it).
+        elif ft == 3:  # Average
+            r = row.tolist()
+            pv = prev.tolist()
+            cur_l = [0] * stride
             for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                cur[i] = (row[i] + (a + prev[i]) // 2) % 256
+                a = cur_l[i - ch] if i >= ch else 0
+                cur_l[i] = (r[i] + (a + pv[i]) // 2) & 255
+            cur = np.array(cur_l, np.int64)
         elif ft == 4:  # Paeth
-            cur = np.empty(stride, np.int64)
+            r = row.tolist()
+            pv = prev.tolist()
+            cur_l = [0] * stride
             for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+                a = cur_l[i - ch] if i >= ch else 0
+                b = pv[i]
+                c = pv[i - ch] if i >= ch else 0
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (row[i] + pred) % 256
+                cur_l[i] = (r[i] + pred) & 255
+            cur = np.array(cur_l, np.int64)
         else:
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y] = cur.astype(np.uint8)

@@ -47,12 +47,24 @@ def set_similarity_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    use_indexing_prefix: bool = True,
+    _return_candidates: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose word-``shingle_n``-gram shingle sets
     have Jaccard >= threshold_num/threshold_den. Returns
     (id_a, id_b, inter, uni, jaccard) — sizes exact ints, jaccard their
     IEEE quotient.
-    """
+
+    ``use_indexing_prefix`` toggles the PPJoin indexing prefix for
+    ablation (r6 verdict #4): since r7 it is applied STRUCTURALLY — the
+    index (processing-earlier) side of the prefix self-join explodes only
+    the short indexing prefix, shrinking the join's input rows — because
+    the r6 per-pair filter form is provably subsumed by the positional
+    filter (see inline proof sketch below; that is why every measured
+    corpus showed a zero candidate cut). The result set is IDENTICAL
+    either way (zero recall loss, brute-force oracle pinned).
+    ``_return_candidates`` short-circuits to the deduped candidate-pair
+    set for instrumentation."""
     num, den = threshold_num, threshold_den
     if not (0 < num <= den):
         raise ValueError(f"threshold must be in (0, 1]: got {num}/{den}")
@@ -93,41 +105,46 @@ def set_similarity_join(
         F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos0", "tk"),
     ).select("id", "n", (F.col("pos0") + 1).alias("pos"), F.col("tk.token").alias("token"))
 
-    # structural merge pin on the self-join: pref is O(corpus) rows, so
-    # no broadcast/shuffle-hash build of it is ever safe, and the
+    # PPJoin indexing prefix (Xiao WWW'08 §3), restructured in r7: a
+    # t-similar pair must share a token in the PROBING prefix
+    # (|s| - ceil(t|s|) + 1) of the processing-LATER set and in the
+    # shorter INDEXING prefix (|s| - ceil(2t/(1+t)|s|) + 1) of the
+    # processing-EARLIER one, processing order = (size, id) ascending.
+    # The r6 form applied that as a per-candidate-pair FILTER on a
+    # symmetric self-join — provably a no-op: the indexed side is the
+    # SMALLER set, and for |s| <= |l| the positional filter's bound
+    # pos_s <= |s| - alpha + 1 with alpha = ceil(t/(1+t)(|s|+|l|)) is
+    # always <= the indexing bound |s| - ceil(2t/(1+t)|s|) + 1 (equality
+    # exactly at |s| = |l|) — hence the measured zero cut on EVERY
+    # corpus, not a corpus property. The real PPJoin benefit is
+    # STRUCTURAL and lands here instead: the index side of the join
+    # explodes only the short prefix, so the join's build input shrinks
+    # ~(1 - 2t/(1+t))/(1 - t/(1+t)) (t=1/2: one third fewer rows) before
+    # any pair is formed. use_indexing_prefix=False keeps the full
+    # probing prefix on both sides (the ablation baseline,
+    # scripts/ablate_prefix_filter.py).
+    idx_len = F.expr(
+        f"n - ((2 * {num} * n + {num} + {den} - 1) div ({num} + {den})) + 1"
+    )
+    index_side = pref.filter(F.col("pos") <= idx_len) if use_indexing_prefix else pref
+    # structural merge pin on the self-join: both sides are O(corpus)
+    # rows, so no broadcast/shuffle-hash build is ever safe, and the
     # measured 100x envelope runs 39% faster under SMJ (206 s vs 337 s)
     # for ~1 s of sort cost at sf0.1 — the scale target wins the trade.
-    a, b = pref.alias("a"), pref.hint("merge").alias("b")
+    a, b = pref.alias("a"), index_side.hint("merge").alias("b")
     # overlap lower bound alpha = ceil(t/(1+t) * (n_a+n_b))
     alpha = F.expr(f"(({num} * (a.n + b.n)) + {num} + {den} - 1) div ({num} + {den})")
-    # PPJoin indexing-prefix refinement (r5 verdict #8, Xiao WWW'08 §3):
-    # a t-similar pair must share a token that lies in the PROBING prefix
-    # (|s| - ceil(t|s|) + 1, what `pref` explodes) of the processing-
-    # later set AND in the shorter INDEXING prefix
-    # (|s| - ceil(2t/(1+t)|s|) + 1) of the processing-earlier one —
-    # processing order is (size, id) ascending, and a.id < b.id already
-    # holds, so on equal sizes `a` is the earlier/indexed side. With
-    # 2t/(1+t) = 2*num/(num+den), integer ceil keeps it exact. Each
-    # candidate pair must now collide in a strictly shorter window on
-    # one side, cutting candidates before the distinct at zero recall
-    # loss (the brute-force-derived oracle pins that).
-    idx_a = F.expr(
-        f"a.n - ((2 * {num} * a.n + {num} + {den} - 1) div ({num} + {den})) + 1"
-    )
-    idx_b = F.expr(
-        f"b.n - ((2 * {num} * b.n + {num} + {den} - 1) div ({num} + {den})) + 1"
-    )
-    in_index_prefix = F.when(
-        F.col("a.n") <= F.col("b.n"), F.col("a.pos") <= idx_a
-    ).otherwise(F.col("b.pos") <= idx_b)
     cand = (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.id") < F.col("b.id"))
-            # size filter: t*|a| <= |b| and t*|b| <= |a|
+            # b is the processing-earlier (indexed) side: (n, id) smaller
+            & (
+                (F.col("b.n") < F.col("a.n"))
+                | ((F.col("b.n") == F.col("a.n")) & (F.col("b.id") < F.col("a.id")))
+            )
+            # size filter: t*|a| <= |b| (b.n <= a.n already holds)
             & (F.col("b.n") * den >= F.col("a.n") * num)
-            & (F.col("a.n") * den >= F.col("b.n") * num)
             # positional filter: best-possible remaining overlap >= alpha
             & (
                 F.least(
@@ -135,12 +152,16 @@ def set_similarity_join(
                 )
                 + 1
                 >= alpha
-            )
-            & in_index_prefix,
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
         .distinct()
     )
+    if _return_candidates:
+        return cand
     # exact verification WITHOUT array payloads: the first cut of this
     # stage collected each candidate doc's token set into an array and
     # joined two array-carrying tables — Spark's size estimate for

@@ -1,4 +1,5 @@
 from geo_db_spark.streaming.jobs import (  # noqa: F401
+    click_impression_stream_join,
     enrich_stream_with_dim,
     maintain_windowed_rollup,
     purchase_click_stream_join,

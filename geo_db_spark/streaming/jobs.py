@@ -152,6 +152,60 @@ def purchase_click_stream_join(
     ).select("p_event_id", "p_user_id", "p_ts", "c_event_id", "c_ts", "c_value")
 
 
+def click_impression_stream_join(
+    clicks: DataFrame,
+    impressions: DataFrame,
+    window_minutes: int = 10,
+    late_minutes: int = 30,
+    impression_type: str = "view",
+) -> DataFrame:
+    """TWO-SIDED stream-stream interval join (r6 verdict #5): each click
+    matched to the same user's impressions within ±``window_minutes`` —
+    attribution both ways (an impression shortly AFTER a click matters
+    for dedup/fraud, not just the preceding one), unlike
+    `purchase_click_stream_join`'s one-sided lookback. The driver events
+    table has no "impression" type, so the impression side defaults to
+    ``view`` rows.
+
+    State bounds: both sides carry a ``late_minutes`` watermark, and the
+    symmetric range constraint lets the engine evict a click once the
+    impression-side watermark passes c_ts + window (and vice versa) —
+    state is O(rate x (window + lateness)) per side, never unbounded.
+    Input rows arriving more than ``late_minutes`` behind the watermark
+    are DROPPED by the state store, never joined (tested); duplicate
+    events are NOT collapsed — each input copy matches independently
+    (multiplicity preserved; dedup is `rate_limit_dedup`'s job upstream,
+    also tested)."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", f"{late_minutes} minutes")
+    )
+    i = (
+        impressions.filter(F.col("event_type") == impression_type)
+        .select(
+            F.col("event_id").alias("i_event_id"),
+            F.col("user_id").alias("i_user_id"),
+            F.col("ts").alias("i_ts"),
+            F.col("value").alias("i_value"),
+        )
+        .withWatermark("i_ts", f"{late_minutes} minutes")
+    )
+    return c.join(
+        i,
+        F.expr(
+            f"c_user_id = i_user_id AND "
+            f"i_ts BETWEEN c_ts - INTERVAL {window_minutes} MINUTES "
+            f"AND c_ts + INTERVAL {window_minutes} MINUTES"
+        ),
+        "inner",
+    ).select("c_event_id", "c_user_id", "c_ts", "i_event_id", "i_ts", "i_value")
+
+
 def enrich_stream_with_dim(
     events: DataFrame,
     dim: DataFrame,

@@ -238,3 +238,49 @@ def test_ascii_guard_raises_on_non_ascii_corpus(spark):
     )
     with pytest.raises(Exception, match="non-ASCII|USER_RAISED"):
         with_ppm_payload(docs).collect()
+
+
+def test_decode_png_roundtrip_fuzz():
+    """r6 verdict #9: randomized encode->decode roundtrips — per-row
+    filter types drawn independently (all five, mixed within one image),
+    every color type, odd widths including 1-px and stride-unaligned
+    shapes — must reproduce the input pixels exactly (the PPM/BMP
+    hypothesis suites' analog for PNG). Pure-Python harness (no Spark)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geo_db_spark.operators.multimodal import _PNG_CHANNELS, _decode_png, make_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.sampled_from([1, 2, 3, 5, 7, 16, 31]),
+        h=st.sampled_from([1, 2, 3, 8, 13]),
+        color_type=st.sampled_from(sorted(_PNG_CHANNELS)),
+        data=st.data(),
+    )
+    def roundtrip(w, h, color_type, data):
+        ch = _PNG_CHANNELS[color_type]
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h), label="row_filters"
+        )
+        px = np.array(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch),
+                label="pixels",
+            ),
+            dtype=np.uint8,
+        )
+        png = make_png(w, h, px.tobytes(), color_type=color_type, row_filters=filters)
+        got = _decode_png(png)
+        assert got.shape == (h, w, 3)
+        src = px.reshape(h, w, ch)
+        if ch == 1:
+            want = np.repeat(src, 3, axis=2)
+        elif ch == 2:
+            want = np.repeat(src[:, :, :1], 3, axis=2)
+        else:
+            want = src[:, :, :3]
+        assert (got == want).all(), (w, h, color_type, filters)
+
+    roundtrip()

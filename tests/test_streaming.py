@@ -528,3 +528,135 @@ def test_streaming_histogram_matches_batch_sketch(spark, events_dir, tmp_path):
     p50_s = histogram_quantile(streamed, 0.5, lo, hi).collect()[0]
     p50_b = histogram_quantile(batch, 0.5, lo, hi).collect()[0]
     assert (p50_s.bin, p50_s.est_value) == (p50_b.bin, p50_b.est_value)
+
+
+def _write_events(spark, rows, path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_click_impression_stream_join_matches_batch(spark, events_dir):
+    """Two-sided ±10 min interval join: availableNow result over the
+    events corpus must equal the batch interval join (r6 verdict #5)."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
+    from geo_db_spark.streaming import click_impression_stream_join, read_events_stream
+
+    q = (
+        click_impression_stream_join(
+            read_events_stream(spark, events_dir), read_events_stream(spark, events_dir)
+        )
+        .writeStream.format("memory")
+        .queryName("ci_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["c_event_id"], r["i_event_id"])
+        for r in spark.sql("select * from ci_join").collect()
+    }
+    ev = load(spark, SF_SMOKE, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    want = {
+        (r["cid"], r["vid"])
+        for r in c.join(
+            v,
+            (F.col("cu") == F.col("vu"))
+            & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("vts") <= F.col("cts") + F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_click_impression_join_drops_late_and_keeps_dups(spark, tmp_path):
+    """Late/duplicate semantics of the ±10 min join, across a checkpoint
+    restart: (a) duplicate input events each match independently
+    (multiplicity preserved — dedup is rate_limit_dedup's job);
+    (b) an impression arriving 30+ min behind the watermark is dropped by
+    the state store and matches NOTHING, even though an on-time twin
+    would have matched."""
+    from datetime import datetime
+
+    from geo_db_spark.streaming import click_impression_stream_join, read_events_stream
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda m: datetime(2024, 1, 1, 12, m)
+
+    def run():
+        q = (
+            click_impression_stream_join(
+                read_events_stream(spark, src, encoding="micros"),
+                read_events_stream(spark, src, encoding="micros"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: user 1's click at 12:00 (TWICE — the duplicate), one view
+    # in window at 12:05, one outside at 12:20. Frontier events at 15:00
+    # on BOTH sides (distinct users, so they match nothing): the global
+    # watermark is the MIN over the two watermarked inputs, so advancing
+    # only the click side would leave it pinned at the view side's max
+    # (a real probe showed exactly that: wm stuck at 11:50).
+    _write_events(
+        spark,
+        [
+            (1, t(0), 1, "click", 1.0, "{}"),
+            (2, t(0), 1, "click", 1.0, "{}"),  # duplicate click
+            (3, t(5), 1, "view", 2.0, "{}"),
+            (4, t(20), 1, "view", 3.0, "{}"),  # outside ±10 min
+            (8, datetime(2024, 1, 1, 15, 0), 99, "click", 0.0, "{}"),
+            (9, datetime(2024, 1, 1, 15, 0), 98, "view", 0.0, "{}"),
+        ],
+        src,
+    )
+    run()
+    rows1 = {(r.c_event_id, r.i_event_id) for r in spark.read.parquet(out).collect()}
+    # duplicates both matched; the out-of-window view matched nothing
+    assert rows1 == {(1, 3), (2, 3)}
+
+    # batch 2 (restart, watermark restored from checkpoint at 14:30):
+    # a LATE view at 12:06 — inside ±10 min of the batch-1 clicks, but
+    # 2.4 h behind the watermark: dropped, no new matches. An on-time
+    # control pair at 15:01/15:02 proves the restarted join still joins.
+    _write_events(
+        spark,
+        [
+            (5, t(6), 1, "view", 4.0, "{}"),  # late: would match 1 and 2
+            (6, datetime(2024, 1, 1, 15, 1), 97, "click", 0.0, "{}"),
+            (7, datetime(2024, 1, 1, 15, 2), 97, "view", 5.0, "{}"),
+        ],
+        src,
+    )
+    run()
+    rows2 = {(r.c_event_id, r.i_event_id) for r in spark.read.parquet(out).collect()}
+    assert (6, 7) in rows2  # restarted join matches on-time rows
+    assert not any(i == 5 for _, i in rows2)  # the late view joined nothing
+    assert rows2 == {(1, 3), (2, 3), (6, 7)}
