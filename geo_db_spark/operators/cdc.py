@@ -173,3 +173,51 @@ def table_changes(
         F.lit(from_version).alias("from_version"),
         F.lit(int(to_v)).alias("to_version"),
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str = "ts",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change feed: one
+    row per (key, consecutive run of identical attr values) with
+    ``valid_from`` (run's first change timestamp), ``valid_to`` (next
+    run's first timestamp, NULL while current) and ``is_current`` — the
+    standard warehouse dimension-history build the CDC family (snapshot
+    diff / MERGE / table_changes) feeds into.
+
+    Consecutive duplicates are collapsed (a feed re-asserting the same
+    value opens no new interval), which is what makes the output a
+    minimal interval set. Order within a key is (ts, *tiebreak_cols) —
+    callers must pass tiebreakers that make it total (e.g. event_id), or
+    ties would make run boundaries engine-dependent.
+
+    Scale shape: ONE shuffle on the key (both windows and the lag/lead
+    share the same partitionBy(key) orderBy(ts, tiebreak) sort — Spark
+    plans a single Exchange + Sort); per-row state is the attr struct.
+    No reference counterpart (its post stage keeps only current rows);
+    SURVEY §2-H CDC growth.
+    """
+    from pyspark.sql import Window
+
+    if not key_cols or not attr_cols:
+        raise ValueError("key_cols and attr_cols must be non-empty")
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    runs = changes.withColumn("__prev", F.lag(attrs).over(w)).filter(
+        F.col("__prev").isNull() | (attrs != F.col("__prev"))
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
+    return (
+        runs.withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .select(
+            *key_cols,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

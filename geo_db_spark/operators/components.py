@@ -64,12 +64,22 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         # pointer jump: a label is itself a node id, so its own current
-        # label exists in `stepped`; one extra hop halves label-tree depth
+        # label exists in `stepped`; one extra hop halves label-tree
+        # depth. (A second hop per round was tried in r7 and measured
+        # NOT to reduce the round count — after the jump the label trees
+        # are already shallow; rounds are bound by edge-propagation
+        # distance, which only the groupBy advances — so it was dropped.)
         hop = stepped.select(F.col("id").alias("jid"), F.col("label").alias("jl"))
+        # LAZY checkpoint + let the convergence aggregate be the action
+        # that materializes it: one Spark job per round instead of two
+        # (the eager materialization and the sum re-scan were separate
+        # jobs; at any data size the round's wall has a fixed multi-job
+        # latency floor, and at scale this also halves the driver's
+        # round-trip count)
         jumped = (
             stepped.join(hop, stepped["label"] == hop["jid"], "left")
             .select("id", F.coalesce(F.col("jl"), F.col("label")).alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
         labels = jumped

@@ -212,3 +212,87 @@ def dup_spans(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             F.coalesce(F.col("max_dup_run"), F.lit(0)).cast("bigint").alias("max_dup_run"),
         )
     )
+
+
+def dup_span_removal(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 8) -> DataFrame:
+    """The EXCISION step on top of `dup_spans` (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — remove
+    the duplicated substring, keep the rest of both documents): every
+    token covered by any cross-document duplicate k-window is dropped,
+    the survivors are re-joined in order. Per document returns
+
+    - ``n_tokens``   original whitespace token count
+    - ``n_kept``     tokens NOT covered by a dup window
+    - ``kept_frac``  n_kept / n_tokens (0.0 for empty docs)
+    - ``kept_md5``   md5 of the space-joined kept tokens ('' when none) —
+      the value oracle proves the rebuilt TEXT, not just the counts
+
+    Scale shape: same single doc_id-partitioned spine as `dup_spans`
+    (windows via lead, dup decision via count-distinct-docs on the window
+    hash). Coverage is NOT a range join or a k-wide explode: flagged
+    window STARTS are left-joined back to token rows (doc_id, pos) and a
+    running max over the same doc partitioning marks every token within
+    k-1 of the last start — one window pass, zero extra shuffles beyond
+    the hash groupBy that dup_spans already pays. The per-doc
+    reassembly (sorted collect of kept tokens) holds one document of
+    tokens at a time — the same bound any per-doc text op has.
+    """
+    base = df.select(F.col(id_col), F.col(text_col))
+    ex = base.select(id_col, F.posexplode(_tokens(text_col)).alias("pos", "w0"))
+    lw = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [F.lead("w0", i).over(lw).alias(f"w{i}") for i in range(1, k)]
+    win = (
+        ex.select(id_col, "pos", "w0", *lead_cols)
+        .filter(F.col(f"w{k - 1}").isNotNull())
+        .select(id_col, "pos", F.xxhash64(*[f"w{i}" for i in range(k)]).alias("h"))
+    )
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    starts = win.join(dup_h, "h", "left_semi").select(
+        F.col(id_col).alias("__sid"),
+        F.col("pos").alias("spos"),
+        F.lit(True).alias("is_start"),
+    )
+    marked = ex.join(
+        starts,
+        (F.col(id_col) == F.col("__sid")) & (F.col("pos") == F.col("spos")),
+        "left",
+    ).select(id_col, "pos", "w0", "is_start")
+    runmax = F.max(F.when(F.col("is_start"), F.col("pos"))).over(
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    toks = marked.withColumn(
+        "covered",
+        runmax.isNotNull() & ((F.col("pos") - runmax) <= F.lit(k - 1)),
+    )
+    kept = (
+        toks.filter(~F.col("covered"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w0"))),
+                    lambda s: s["w0"],
+                ),
+            ).alias("kept_text"),
+        )
+    )
+    totals = base.select(id_col, token_count(F.col(text_col)).alias("n_tokens"))
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.when(F.col("n_tokens") > 0,
+               F.coalesce(F.col("n_kept"), F.lit(0)).cast("double") / F.col("n_tokens"))
+         .otherwise(F.lit(0.0)).alias("kept_frac"),
+        F.md5(F.coalesce(F.col("kept_text"), F.lit(""))).alias("kept_md5"),
+    )

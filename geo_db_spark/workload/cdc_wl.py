@@ -153,14 +153,49 @@ ORDER BY c_custkey
 """
 
 
+def cdc_scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history (operators/cdc.scd2_history) built from
+    the events feed: per user, intervals of the "current event_type"
+    attribute — consecutive re-assertions collapse, ``valid_to`` chains
+    to the next run's start, the open run carries ``is_current``. The
+    missing member of the CDC family next to snapshot-diff / MERGE /
+    table_changes: history MAINTENANCE rather than change detection."""
+    from geo_db_spark.operators.cdc import scd2_history
+
+    tune(spark)
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return scd2_history(
+        ev, ["user_id"], ["event_type"], ts_col="ts", tiebreak_cols=["event_id"]
+    )
+
+
+ORACLE_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM runs
+"""
+
+
 QUERIES = {
     "cdc_snapshot_diff": cdc_snapshot_diff,
     "merge_upsert_customers": merge_upsert_customers,
     "cdc_table_changes": cdc_table_changes,
+    "cdc_scd2_event_type_history": cdc_scd2_event_type_history,
 }
 
 ORACLES = {
     "cdc_snapshot_diff": ORACLE_CDC_DIFF,
     "merge_upsert_customers": ORACLE_MERGE,
     "cdc_table_changes": ORACLE_CDC_TABLE_CHANGES,
+    "cdc_scd2_event_type_history": ORACLE_SCD2,
 }

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from geo_db_spark.io import load
 from geo_db_spark.operators.curation import (
     c4_filter_flags,
+    dup_span_removal,
     dup_spans,
     gopher_repetition,
 )
@@ -130,6 +131,66 @@ FROM toks LEFT JOIN agg USING (doc_id)
 """
 
 
+def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span EXCISION (operators/curation.dup_span_removal):
+    tokens covered by any cross-document duplicate 8-window are removed
+    and the surviving text is rebuilt; the oracle hashes the rebuilt
+    text itself, so the value check proves the excision geometry, not
+    just counts."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    return dup_span_removal(docs, k=8)
+
+
+ORACLE_DUP_SPAN_REMOVAL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t FROM toks
+),
+ex AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks
+),
+win AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS w FROM ex
+),
+duph AS (
+  SELECT w FROM win GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+),
+fl AS (
+  SELECT doc_id, pos FROM win WHERE w IN (SELECT w FROM duph)
+),
+marked AS (
+  SELECT tok.doc_id, tok.pos, tok.t[tok.pos] AS w0,
+         fl.pos IS NOT NULL AS is_start
+  FROM tok LEFT JOIN fl ON fl.doc_id = tok.doc_id AND fl.pos = tok.pos
+),
+cov AS (
+  SELECT doc_id, pos, w0,
+         max(CASE WHEN is_start THEN pos END) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastst
+  FROM marked
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(w0, ' ' ORDER BY pos) AS kept_text
+  FROM cov
+  WHERE lastst IS NULL OR pos - lastst > 7
+  GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       CASE WHEN len(t) > 0
+            THEN CAST(COALESCE(n_kept, 0) AS DOUBLE) / len(t)
+            ELSE 0.0 END AS kept_frac,
+       md5(COALESCE(kept_text, '')) AS kept_md5
+FROM toks LEFT JOIN kept USING (doc_id)
+"""
+
+
 def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation rollup: doc count, language spread, exact-dup
     rate (1 - distinct md5 / n), char-weighted alpha ratio, and a keep
@@ -198,6 +259,7 @@ QUERIES = {
     "text_gopher_repetition": text_gopher_repetition,
     "text_c4_filters": text_c4_filters,
     "text_dup_spans": text_dup_spans,
+    "text_dup_span_removal": text_dup_span_removal,
     "source_quality_rollup": source_quality_rollup,
 }
 
@@ -205,6 +267,7 @@ ORACLES = {
     "text_gopher_repetition": ORACLE_GOPHER,
     "text_c4_filters": ORACLE_C4,
     "text_dup_spans": ORACLE_DUP_SPANS,
+    "text_dup_span_removal": ORACLE_DUP_SPAN_REMOVAL,
     "source_quality_rollup": ORACLE_SOURCE_ROLLUP,
 }
 

@@ -160,3 +160,35 @@ def test_snapshot_diff_symmetric_raise_and_new_side_warning(spark):
         got2 = {r.k: r.change_type for r in snapshot_diff(old2, new2, ["k"]).collect()}
     assert got2 == {2: "update"}  # k=1 unchanged on the shared column
     assert any("new-side-only" in str(x.message) for x in w)
+
+
+def test_scd2_history_collapses_and_chains(spark):
+    """scd2_history: consecutive identical values open no new interval,
+    valid_to chains to the next run's start, the last run is current."""
+    from datetime import datetime
+
+    from geo_db_spark.operators.cdc import scd2_history
+
+    t = lambda m: datetime(2024, 1, 1, 12, m)
+    feed = spark.createDataFrame(
+        [
+            (1, "bronze", t(0), 100),
+            (1, "bronze", t(5), 101),   # re-assertion: collapsed
+            (1, "silver", t(10), 102),
+            (1, "bronze", t(20), 103),  # value may RECUR as a new run
+            (2, "gold", t(1), 200),
+        ],
+        "user_id long, tier string, ts timestamp, event_id long",
+    )
+    rows = sorted(
+        (r.user_id, r.tier, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(
+            feed, ["user_id"], ["tier"], ts_col="ts", tiebreak_cols=["event_id"]
+        ).collect()
+    )
+    assert rows == [
+        (1, "bronze", t(0), t(10), False),
+        (1, "bronze", t(20), None, True),
+        (1, "silver", t(10), t(20), False),
+        (2, "gold", t(1), None, True),
+    ]

@@ -117,3 +117,35 @@ def test_triangle_count_undirected_dedup(spark):
         [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], "a long, b long"
     )
     assert triangle_count(edges).collect()[0].n_triangles == 1
+
+
+def test_dup_span_removal_excises_shared_phrase(spark):
+    """Two docs sharing an exact 10-token phrase: every token of the
+    phrase (covered by the stride-1 dup 8-windows) is removed from BOTH,
+    private prose survives, and a doc with no duplication is untouched."""
+    import hashlib
+
+    from geo_db_spark.operators.curation import dup_span_removal
+
+    shared = "the quick brown fox jumps over the lazy dog again"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "one two three " + shared),
+            (3, "totally unrelated text with enough tokens here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dup_span_removal(docs, k=8).collect()}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1: 14 tokens; phrase occupies pos 2..11 -> kept = alpha beta gamma delta
+    assert (got[1].n_tokens, got[1].n_kept) == (14, 4)
+    assert got[1].kept_md5 == md5("alpha beta gamma delta")
+    # doc 2: 13 tokens; kept = one two three
+    assert (got[2].n_tokens, got[2].n_kept) == (13, 3)
+    assert got[2].kept_md5 == md5("one two three")
+    # doc 3 untouched: kept text == original
+    assert got[3].n_kept == got[3].n_tokens == 8
+    assert got[3].kept_md5 == md5("totally unrelated text with enough tokens here ok")
+    assert abs(got[1].kept_frac - 4 / 14) < 1e-12
