@@ -207,8 +207,10 @@ def scd2_history(
         raise ValueError("key_cols and attr_cols must be non-empty")
     w = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
     attrs = F.struct(*[F.col(c) for c in attr_cols])
+    # null-safe change test: a NULL attribute value is a real state (a
+    # plain != would go NULL and silently DROP the transition row)
     runs = changes.withColumn("__prev", F.lag(attrs).over(w)).filter(
-        F.col("__prev").isNull() | (attrs != F.col("__prev"))
+        ~attrs.eqNullSafe(F.col("__prev"))
     )
     w2 = Window.partitionBy(*key_cols).orderBy(ts_col, *tiebreak_cols)
     return (

@@ -176,8 +176,9 @@ WITH ordered AS (
   FROM events
 ),
 runs AS (
+  -- IS DISTINCT FROM mirrors the operator's null-safe change test
   SELECT user_id, event_type, ts, event_id FROM ordered
-  WHERE prev IS NULL OR event_type <> prev
+  WHERE event_type IS DISTINCT FROM prev
 )
 SELECT user_id, event_type, ts AS valid_from,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,

@@ -177,18 +177,27 @@ def test_scd2_history_collapses_and_chains(spark):
             (1, "silver", t(10), 102),
             (1, "bronze", t(20), 103),  # value may RECUR as a new run
             (2, "gold", t(1), 200),
+            (3, None, t(0), 300),       # NULL is a real state:
+            (3, "gold", t(2), 301),     # null->gold is a CHANGE (null-safe
+            (3, None, t(4), 302),       # compare), gold->null too
         ],
         "user_id long, tier string, ts timestamp, event_id long",
     )
     rows = sorted(
-        (r.user_id, r.tier, r.valid_from, r.valid_to, r.is_current)
-        for r in scd2_history(
-            feed, ["user_id"], ["tier"], ts_col="ts", tiebreak_cols=["event_id"]
-        ).collect()
+        (
+            (r.user_id, r.tier, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_history(
+                feed, ["user_id"], ["tier"], ts_col="ts", tiebreak_cols=["event_id"]
+            ).collect()
+        ),
+        key=lambda x: (x[0], x[1] or "", x[2]),
     )
     assert rows == [
         (1, "bronze", t(0), t(10), False),
         (1, "bronze", t(20), None, True),
         (1, "silver", t(10), t(20), False),
         (2, "gold", t(1), None, True),
-    ]
+        (3, None, t(0), t(2), False),
+        (3, None, t(4), None, True),
+        (3, "gold", t(2), t(4), False),
+    ]  # note: sort key maps None tier to '' (rows 5-6 sort before 'gold')

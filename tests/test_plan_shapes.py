@@ -184,3 +184,34 @@ def test_semdedup_subsplit_single_exchange(spark):
     )
     plan = semdedup_cell_pairs(assigned)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scd2_single_exchange(spark, qs):
+    """scd2_history's two windows + the collapse filter must ride ONE
+    hashpartitioning exchange (same partitionBy/orderBy -> Spark reuses
+    the sort); a second exchange would double the operator's only wide
+    stage at 100 TB."""
+    plan = _plan(qs["cdc_scd2_event_type_history"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_simjoin_prefix_join_is_smj_with_index_side_filter(spark):
+    """The prefix self-join must stay a sort-merge join (both sides are
+    O(corpus) — any broadcast/shuffle-hash build is a scale hazard), and
+    since r7 the index side must carry the short-prefix filter (pos <=
+    indexing length) — the structural PPJoin cut."""
+    from geo_db_spark.io import load
+    from geo_db_spark.operators.simjoin import set_similarity_join
+
+    docs = load(spark, SF_SMOKE, "documents")
+    cand = set_similarity_join(docs, 1, 2, _return_candidates=True)
+    plan = _plan(cand)
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the index-side prefix filter: pos <= n - ceil(2tn/(1+t)) + 1 shows
+    # up as a pos-vs-n comparison pushed below the join on ONE side
+    # (catalyst folds pos as (pos0 + 1) into the filter)
+    assert re.search(r"pos0#\d+ \+ 1\) as bigint\) <= \(\(n#\d+L? -", plan), (
+        "index-side prefix filter missing"
+    )
