@@ -16,12 +16,13 @@ Two metrics (r6 verdict #3):
 - ``metric="scaled"``: equirectangular — the wrapped lon delta is
   scaled by cos of the pair's mid-latitude before squaring
   (dlat² + (dlon·cos(mid))²), the standard small-distance geodesic
-  approximation. The exact join's ring guarantee is WIDENED per point:
-  an unprobed site r cells away along longitude is only
-  ≥ r·cell_deg·cos(|p_lat| + r·cell_deg/2) away in scaled degrees, so
-  the done-test uses that (smaller) bound; near the poles cos → 0 and
-  polar points simply keep expanding until the probe covers the grid —
-  still exact, just more rounds for a vanishing subset of points.
+  approximation. The exact join's ring guarantee SHRINKS per point: an
+  unprobed site r cells away along longitude is only guaranteed
+  ≥ min(t, r·cell_deg·cos(|p_lat| + t/2)) scaled degrees away (valid
+  for any threshold t — the lat term is unscaled, so |dlat| ≥ t is a
+  distance bound by itself; t = r·cell_deg·cos(|p_lat|) is used), so
+  the done-test uses that bound; exactly at the poles it is 0 and those
+  points keep expanding until the probe covers the grid — still exact.
 
 Squared forms only — monotone in the true distance, so ranking never
 needs the sqrt.
@@ -224,8 +225,10 @@ def grid_knn_join_exact(
     offsets wrapped mod the row width; once 2r+1 >= width the probe is
     the full row). A point is DONE when it has >= k candidates whose
     distance is STRICTLY below the round's guarantee radius
-    (r*cell_deg for "degrees"; r*cell_deg*cos(|p_lat|+r*cell_deg/2) for
-    "scaled") — any unprobed site sits >= r full cells away (Chebyshev
+    (r*cell_deg for "degrees"; for "scaled" the per-point threshold
+    bound min(t, r*cell_deg*cos(|p_lat|+t/2)) with t = r*cell_deg*
+    cos(|p_lat|) — see the inline derivation) — any unprobed site sits
+    >= r full cells away (Chebyshev
     cell distance >= r+1, gap of r cells), so nothing outside the probed
     region can beat the accepted top-k; strict, because an unprobed site
     exactly AT the guarantee distance could win its site_id tiebreak
@@ -329,14 +332,41 @@ def grid_knn_join_exact(
         # keep expanding until covered_all, still exact.
         radius = float(r * cell_deg)
         if metric == "scaled":
-            c_min = F.cos(
-                F.radians(
-                    F.least(
-                        F.lit(90.0), F.abs(F.col("__plat")) + F.lit(radius / 2.0)
-                    )
-                )
+            # Tight per-point bound (r7 rework): for ANY threshold t >= 0,
+            # every unprobed site is at scaled distance
+            #   >= min(t, r*cell_deg * cos(min(90, |p_lat| + t/2))):
+            # a site with |dlat| >= t trips the unscaled lat term; one
+            # with |dlat| < t has pair mid-lat within |p_lat| + t/2, so
+            # its >= r*cell_deg lon gap scales by at least that cosine.
+            # The first cut used t = r*cell_deg itself, which at coarse
+            # grids clamps the cosine to 0 for most latitudes as r grows
+            # (|p_lat| + r*cell_deg/2 >= 90) — measured: nearly every
+            # point escalated to the full-grid probe, 11.8 s vs 3.6 s for
+            # the degree metric at sf0.1. Choosing t = r*cell_deg *
+            # cos(|p_lat|) (any choice is sound; this one tracks the
+            # answer's scale) keeps the bound positive everywhere except
+            # exactly at the poles.
+            # Two candidate thresholds, both sound — take the larger
+            # bound. t_a = r*cell_deg*cos|p| tracks the answer scale at
+            # small/medium radii but overshoots past the pole clamp once
+            # r*cell_deg*cos|p|/2 >= 90-|p| (cos -> 0, bound collapses —
+            # the measured 475-points-never-finish plateau); t_b =
+            # 90-|p| keeps the clamp angle at (90+|p|)/2 < 90, so at
+            # large radii the bound approaches the over-the-pole
+            # distance floor instead of 0.
+            plat = F.abs(F.col("__plat"))
+            t_a = F.lit(radius) * F.cos(F.radians(plat))
+            g_a = F.least(
+                t_a,
+                F.lit(radius)
+                * F.cos(F.radians(F.least(F.lit(90.0), plat + t_a / F.lit(2.0)))),
             )
-            guarantee = (F.lit(radius) * c_min) ** F.lit(2)
+            t_b = F.lit(90.0) - plat
+            g_b = F.least(
+                t_b,
+                F.lit(radius) * F.cos(F.radians((F.lit(90.0) + plat) / F.lit(2.0))),
+            )
+            guarantee = F.greatest(g_a, g_b) ** F.lit(2)
         else:
             guarantee = F.lit(radius**2)
         done_pts = (

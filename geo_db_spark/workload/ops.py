@@ -641,6 +641,47 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
+def g19_interval_join_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the r7 streaming two-sided interval join
+    (streaming.click_impression_stream_join): every (click, view) pair
+    of the same user within ±10 minutes, via the bucketed range join —
+    hash equi-join on (user_id, time bucket) with the exact ±window as a
+    residual, O(matches) intermediate. Puts the join's SEMANTICS under
+    the driver's value oracle; the streaming test pins stream==batch."""
+    tune(spark)
+    from geo_db_spark.operators.rangejoin import bucketed_range_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_event_id"), F.col("ts").alias("v_ts")
+    )
+    return bucketed_range_join(
+        clicks,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="v_ts",
+        lower_s=-600.0,
+        upper_s=600.0,
+    ).select("c_event_id", "user_id", "ts", "v_event_id", "v_ts")
+
+
+ORACLE_G19 = """
+SELECT c.event_id AS c_event_id, c.user_id, c.ts,
+       v.event_id AS v_event_id, v.ts AS v_ts
+FROM events c
+JOIN events v
+  ON v.event_type = 'view'
+ AND v.user_id = c.user_id
+ AND v.ts >= c.ts - INTERVAL 10 MINUTE
+ AND v.ts <= c.ts + INTERVAL 10 MINUTE
+WHERE c.event_type = 'click'
+"""
+
+
 def g10_multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: per event_type counts and
     value sums at THREE time resolutions (minute, hour, day) from one
@@ -949,6 +990,7 @@ QUERIES = {
     "g7_percentiles": g7_percentiles,
     "g8_window_pack": g8_window_pack,
     "g9_range_join_clicks": g9_range_join_clicks,
+    "g19_interval_join_clicks_views": g19_interval_join_clicks_views,
     "g10_multi_resolution_rollup": g10_multi_resolution_rollup,
     "g11_full_outer_balance": g11_full_outer_balance,
     "g12_intersect_nations": g12_intersect_nations,
@@ -966,6 +1008,7 @@ ORACLES = {
     "w4_rate_limit_dedup": ORACLE_W4,
     "g8_window_pack": ORACLE_G8,
     "g9_range_join_clicks": ORACLE_G9,
+    "g19_interval_join_clicks_views": ORACLE_G19,
     "d1_customers_without_urgent_orders": ORACLE_D1,
     "d2_argmin_order_per_customer": ORACLE_D2,
     "d4_top2_orders_per_customer": ORACLE_D4,
