@@ -42,13 +42,21 @@ def connected_components(
     back if they need total coverage; see workload/dedup.dedup_clusters).
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Materialize the symmetric edge list FIRST, then derive nodes /
+    # self-loops / labels from the checkpointed rows. The previous order
+    # built `nodes` off the un-checkpointed union, so the labels
+    # materialization re-ran the ENTIRE upstream pair computation a
+    # second time — for simjoin-fed CC that was +4.7 s of a 15.5 s wall
+    # at sf0.1 (the pair join is far heavier than the edges it emits).
+    sym0 = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     # self-loops fold the "own label" term into the neighbor-min groupBy,
     # so each round is ONE join + groupBy (propagate) + one join (jump)
     # instead of carrying a separate least(own, nbr) re-join of `labels`
-    nodes = sym.select(F.col("a").alias("id")).distinct()
+    nodes = sym0.select(F.col("a").alias("id")).distinct()
     sym = (
-        sym.unionByName(nodes.select(F.col("id").alias("a"), F.col("id").alias("b")))
+        sym0.unionByName(nodes.select(F.col("id").alias("a"), F.col("id").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)  # edge list is iterated: materialize once
     )
