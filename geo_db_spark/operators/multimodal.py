@@ -330,6 +330,104 @@ def make_ppm(width: int, height: int, rgb_bytes: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + rgb_bytes
 
 
+def decode_audio(payload: bytes):
+    """Decode an audio payload to ``(samples, sample_rate)`` where
+    ``samples`` is an (n_frames, n_channels) int16 ndarray.
+
+    Pure-stdlib decoder for the one mainstream audio container that
+    needs no codec library: RIFF/WAVE with integer PCM (format tag 1,
+    16-bit). MP3/FLAC/OGG/AAC raise NotImplementedError — entropy-coded
+    audio genuinely needs a codec library this container lacks; swap the
+    fallthrough for soundfile/pydub when available. Mirrors
+    ``decode_image``'s honest-boundary contract."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    raise NotImplementedError(
+        "only RIFF/WAVE integer PCM decodes without a codec library; "
+        "MP3/FLAC/OGG need soundfile/pydub, not present in this "
+        "environment"
+    )
+
+
+def _decode_wav(payload: bytes):
+    """RIFF chunk walk (public RIFF/WAVE spec): read ``fmt `` and
+    ``data``; every other chunk id (LIST, fact, cue, …) is skipped by
+    its declared size, honoring the spec's word alignment (odd-sized
+    chunk bodies are followed by one pad byte). Requires format tag 1
+    (integer PCM) and 16-bit samples; anything else — float PCM,
+    ADPCM, a-law — raises NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    fmt = None
+    data = None
+    pos = 12  # past RIFF<size>WAVE
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"WAV chunk {cid!r} truncated: {len(body)} < {size}")
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # odd chunk bodies carry a pad byte
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only 16-bit integer PCM WAV supported (format={audio_fmt}, "
+            f"bits={bits})"
+        )
+    if n_ch < 1 or block_align != 2 * n_ch:
+        raise ValueError(f"inconsistent WAV fmt: channels={n_ch}, block_align={block_align}")
+    n_frames = len(data) // block_align  # trailing partial frame dropped
+    samples = np.frombuffer(
+        data, dtype="<i2", count=n_frames * n_ch
+    ).reshape(n_frames, n_ch)
+    return samples, rate
+
+
+def make_wav(
+    sample_rate: int,
+    n_channels: int,
+    pcm16_bytes: bytes,
+    junk_chunk: bool = False,
+) -> bytes:
+    """Assemble a real RIFF/WAVE PCM16 payload — the fixture generator
+    for the audio decode path. ``junk_chunk`` inserts an odd-sized LIST
+    chunk between fmt and data to exercise the decoder's
+    skip-unknown-chunks + word-alignment walk."""
+    import struct
+
+    if len(pcm16_bytes) % (2 * n_channels) != 0:
+        raise ValueError(
+            f"pcm bytes ({len(pcm16_bytes)}) must be a multiple of the "
+            f"{2 * n_channels}-byte frame"
+        )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # integer PCM
+        n_channels,
+        sample_rate,
+        sample_rate * 2 * n_channels,  # byte rate
+        2 * n_channels,  # block align
+        16,
+    )
+    body = chunk(b"fmt ", fmt)
+    if junk_chunk:
+        body += chunk(b"LIST", b"INFOjunk!")  # 9 bytes: odd, forces the pad
+    body += chunk(b"data", pcm16_bytes)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def fake_decode_meta(payload: bytes) -> tuple[int, int, str]:
     """Deterministic stand-in for decode: derive (width, height, format)
     from the payload bytes."""

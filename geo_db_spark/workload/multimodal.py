@@ -332,6 +332,177 @@ FROM b
 """
 
 
+def mm_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio end-to-end (r7): each document's text bytes become a REAL
+    stereo 16-bit PCM RIFF/WAVE payload — char at byte i maps to sample
+    ``(ascii - 96) * 257`` (int16-safe for 7-bit ASCII), even bytes =
+    left channel, odd = right, 8000 Hz — assembled by ``make_wav``
+    (every even doc_id also gets an odd-sized junk LIST chunk so the
+    chunk-walk + word-alignment path runs on real data) and decoded
+    back by the pure-stdlib RIFF walker, all in one Arrow-batched
+    mapInPandas pass. Emits frame/rate/channel metadata plus exact
+    int64 per-channel sums and total energy, which DuckDB reproduces
+    straight from the text (byte==char guard as in the image paths)."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_audio, make_wav
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("sum_left", T.LongType()),
+            T.StructField("sum_right", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant (ADVICE r6)
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char sample/oracle arithmetic"
+                    )
+                samples = (
+                    np.frombuffer(raw, np.uint8).astype(np.int16) - 96
+                ) * 257
+                n_frames = len(samples) // 2
+                pcm = samples[: 2 * n_frames].astype("<i2").tobytes()
+                wav = make_wav(8000, 2, pcm, junk_chunk=(int(doc_id) % 2 == 0))
+                arr, rate = decode_audio(wav)
+                a = arr.astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        arr.shape[0],
+                        rate,
+                        arr.shape[1],
+                        int(a[:, 0].sum()),
+                        int(a[:, 1].sum()),
+                        int((a * a).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "sample_rate", "n_channels",
+                    "sum_left", "sum_right", "energy",
+                ],
+            )
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+# decode(encode(samples)) must be the identity, so the oracle maps text
+# chars straight to samples: left = odd 1-based positions, right = even
+ORACLE_MM_AUDIO_DECODE = """
+WITH b AS (
+  SELECT doc_id, text, length(text) // 2 AS nf FROM documents
+)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(2 AS INT) AS n_channels,
+       COALESCE(CAST(list_sum(list_transform(range(nf),
+           j -> (ascii(substr(text, CAST(2*j + 1 AS INT), 1)) - 96) * 257)) AS BIGINT), 0) AS sum_left,
+       COALESCE(CAST(list_sum(list_transform(range(nf),
+           j -> (ascii(substr(text, CAST(2*j + 2 AS INT), 1)) - 96) * 257)) AS BIGINT), 0) AS sum_right,
+       COALESCE(CAST(list_sum(list_transform(range(2 * nf),
+           i -> CAST((ascii(substr(text, CAST(i + 1 AS INT), 1)) - 96) * 257 AS BIGINT)
+                * ((ascii(substr(text, CAST(i + 1 AS INT), 1)) - 96) * 257))) AS BIGINT), 0) AS energy
+FROM b
+"""
+
+
+def mm_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimation on REAL samples: decode the WAV, keep every 4th frame
+    (``arr[::4]`` — 8000 Hz -> 2000 Hz), emit the kept-frame count and
+    exact per-channel sums. The oracle rebuilds the kept frames from the
+    text with the same stride arithmetic (source frame 4j = text bytes
+    8j+1 / 8j+2)."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_audio, make_wav
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames_out", T.LongType()),
+            T.StructField("rate_out", T.IntegerType()),
+            T.StructField("sum_left", T.LongType()),
+            T.StructField("sum_right", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char sample/oracle arithmetic"
+                    )
+                samples = (
+                    np.frombuffer(raw, np.uint8).astype(np.int16) - 96
+                ) * 257
+                n_frames = len(samples) // 2
+                pcm = samples[: 2 * n_frames].astype("<i2").tobytes()
+                arr, rate = decode_audio(make_wav(8000, 2, pcm))
+                kept = arr[::4].astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        kept.shape[0],
+                        rate // 4,
+                        int(kept[:, 0].sum()),
+                        int(kept[:, 1].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames_out", "rate_out", "sum_left", "sum_right"],
+            )
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+ORACLE_MM_AUDIO_DOWNSAMPLE = """
+WITH b AS (
+  SELECT doc_id, text, length(text) // 2 AS nf FROM documents
+)
+SELECT doc_id,
+       CAST((nf + 3) // 4 AS BIGINT) AS n_frames_out,
+       CAST(2000 AS INT) AS rate_out,
+       COALESCE(CAST(list_sum(list_transform(range((nf + 3) // 4),
+           j -> (ascii(substr(text, CAST(8*j + 1 AS INT), 1)) - 96) * 257)) AS BIGINT), 0) AS sum_left,
+       COALESCE(CAST(list_sum(list_transform(range((nf + 3) // 4),
+           j -> (ascii(substr(text, CAST(8*j + 2 AS INT), 1)) - 96) * 257)) AS BIGINT), 0) AS sum_right
+FROM b
+"""
+
+
 QUERIES = {
     "mm_downsample": mm_downsample,
     "mm_media_meta": mm_media_meta,
@@ -340,6 +511,8 @@ QUERIES = {
     "mm_image_decode": mm_image_decode,
     "mm_image_decode_png": mm_image_decode_png,
     "mm_image_downsample": mm_image_downsample,
+    "mm_audio_decode_wav": mm_audio_decode_wav,
+    "mm_audio_downsample": mm_audio_downsample,
 }
 
 ORACLE_MM_FEATURES = """
@@ -374,4 +547,6 @@ ORACLES = {
     "mm_image_decode": ORACLE_MM_IMAGE_DECODE,
     "mm_image_decode_png": ORACLE_MM_IMAGE_DECODE_PNG,
     "mm_image_downsample": ORACLE_MM_IMAGE_DOWNSAMPLE,
+    "mm_audio_decode_wav": ORACLE_MM_AUDIO_DECODE,
+    "mm_audio_downsample": ORACLE_MM_AUDIO_DOWNSAMPLE,
 }

@@ -284,3 +284,72 @@ def test_decode_png_roundtrip_fuzz():
         assert (got == want).all(), (w, h, color_type, filters)
 
     roundtrip()
+
+
+def test_decode_wav_golden_and_refusals():
+    """RIFF/WAVE PCM16 decode: golden stereo roundtrip (with the
+    odd-sized junk LIST chunk forcing the word-aligned chunk walk),
+    trailing-partial-frame drop, and the honest codec boundaries
+    (non-PCM format tag, 8-bit samples, missing chunks, non-RIFF)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from geo_db_spark.operators.multimodal import _decode_wav, decode_audio, make_wav
+
+    src = np.array([[100, -200], [3000, -32768], [32767, 0]], dtype="<i2")
+    wav = make_wav(44100, 2, src.tobytes(), junk_chunk=True)
+    arr, rate = decode_audio(wav)
+    assert rate == 44100 and arr.shape == (3, 2)
+    assert (arr == src).all()
+
+    # trailing partial frame (1 stray byte) is dropped, not an error
+    arr2, _ = _decode_wav(make_wav(8000, 1, b"\x01\x00\x02\x00") [:-1] 
+                          .replace(b"data\x04", b"data\x03", 1))
+    assert arr2.shape == (1, 1)
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03" + b"\x00" * 64)  # MP3
+    # float PCM (format tag 3) refused
+    f32 = make_wav(8000, 1, b"\x00\x00\x00\x00")
+    f32 = f32.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1)
+    with pytest.raises(NotImplementedError):
+        _decode_wav(f32)
+    with pytest.raises(ValueError):
+        _decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_decode_wav_roundtrip_fuzz():
+    """Randomized encode->decode roundtrips: channel counts 1-4, odd and
+    even junk-chunk placement, sample values over the full int16 range —
+    decode must reproduce the input exactly (the PNG fuzz analog)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geo_db_spark.operators.multimodal import decode_audio, make_wav
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n_ch=st.integers(1, 4),
+        n_frames=st.integers(0, 17),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        junk=st.booleans(),
+        data=st.data(),
+    )
+    def roundtrip(n_ch, n_frames, rate, junk, data):
+        vals = data.draw(
+            st.lists(
+                st.integers(-32768, 32767),
+                min_size=n_frames * n_ch,
+                max_size=n_frames * n_ch,
+            ),
+            label="samples",
+        )
+        src = np.array(vals, dtype="<i2").reshape(n_frames, n_ch)
+        arr, got_rate = decode_audio(make_wav(rate, n_ch, src.tobytes(), junk_chunk=junk))
+        assert got_rate == rate and arr.shape == (n_frames, n_ch)
+        assert (arr == src).all()
+
+    roundtrip()
