@@ -487,8 +487,113 @@ QUALIFY row_number() OVER (
 """
 
 
+LM_TOP_B = 4096  # bigram LM table cap: keeps the model broadcastable
+
+
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM scoring — the perplexity-filtering shape
+    (CCNet / Wenzek et al. 2020) with the LM trained on the corpus
+    itself. The model is the top-4096 bigrams by corpus frequency with
+    their scaled conditional probabilities round(1e6·c(w1 w2)/c(w1));
+    each document then gets exact-integer sufficient statistics:
+    bigram count, in-model hits, summed scaled conditionals, and a
+    scaled coverage ratio. (All outputs are rationals of exact integers
+    — one IEEE division + half-away-from-zero round, identical across
+    engines — because ln() is not cross-libm reproducible; a float
+    log-perplexity is a monotone driver-side map of lm_score_u.)
+
+    Scale shape: one explode feeds both count aggregates (map-side
+    combine); the LM table is capped at 4096 rows by a total order
+    (c2 DESC, ngram) so the per-document scoring join is a BROADCAST
+    hash join — the 100 TB plan is two shuffles over skinny (ngram)
+    rows plus a broadcast probe, never a vocab-sized shuffle join."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    pat = r"(?<= |^)(?=(\S+ \S+))"  # overlapping bigrams (see top_ngrams)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    grams = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("ngram")
+    )
+    toks = docs.select(F.explode(F.split(norm, " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    ug = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    bg = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("c2"))
+    lm = (
+        bg.join(ug, F.split(F.col("ngram"), " ")[0] == F.col("term"))
+        .orderBy(F.col("c2").desc(), F.col("ngram"))
+        .limit(LM_TOP_B)
+        .select(
+            "ngram",
+            F.round(F.lit(1000000.0) * F.col("c2") / F.col("c1"))
+            .cast("long")
+            .alias("cond_u"),
+        )
+    )
+    per_doc = (
+        grams.join(F.broadcast(lm), "ngram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("cond_u").alias("n_hits"),
+            F.coalesce(F.sum("cond_u"), F.lit(0)).alias("lm_score_u"),
+        )
+    )
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    nh = F.coalesce(F.col("n_hits"), F.lit(0))
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        nb.cast("long").alias("n_bigrams"),
+        nh.cast("long").alias("n_hits"),
+        F.coalesce(F.col("lm_score_u"), F.lit(0)).cast("long").alias("lm_score_u"),
+        F.when(nb > 0, F.round(F.lit(1000000.0) * nh / nb))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("coverage_u"),
+    )
+
+
+ORACLE_BIGRAM_LM = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_filter(list_transform(list_zip(t, t[2:]),
+      p -> CASE WHEN p[2] IS NULL THEN NULL ELSE p[1]||' '||p[2] END),
+      x -> x IS NOT NULL)) AS ngram
+  FROM toks
+),
+ug AS (
+  SELECT term, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS term FROM toks)
+  WHERE term <> '' GROUP BY term
+),
+bg AS (SELECT ngram, COUNT(*) AS c2 FROM grams GROUP BY ngram),
+lm AS (
+  SELECT ngram, CAST(ROUND(1000000.0 * c2 / c1) AS BIGINT) AS cond_u
+  FROM bg JOIN ug ON split_part(ngram, ' ', 1) = term
+  ORDER BY c2 DESC, ngram LIMIT 4096
+),
+per_doc AS (
+  SELECT g.doc_id, COUNT(*) AS n_bigrams, COUNT(lm.cond_u) AS n_hits,
+         COALESCE(SUM(lm.cond_u), 0) AS lm_score_u
+  FROM grams g LEFT JOIN lm ON g.ngram = lm.ngram
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(lm_score_u, 0) AS BIGINT) AS lm_score_u,
+       CAST(CASE WHEN COALESCE(n_bigrams, 0) > 0
+            THEN ROUND(1000000.0 * n_hits / n_bigrams) ELSE 0 END AS BIGINT) AS coverage_u
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
 QUERIES = {
     "text_sample_deterministic": text_sample_deterministic,
+    "text_bigram_lm_score": text_bigram_lm_score,
     "text_language_balance": text_language_balance,
     "text_chunk_dups": text_chunk_dups,
     "text_contamination_check": text_contamination_check,
@@ -504,6 +609,7 @@ QUERIES = {
 
 ORACLES = {
     "text_sample_deterministic": ORACLE_SAMPLE,
+    "text_bigram_lm_score": ORACLE_BIGRAM_LM,
     "text_language_balance": ORACLE_LANG_BALANCE,
     "text_chunk_dups": ORACLE_CHUNK_DUPS,
     "text_contamination_check": ORACLE_CONTAMINATION,

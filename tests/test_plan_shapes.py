@@ -215,3 +215,12 @@ def test_simjoin_prefix_join_is_smj_with_index_side_filter(spark):
     assert re.search(r"pos0#\d+ \+ 1\) as bigint\) <= \(\(n#\d+L? -", plan), (
         "index-side prefix filter missing"
     )
+
+
+def test_bigram_lm_scoring_join_broadcasts(spark, qs):
+    """The r7 bigram-LM scorer: the capped 4096-row model must probe as
+    a broadcast hash join (never a vocab-sized shuffle join), and the
+    whole path stays JVM-side (no Python evals)."""
+    plan = _plan(qs["text_bigram_lm_score"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan
