@@ -1041,3 +1041,83 @@ QUALIFY rank <= 3
 
 QUERIES["ann_lsh_multitable_topk"] = ann_lsh_multitable_topk
 ORACLES["ann_lsh_multitable_topk"] = ORACLE_ANN_LSH_MT
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN (r7): candidates scored on SQ codes
+    only (the 4x-compressed representation a 100 TB scan would keep in
+    memory), top-20 per query rescored with the exact quantized cosine
+    — FAISS's SQ+rescore pattern as pure DataFrame ops. The oracle
+    replicates the full two-stage pipeline (quantizer training included)
+    so a clamp/scale bug anywhere flips the value hash."""
+    tune(spark)
+    from geo_db_spark.operators.similarity import cosine_topk_sq8
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_sq8(emb, queries, k=5, rescore_m=20)
+
+
+ORACLE_ANN_SQ8 = f"""
+WITH dims AS (SELECT CAST(unnest(range(64)) AS INT) AS d),
+per_dim AS (
+  SELECT d, MIN(CAST(embedding[d+1] AS DOUBLE)) AS lo,
+         MAX(CAST(embedding[d+1] AS DOUBLE)) AS hi
+  FROM embeddings, dims GROUP BY d
+),
+b AS (
+  SELECT list(lo ORDER BY d) AS lows,
+         list(CASE WHEN hi > lo THEN 255.0 / (hi - lo) ELSE 0.0 END ORDER BY d) AS scales
+  FROM per_dim
+),
+coded AS (
+  SELECT vec_id,
+         list_transform(range(64), i -> LEAST(255, GREATEST(0,
+             CAST(floor((CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)
+                         - lows[CAST(i+1 AS INT)]) * scales[CAST(i+1 AS INT)]) AS BIGINT)))) AS codes
+  FROM embeddings, b
+),
+recon AS (
+  -- dequantize (lo + code/scale), re-quantize to exact ints so the
+  -- candidate cosine is association-free across engines
+  SELECT vec_id,
+         list_transform(range(64), i -> CAST(floor((
+             CASE WHEN scales[CAST(i+1 AS INT)] > 0
+                  THEN CAST(codes[CAST(i+1 AS INT)] AS DOUBLE) / scales[CAST(i+1 AS INT)]
+                  ELSE 0.0 END
+             + lows[CAST(i+1 AS INT)]) * 1048576) AS BIGINT)) AS rq
+  FROM coded, b
+),
+rn AS (
+  SELECT vec_id, rq,
+         CAST(list_sum(list_transform(rq, x -> x * x)) AS BIGINT) AS rn
+  FROM recon
+),
+adc AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(list_sum(list_transform(list_zip(q.rq, c.rq), p -> p[1] * p[2])) AS DOUBLE)
+           / (sqrt(CAST(q.rn AS DOUBLE)) * sqrt(CAST(c.rn AS DOUBLE))) AS adc
+  FROM rn q JOIN rn c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+cand AS (
+  SELECT q_id, c_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id) <= 20
+),
+qe AS (SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings),
+normed AS (
+  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n FROM qe
+)
+SELECT cand.q_id, cand.c_id AS neighbor_id,
+       CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY cand.q_id
+           ORDER BY CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) DESC,
+                    cand.c_id) AS INT) AS rank
+FROM cand
+JOIN normed a ON a.vec_id = cand.q_id
+JOIN normed b ON b.vec_id = cand.c_id
+QUALIFY rank <= 5
+"""
+
+QUERIES["ann_sq8_topk"] = ann_sq8_topk
+ORACLES["ann_sq8_topk"] = ORACLE_ANN_SQ8

@@ -260,3 +260,15 @@ def test_semdedup_recovery_pass_finds_cross_chunk_pairs(spark):
     cool = spark.createDataFrame(rows[:4], "cell long, vec_id long, embedding array<float>")
     same = {(r.id_a, r.id_b) for r in semdedup_pairs_with_recovery(cool, max_cell=10).collect()}
     assert same == {(r.id_a, r.id_b) for r in semdedup_cell_pairs(cool, max_cell=10).collect()}
+
+
+def test_sq8_recall_near_exact(spark):
+    """r7 SQ8+rescore: the int8-code prefilter keeps 20 candidates for a
+    k=5 cut, and exact rescoring means any true neighbor that survives
+    the prefilter lands in its true rank — recall should be near-exact,
+    far above every bucketed path's floor."""
+    from geo_db_spark.workload.similarity import ann_cosine_topk, ann_sq8_topk
+
+    exact = _topk_sets(ann_cosine_topk(spark, SF))
+    rec = _recall(_topk_sets(ann_sq8_topk(spark, SF)), exact)
+    assert rec >= 0.9, f"sq8 recall {rec}"
