@@ -127,6 +127,48 @@ def ordered_group_concat(
     return agg.select(*keys, F.array_join(vals, sep).alias(out_col))
 
 
+def salted_ordered_concat(
+    df: DataFrame,
+    group_by: str | Sequence[str],
+    value: str,
+    order_by: Sequence[str],
+    sep: str = " / ",
+    out_col: str = "concat",
+    distinct: bool = True,
+    n_salts: int = 8,
+) -> DataFrame:
+    """`ordered_group_concat` for SKEWED keys: the two-phase salted
+    aggregation shape for aggregates with NO map-side partial form.
+
+    count/sum/min salting is pointless in Spark (partial aggregation
+    already combines map-side), but collect_list has no partial: every
+    row of a hot key lands on ONE reducer. Salting fixes the row flood:
+    phase 1 groups by (key, salt=hash(order cols) % n) so a hot key's
+    rows spread over n reducers, each building a sorted chunk; phase 2
+    merges at most n CHUNK ROWS per key (flatten + one array sort).
+    The bytes still meet at one reducer — unavoidable for a concat —
+    but as ≤n pre-built arrays, not millions of rows through a
+    sort-based aggregate.
+
+    Result is IDENTICAL to ordered_group_concat (the oracle-gated
+    query asserts it): sorting the flattened struct array reproduces
+    the global order, and array_distinct keeps first occurrence."""
+    keys = _keys(group_by)
+    order_cols = [F.col(c) for c in order_by]
+    salt = F.pmod(F.xxhash64(*order_cols, F.col(value)), F.lit(n_salts))
+    packed = F.struct(*order_cols, F.col(value).alias("__v"))
+    chunks = df.groupBy(*keys, salt.alias("__salt")).agg(
+        F.sort_array(F.collect_list(packed)).alias("__chunk")
+    )
+    merged = chunks.groupBy(*keys).agg(
+        F.sort_array(F.flatten(F.collect_list("__chunk"))).alias("__arr")
+    )
+    vals = F.transform(F.col("__arr"), lambda s: s["__v"])
+    if distinct:
+        vals = F.array_distinct(vals)
+    return merged.select(*keys, F.array_join(vals, sep).alias(out_col))
+
+
 def prioritized_pick(
     df: DataFrame,
     partition_by: str | Sequence[str],

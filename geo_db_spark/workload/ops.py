@@ -110,6 +110,29 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
 
+def d5_salted_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME ordered group-concat as d5, through the two-phase SALTED
+    aggregation (r7 skew tooling): collect_list has no map-side partial,
+    so a hot nation floods one reducer row-by-row; salting spreads each
+    key over 8 sorted chunks merged in a second ~n_salts-row-per-key
+    aggregate. Oracle = d5's — salting must not change one byte of
+    output."""
+    tune(spark)
+    from geo_db_spark.operators.relational import salted_ordered_concat
+
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    enriched = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return salted_ordered_concat(
+        enriched,
+        "n_name",
+        value="c_name",
+        order_by=["c_name"],
+        sep=" / ",
+        out_col="names",
+        n_salts=8,
+    )
+
 
 def d8_preferred_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per order pick one lineitem, preferring returned ('R') lines —
@@ -973,6 +996,7 @@ QUERIES = {
     "d2_argmin_order_per_customer": d2_argmin_order_per_customer,
     "d4_top2_orders_per_customer": d4_top2_orders_per_customer,
     "d5_customer_names_per_nation": d5_customer_names_per_nation,
+    "d5_salted_group_concat": d5_salted_group_concat,
     "d8_preferred_lineitem": d8_preferred_lineitem,
     "d9_customer_nation_name": d9_customer_nation_name,
     "d10_dedup_order_part": d10_dedup_order_part,
@@ -1013,6 +1037,7 @@ ORACLES = {
     "d2_argmin_order_per_customer": ORACLE_D2,
     "d4_top2_orders_per_customer": ORACLE_D4,
     "d5_customer_names_per_nation": ORACLE_D5,
+    "d5_salted_group_concat": ORACLE_D5,
     "d8_preferred_lineitem": ORACLE_D8,
     "d9_customer_nation_name": ORACLE_D9,
     "d10_dedup_order_part": ORACLE_D10,

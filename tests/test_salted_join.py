@@ -49,3 +49,50 @@ def test_salted_join_rejects_right_outer(spark):
     dim = spark.createDataFrame([(10, "a"), (99, "b")], ["k", "v"])
     with pytest.raises(ValueError, match="duplicate"):
         salted_join(big, dim, "k", how="right")
+
+
+def test_salted_ordered_concat_matches_unsalted_on_skew(spark):
+    """r7 salted two-phase group-concat: on a synthetic hot key (90% of
+    rows in one group, spread over many partitions) the salted plan must
+    produce byte-identical output to the unsalted ordered concat, with
+    duplicates collapsed the same way."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.relational import (
+        ordered_group_concat,
+        salted_ordered_concat,
+    )
+
+    df = (
+        spark.range(0, 20000, 1, 16)
+        .select(
+            F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("k") + (F.col("id") % 7).cast("string")).alias("k"),
+            # duplicate values on purpose: distinct must collapse them
+            F.concat(F.lit("v"), (F.col("id") % 500).cast("string")).alias("v"),
+        )
+    )
+    plain = {
+        r.k: r.concat
+        for r in ordered_group_concat(df, "k", value="v", order_by=["v"]).collect()
+    }
+    salted = {
+        r.k: r.concat
+        for r in salted_ordered_concat(df, "k", value="v", order_by=["v"], n_salts=8).collect()
+    }
+    assert plain == salted
+    assert len(plain["hot"].split(" / ")) == 450  # distinct collapsed (ids =9 mod 10 excluded)
+
+
+def test_salted_ordered_concat_two_exchange_plan(spark):
+    """Plan shape: exactly two hash exchanges — (key, salt) then key —
+    and no single-partition stage."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.relational import salted_ordered_concat
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("k"), F.col("id").cast("string").alias("v")
+    )
+    plan = salted_ordered_concat(df, "k", value="v", order_by=["v"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SinglePartition" not in plan
