@@ -660,3 +660,73 @@ def test_click_impression_join_drops_late_and_keeps_dups(spark, tmp_path):
     assert (6, 7) in rows2  # restarted join matches on-time rows
     assert not any(i == 5 for _, i in rows2)  # the late view joined nothing
     assert rows2 == {(1, 3), (2, 3), (6, 7)}
+
+
+def test_click_impression_outer_join_emits_unmatched(spark, tmp_path):
+    """r7 LEFT OUTER interval join: unmatched clicks surface as
+    null-extended rows — but only once the watermark proves them final.
+    Matched clicks behave exactly as the inner join (multiplicity
+    preserved); view-side rows never appear on their own."""
+    from datetime import datetime
+
+    from geo_db_spark.streaming import click_impression_stream_join, read_events_stream
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda m: datetime(2024, 1, 1, 12, m)
+
+    def run():
+        q = (
+            click_impression_stream_join(
+                read_events_stream(spark, src, encoding="micros"),
+                read_events_stream(spark, src, encoding="micros"),
+                how="left_outer",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # user 1: click with an in-window view (matched). user 2: click with
+    # its only view OUTSIDE the window (must emit the null row). user 3:
+    # lone view (left outer: must NOT appear). Frontier events at 15:00
+    # on both sides push the global watermark far past every eviction
+    # time (12:40) so the unmatched click is provably final.
+    _write_events(
+        spark,
+        [
+            (1, t(0), 1, "click", 1.0, "{}"),
+            (2, t(5), 1, "view", 2.0, "{}"),
+            (3, t(0), 2, "click", 1.0, "{}"),
+            (4, t(20), 2, "view", 3.0, "{}"),  # outside ±10 min
+            (5, t(5), 3, "view", 4.0, "{}"),  # lone view
+            (8, datetime(2024, 1, 1, 15, 0), 99, "click", 0.0, "{}"),
+            (9, datetime(2024, 1, 1, 15, 0), 98, "view", 0.0, "{}"),
+        ],
+        src,
+    )
+    run()
+    rows = {(r.c_event_id, r.i_event_id) for r in spark.read.parquet(out).collect()}
+    # click 1 matched view 2; click 3 emitted exactly one null row; the
+    # frontier click 8 is NOT yet provably unmatched (wm 14:30 < 15:40)
+    assert rows == {(1, 2), (3, None)}
+
+    # restart: frontier events at 18:00 advance the watermark past click
+    # 8's eviction time -> its null row drains on the SECOND run, after
+    # the checkpoint restore (outer-state recovery across restarts).
+    _write_events(
+        spark,
+        [
+            (10, datetime(2024, 1, 1, 18, 0), 97, "click", 0.0, "{}"),
+            (11, datetime(2024, 1, 1, 18, 0), 96, "view", 0.0, "{}"),
+        ],
+        src,
+    )
+    run()
+    rows2 = {(r.c_event_id, r.i_event_id) for r in spark.read.parquet(out).collect()}
+    assert rows2 == {(1, 2), (3, None), (8, None)}
