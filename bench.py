@@ -88,6 +88,10 @@ TIER2 = [
     # r7 additions
     "geo_knn_scaled_customer_supplier",
     "emb_semdedup_survivors_recovered",
+    "mm_audio_decode_wav",
+    "text_bigram_lm_score",
+    "ann_sq8_topk",
+    "d5_salted_group_concat",
 ]
 
 
