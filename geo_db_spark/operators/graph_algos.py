@@ -169,3 +169,48 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     return closed.agg(
         F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_triangles")
     )
+
+
+def sssp_bellman_ford(
+    edges: DataFrame,
+    source: int,
+    src_col: str = "a",
+    dst_col: str = "b",
+    weight_col: str = "w",
+    rounds: int = 6,
+) -> DataFrame:
+    """Single-source shortest paths by ``rounds`` synchronous
+    Bellman-Ford relaxations over an UNDIRECTED weighted graph
+    (edges are symmetrized here). Returns (node, dist) for every node
+    reached within ``rounds`` hops; with rounds >= graph diameter this
+    is the exact shortest-path distance. Fixed round count (not
+    convergence-tested) keeps the plan static and the oracle
+    expressible as K chained CTEs — pagerank_fixedpoint's convention.
+
+    Scale shape: each round is one join of the frontier-bearing dist
+    table with the edge list (both partitioned by node key) plus one
+    min-aggregate — the textbook iterative-join SSSP; dist is
+    localCheckpoint'ed per round so lineage stays O(1) (the
+    components.py/spatial.py rule). Integer weights and min() make
+    every round's result exact and order-independent."""
+    sym = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v"), F.col(weight_col).alias("w")
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("u"), F.col(src_col).alias("v"), F.col(weight_col).alias("w")
+        )
+    ).localCheckpoint(eager=True)
+    dist = sym.sparkSession.createDataFrame(
+        [(int(source), 0)], "node long, dist long"
+    )
+    for _ in range(rounds):
+        relaxed = dist.join(sym, dist["node"] == sym["u"]).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -190,3 +190,65 @@ ORACLES = {
     "d3_closure_doubling": ORACLE_D3_LOOP,
     "d4_deepest_qualifying_ancestor": ORACLE_D4A,
 }
+
+
+def g20_sssp_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (r7): 6 Bellman-Ford
+    relaxation rounds over the part co-occurrence graph (g15's edge
+    derivation) with deterministic integer weights w = 1 + (a+b) % 5,
+    from the graph's minimum node id. New semantics for the family:
+    distance RELAXATION over a cyclic weighted graph, vs the closure
+    loops' hop counting on a DAG. Oracle = 6 chained relaxation CTEs
+    (pagerank's fixed-round convention)."""
+    tune(spark)
+    from geo_db_spark.operators.graph_algos import sssp_bellman_ford
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.withColumnsRenamed({"l_partkey": "pk2"})
+    pairs = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pk2"))
+        .select(F.col("l_partkey").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+        .withColumn("w", F.lit(1) + (F.col("a") + F.col("b")) % 5)
+    )
+    source = pairs.agg(F.min("a")).collect()[0][0]  # bounded driver scalar
+    out = sssp_bellman_ford(pairs, source, rounds=6)
+    return out.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+def _sssp_oracle(rounds: int = 6) -> str:
+    base = """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+wedges AS (
+  SELECT a, b, 1 + (a + b) % 5 AS w FROM pairs
+),
+sym AS (
+  SELECT a AS u, b AS v, w FROM wedges
+  UNION ALL
+  SELECT b AS u, a AS v, w FROM wedges
+),
+d0 AS (SELECT MIN(a) AS node, CAST(0 AS BIGINT) AS dist FROM pairs)"""
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        base += f""",
+d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT sym.v AS node, {prev}.dist + sym.w AS dist
+    FROM {prev} JOIN sym ON sym.u = {prev}.node
+  ) GROUP BY node
+)"""
+        prev = f"d{i}"
+    return base + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}
+"""
+
+
+QUERIES["g20_sssp_part_graph"] = g20_sssp_part_graph
+ORACLES["g20_sssp_part_graph"] = _sssp_oracle()

@@ -1121,3 +1121,167 @@ QUALIFY rank <= 5
 
 QUERIES["ann_sq8_topk"] = ann_sq8_topk
 ORACLES["ann_sq8_topk"] = ORACLE_ANN_SQ8
+
+
+def ann_mrl_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension search (r7; Kusupati et al.
+    2022, public): candidates ranked by cosine over only the FIRST 32 of
+    64 dims — the scan representation is a 2x-truncated vector, the
+    memory/compute story of MRL retrieval — then the top-30 per query
+    rescored with the exact full-dimension quantized cosine. (16 dims
+    measured recall 0.38 on this corpus — random synthetic embeddings
+    give the prefix only sqrt(16/64) rank correlation; real MRL-trained
+    embeddings front-load information, synthetic ones do not, so the
+    query uses the 32-dim point of that tradeoff.) Same
+    two-stage shape as ann_sq8_topk with truncation instead of
+    quantization as the compressor; at 100 TB the two compose (SQ8 codes
+    of the prefix dims)."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    from geo_db_spark.operators.similarity import (
+        cosine_from_quantized,
+        int_dot,
+        with_quantized,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    full = with_quantized(emb).select(
+        F.col("vec_id"),
+        F.col("q"),
+        F.col("qnorm"),
+        F.slice(F.col("q"), 1, 32).alias("p"),
+        int_dot(F.slice(F.col("q"), 1, 32), F.slice(F.col("q"), 1, 32)).alias("pn"),
+    )
+    c = full.select(
+        F.col("vec_id").alias("c_id"), F.col("q").alias("c_q"),
+        F.col("qnorm").alias("c_n"), F.col("p").alias("c_p"), F.col("pn").alias("c_pn"),
+    )
+    qs = full.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("q_q"),
+        F.col("qnorm").alias("q_n"), F.col("p").alias("q_p"), F.col("pn").alias("q_pn"),
+    )
+    pre = c.join(F.broadcast(qs), F.col("c_id") != F.col("q_id")).select(
+        "q_id", "c_id", "c_q", "c_n", "q_q", "q_n",
+        cosine_from_quantized(
+            int_dot(F.col("c_p"), F.col("q_p")), F.col("q_pn"), F.col("c_pn")
+        ).alias("pre_cos"),
+    )
+    w_cand = Window.partitionBy("q_id").orderBy(F.col("pre_cos").desc(), F.col("c_id"))
+    cand = pre.withColumn("__r", F.row_number().over(w_cand)).filter(F.col("__r") <= 30)
+    rescored = cand.select(
+        "q_id",
+        F.col("c_id").alias("neighbor_id"),
+        cosine_from_quantized(
+            int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_ANN_MRL = f"""
+WITH qe AS (
+  SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n,
+         q[1:32] AS p,
+         CAST(list_sum(list_transform(q[1:32], x -> x * x)) AS BIGINT) AS pn
+  FROM qe
+),
+pre AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         CAST(list_sum(list_transform(list_zip(a.p, b.p), x -> x[1] * x[2])) AS DOUBLE)
+           / (sqrt(CAST(a.pn AS DOUBLE)) * sqrt(CAST(b.pn AS DOUBLE))) AS pre_cos
+  FROM normed a JOIN normed b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+),
+cand AS (
+  SELECT q_id, c_id FROM pre
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY pre_cos DESC, c_id) <= 30
+)
+SELECT cand.q_id, cand.c_id AS neighbor_id,
+       CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY cand.q_id
+           ORDER BY CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) DESC,
+                    cand.c_id) AS INT) AS rank
+FROM cand
+JOIN normed a ON a.vec_id = cand.q_id
+JOIN normed b ON b.vec_id = cand.c_id
+QUALIFY rank <= 5
+"""
+
+QUERIES["ann_mrl_prefix_topk"] = ann_mrl_prefix_topk
+ORACLES["ann_mrl_prefix_topk"] = ORACLE_ANN_MRL
+
+
+def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (r7; the DPR /
+    SimCSE data-prep step, public): for each anchor, the top-5 most
+    similar vectors that are NOT near-duplicates — candidates with
+    cosine >= SEMDEDUP_TAU are positives/duplicates and excluded, and
+    the highest-cosine survivors are the hard negatives a contrastive
+    batch wants. One brute-force scored pass shared with ann_cosine_topk
+    (broadcast anchors, corpus scanned once); the band filter and
+    ranking ride the same scored rows, so mining costs nothing beyond
+    the scan at 100 TB."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    from geo_db_spark.operators.similarity import (
+        cosine_from_quantized,
+        int_dot,
+        with_quantized,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    c = with_quantized(emb).select(
+        F.col("vec_id").alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
+    )
+    qs = with_quantized(emb.filter(F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("q_q"), F.col("qnorm").alias("q_n")
+    )
+    scored = c.join(F.broadcast(qs), F.col("c_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("c_id").alias("neg_id"),
+        cosine_from_quantized(
+            int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n")
+        ).alias("cosine"),
+    ).filter(F.col("cosine") < F.lit(SEMDEDUP_TAU))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "neg_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+ORACLE_HARD_NEG = f"""
+WITH qe AS (
+  SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings
+),
+normed AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n
+  FROM qe
+),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS neg_id,
+         CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine
+  FROM normed a JOIN normed b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+)
+SELECT q_id, neg_id, cosine,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neg_id) AS INT) AS rank
+FROM scored
+WHERE cosine < {SEMDEDUP_TAU}
+QUALIFY rank <= 5
+"""
+
+QUERIES["emb_hard_negative_mining"] = emb_hard_negative_mining
+ORACLES["emb_hard_negative_mining"] = ORACLE_HARD_NEG

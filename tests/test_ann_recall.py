@@ -272,3 +272,15 @@ def test_sq8_recall_near_exact(spark):
     exact = _topk_sets(ann_cosine_topk(spark, SF))
     rec = _recall(_topk_sets(ann_sq8_topk(spark, SF)), exact)
     assert rec >= 0.9, f"sq8 recall {rec}"
+
+
+def test_mrl_prefix_recall_beats_floor(spark):
+    """r7 MRL truncated search: 16/64 dims keep most of the signal on
+    this corpus; with a 20-candidate rescore the recall floor is well
+    above random (20/N) and the exact rescore puts survivors in true
+    rank order."""
+    from geo_db_spark.workload.similarity import ann_cosine_topk, ann_mrl_prefix_topk
+
+    exact = _topk_sets(ann_cosine_topk(spark, SF))
+    rec = _recall(_topk_sets(ann_mrl_prefix_topk(spark, SF)), exact)
+    assert rec >= 0.6, f"mrl recall {rec}"

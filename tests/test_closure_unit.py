@@ -111,3 +111,17 @@ def test_doubling_closure_equals_loop(spark):
         for r in transitive_closure_doubling(edges, seeds, max_steps=100).collect()
     }
     assert got == want
+
+
+def test_sssp_bellman_ford_prefers_cheap_multihop(spark):
+    """r7 SSSP: a 2-hop path of weight 2 must beat the direct weight-10
+    edge (distance relaxation, not hop counting), and unreachable nodes
+    must not appear."""
+    from geo_db_spark.operators.graph_algos import sssp_bellman_ford
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 2, 1), (2, 4, 1), (5, 6, 1)],
+        "a long, b long, w long",
+    )
+    got = {r.node: r.dist for r in sssp_bellman_ford(edges, 1, rounds=6).collect()}
+    assert got == {1: 0, 3: 1, 2: 2, 4: 3}  # 5,6 unreachable
