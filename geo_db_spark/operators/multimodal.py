@@ -70,10 +70,12 @@ def decode_image(payload: bytes):
         return _decode_bmp(payload)
     if payload[:8] == PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:6] in GIF_MAGICS:
+        return _decode_gif(payload)
     raise NotImplementedError(
-        "only PPM (P6), uncompressed BMP (BI_RGB) and 8-bit PNG decode "
-        "without a codec library; JPEG/WebP need PIL/opencv, not present "
-        "in this environment"
+        "only PPM (P6), uncompressed BMP (BI_RGB), 8-bit PNG and "
+        "non-interlaced GIF decode without a codec library; JPEG/WebP "
+        "need PIL/opencv, not present in this environment"
     )
 
 
@@ -546,3 +548,193 @@ def downsample_payload(media: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(fn, schema=out_schema)
+
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytearray:
+    """GIF-variant LZW decode (Welch 1984 / GIF89a spec appendix):
+    LSB-first variable-width codes starting at min_code_size+1 bits,
+    growing when the table fills 2^width (cap 12 bits), clear code
+    resets the table. Pure Python and inherently sequential — like the
+    PNG Paeth path this is fixture-scale; a real deployment swaps in
+    PIL exactly at the `decode_image` dispatcher boundary."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+
+    while len(out) < expected:
+        if bitpos + code_size > nbits:
+            raise ValueError("LZW stream truncated")
+        code = 0
+        for i in range(code_size):
+            if (data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1:
+                code |= 1 << i
+        bitpos += code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} beyond table {len(table)}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(f"LZW underrun: {len(out)} < {expected} pixels")
+    return out[:expected]
+
+
+def _decode_gif(payload: bytes):
+    """GIF87a/89a: logical screen descriptor, global/local color table,
+    extension-block skip, LZW-compressed non-interlaced image data.
+    Interlaced images raise NotImplementedError (the honest boundary —
+    the four-pass row shuffle is spec-able but absent from fixture
+    corpora); animated GIFs decode their FIRST frame."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    _w, _h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 0x07) + 1)
+                ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code_size, iw * ih)
+            arr = ct[np.frombuffer(bytes(idx), np.uint8)].reshape(ih, iw, 3)
+            return np.ascontiguousarray(arr)
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image data")
+
+
+def make_gif(
+    width: int,
+    height: int,
+    index_bytes: bytes,
+    palette: bytes,
+    comment: bytes | None = None,
+) -> bytes:
+    """Assemble a real GIF89a payload — REAL LZW compression (string
+    table, variable code width, 4096-entry reset via clear code), 256-
+    entry global palette, optional comment extension so decode exercises
+    the extension-skip walk. The fixture encoder for the GIF decode
+    path; `_decode_gif(make_gif(...))` must reproduce the indices
+    exactly (hypothesis-fuzzed)."""
+    import struct
+
+    if len(index_bytes) != width * height:
+        raise ValueError(f"need {width * height} index bytes, got {len(index_bytes)}")
+    if len(palette) != 256 * 3:
+        raise ValueError("palette must be 256 RGB entries")
+
+    mcs = 8  # 256-entry palette -> 8-bit min code size
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    codes: list[tuple[int, int]] = []  # (code, width-at-emit)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = mcs + 1
+    codes.append((clear, code_size))
+    s = b""
+    for ch in index_bytes:
+        s2 = s + bytes([ch])
+        if s2 in table:
+            s = s2
+            continue
+        codes.append((table[s], code_size))
+        table[s2] = next_code
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        next_code += 1
+        if next_code == 4096:  # table full: reset (decoder mirrors)
+            codes.append((clear, code_size))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = mcs + 1
+        s = bytes([ch])
+    if s:
+        codes.append((table[s], code_size))
+    codes.append((end, code_size))
+
+    bits = bytearray()
+    acc = n_acc = 0
+    for code, width_bits in codes:
+        acc |= code << n_acc
+        n_acc += width_bits
+        while n_acc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        bits.append(acc & 0xFF)
+
+    sub = bytearray()
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)  # GCT, 256 entries
+    out += palette
+    if comment is not None:
+        out += b"\x21\xfe" + bytes([len(comment)]) + comment + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out += bytes([mcs]) + sub + b"\x3b"
+    return bytes(out)

@@ -502,6 +502,70 @@ SELECT doc_id,
 FROM b
 """
 
+def mm_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF end-to-end (r7): each document's leading 4·H text bytes
+    become palette indices of a 4-wide GIF — REAL LZW compression
+    (variable code width, table resets) over a 256-entry grayscale
+    palette, plus a comment extension block so the chunk-skip walk runs
+    on every payload — then decoded back by the pure-Python LZW decoder
+    inside one Arrow-batched mapInPandas pass. Grayscale palette means
+    decoded RGB = each index tripled, so DuckDB reproduces the pixel
+    md5 with a regex char-tripling of the text."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_image, make_gif
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_md5", T.StringType()),
+        ]
+    )
+    GIF_W = 4
+    PAL = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant (ADVICE r6)
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char raster/oracle arithmetic"
+                    )
+                h = len(raw) // GIF_W
+                gif = make_gif(GIF_W, h, raw[: h * GIF_W], PAL, comment=b"fixture")
+                arr = decode_image(gif)
+                rows.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     hashlib.md5(arr.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pixel_md5"])
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+# grayscale palette: decoded RGB bytes = each text char tripled
+ORACLE_MM_IMAGE_DECODE_GIF = """
+SELECT doc_id,
+       CAST(4 AS INT) AS width,
+       CAST(length(text) // 4 AS INT) AS height,
+       md5(regexp_replace(substr(text, 1, CAST((length(text) // 4) * 4 AS INT)),
+           '(.)', '\\1\\1\\1', 'g')) AS pixel_md5
+FROM documents
+"""
+
 
 QUERIES = {
     "mm_downsample": mm_downsample,
@@ -513,6 +577,7 @@ QUERIES = {
     "mm_image_downsample": mm_image_downsample,
     "mm_audio_decode_wav": mm_audio_decode_wav,
     "mm_audio_downsample": mm_audio_downsample,
+    "mm_image_decode_gif": mm_image_decode_gif,
 }
 
 ORACLE_MM_FEATURES = """
@@ -549,4 +614,5 @@ ORACLES = {
     "mm_image_downsample": ORACLE_MM_IMAGE_DOWNSAMPLE,
     "mm_audio_decode_wav": ORACLE_MM_AUDIO_DECODE,
     "mm_audio_downsample": ORACLE_MM_AUDIO_DOWNSAMPLE,
+    "mm_image_decode_gif": ORACLE_MM_IMAGE_DECODE_GIF,
 }

