@@ -319,3 +319,68 @@ def cosine_topk_sq8(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def kmeans_fixed_rounds(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd's k-means with a FIXED round count over quantized-integer
+    vectors — the IVF centroid TRAINER (the existing IVF paths use
+    first-K "trained" centroids; this is the real training step, public
+    Lloyd 1982). Returns (assignments, centroids): assignments carry
+    (id, cell, dist) with dist the exact-integer squared L2 in quantized
+    units; centroids is the final (cent_id, c) integer-array table.
+
+    Integer-exactness end to end: distances use ||x||² + ||c||² − 2x·c
+    on int64; the centroid update floor(Σx_d / n) re-quantizes means to
+    ints, so every round's state is exactly representable in BOTH
+    engines and the oracle is `rounds` chained CTE blocks — no float
+    accumulation anywhere. Fixed rounds (not convergence) keep the plan
+    static, pagerank's convention.
+
+    Scale shape per round: one broadcast of K centroid rows against the
+    corpus scan (argmin is a K-way least, here a window over K rows per
+    vector), then one posexplode aggregate for the update — two
+    shuffles of skinny rows, centroid state is O(K·dim)."""
+    qdf = with_quantized(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col("q"), F.col("qnorm")
+    ).localCheckpoint(eager=True)
+    cent = qdf.filter(F.col("id") < k).select(
+        F.col("id").alias("cent_id"), F.col("q").alias("c")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        c = centroids.withColumn("c_n", int_dot(F.col("c"), F.col("c")))
+        scored = qdf.join(F.broadcast(c)).select(
+            "id",
+            "cent_id",
+            (
+                F.col("qnorm") + F.col("c_n")
+                - 2 * int_dot(F.col("q"), F.col("c"))
+            ).alias("dist"),
+        )
+        w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cent_id"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", F.col("cent_id").alias("cell"), "dist")
+        )
+
+    for _ in range(rounds):
+        members = assign(cent).join(qdf, "id")
+        per_dim = members.select("cell", F.posexplode("q").alias("d", "x")).groupBy(
+            "cell", "d"
+        ).agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        cent = per_dim.withColumn(
+            "v", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
+        ).groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+            ).alias("c")
+        ).select(F.col("cell").alias("cent_id"), "c").localCheckpoint(eager=True)
+
+    return assign(cent), cent

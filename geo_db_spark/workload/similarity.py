@@ -1285,3 +1285,70 @@ QUALIFY rank <= 5
 
 QUERIES["emb_hard_negative_mining"] = emb_hard_negative_mining
 ORACLES["emb_hard_negative_mining"] = ORACLE_HARD_NEG
+
+
+def emb_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round Lloyd k-means (r7): the IVF centroid TRAINER the
+    first-K-"centroids" paths were missing. K=8, 2 update rounds,
+    integer-exact end to end (quantized vectors; centroid means
+    re-quantized by floor(sum/n)); emits per-cell membership count and
+    exact-integer inertia after the final assignment. Oracle = the same
+    2 rounds as chained CTE blocks."""
+    tune(spark)
+    from geo_db_spark.operators.similarity import kmeans_fixed_rounds
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _cent = kmeans_fixed_rounds(emb, k=8, rounds=2)
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist").alias("inertia"),
+    ).select(F.col("cell").cast("long").alias("cell"), "n_members", "inertia")
+
+
+def _kmeans_oracle(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
+    sql = f"""
+WITH qe AS (SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings),
+nv AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn FROM qe),
+dims AS (SELECT CAST(unnest(range({dim})) AS INT) AS d),
+c0 AS (SELECT vec_id AS cent_id, q AS c FROM qe WHERE vec_id < {k})"""
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+a{r} AS (
+  SELECT id, cell, dist FROM (
+    SELECT v.vec_id AS id, c.cent_id AS cell,
+           v.qn + CAST(list_sum(list_transform(c.c, x -> x * x)) AS BIGINT)
+             - 2 * CAST(list_sum(list_transform(list_zip(v.q, c.c), p -> p[1] * p[2])) AS BIGINT) AS dist
+    FROM nv v, {prev} c)
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, cell) = 1
+),
+pd{r} AS (
+  SELECT a.cell, dims.d, SUM(v.q[dims.d + 1]) AS s, COUNT(*) AS n
+  FROM a{r} a JOIN nv v ON v.vec_id = a.id, dims
+  GROUP BY a.cell, dims.d
+),
+c{r} AS (
+  SELECT cell AS cent_id,
+         list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS c
+  FROM pd{r} GROUP BY cell
+)"""
+        prev = f"c{r}"
+    sql += f""",
+afinal AS (
+  SELECT id, cell, dist FROM (
+    SELECT v.vec_id AS id, c.cent_id AS cell,
+           v.qn + CAST(list_sum(list_transform(c.c, x -> x * x)) AS BIGINT)
+             - 2 * CAST(list_sum(list_transform(list_zip(v.q, c.c), p -> p[1] * p[2])) AS BIGINT) AS dist
+    FROM nv v, {prev} c)
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, cell) = 1
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia
+FROM afinal GROUP BY cell
+"""
+    return sql
+
+
+QUERIES["emb_kmeans_cells"] = emb_kmeans_cells
+ORACLES["emb_kmeans_cells"] = _kmeans_oracle()

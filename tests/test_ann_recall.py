@@ -284,3 +284,18 @@ def test_mrl_prefix_recall_beats_floor(spark):
     exact = _topk_sets(ann_cosine_topk(spark, SF))
     rec = _recall(_topk_sets(ann_mrl_prefix_topk(spark, SF)), exact)
     assert rec >= 0.6, f"mrl recall {rec}"
+
+
+def test_kmeans_rounds_monotonically_reduce_inertia(spark):
+    """r7 k-means trainer: Lloyd's algorithm guarantees non-increasing
+    inertia per round (up to the integer re-quantization of means);
+    trained centroids must beat the untrained first-K baseline."""
+    from geo_db_spark.io import load
+    from geo_db_spark.operators.similarity import kmeans_fixed_rounds
+
+    emb = load(spark, SF, "embeddings")
+    inertias = []
+    for r in (0, 1, 2):
+        a, _ = kmeans_fixed_rounds(emb, k=8, rounds=r)
+        inertias.append(a.agg({"dist": "sum"}).collect()[0][0])
+    assert inertias[1] < inertias[0] and inertias[2] <= inertias[1], inertias
