@@ -299,3 +299,22 @@ def test_kmeans_rounds_monotonically_reduce_inertia(spark):
         a, _ = kmeans_fixed_rounds(emb, k=8, rounds=r)
         inertias.append(a.agg({"dist": "sum"}).collect()[0][0])
     assert inertias[1] < inertias[0] and inertias[2] <= inertias[1], inertias
+
+
+def test_trained_ivf_recall_vs_untrained(spark):
+    """r7 trained IVF: k-means cells at nprobe=1 must clear the
+    broken-bucketing floor and are expected to match-or-beat the
+    untrained first-K assignment at equal probe cost."""
+    from geo_db_spark.workload.similarity import (
+        ann_cosine_topk,
+        ann_ivf_kmeans_topk,
+        ann_ivf_topk,
+    )
+
+    exact = _topk_sets(ann_cosine_topk(spark, SF))
+    untrained = _recall(_topk_sets(ann_ivf_topk(spark, SF)), exact)
+    trained = _recall(_topk_sets(ann_ivf_kmeans_topk(spark, SF)), exact)
+    # measured 0.60 = 0.60 at K=16; the trained win is cell BALANCE
+    # (max cell 42 -> 38), not recall — keep a floor plus no-regression
+    assert trained >= 0.45, f"trained-IVF recall {trained}"
+    assert trained >= untrained - 0.1, (trained, untrained)
