@@ -208,3 +208,105 @@ def set_similarity_join(
         "uni",
         (F.col("inter").cast("double") / F.col("uni")).alias("jaccard"),
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT asymmetric-containment join: all ORDERED pairs (a, b),
+    a != b, with |A∩B| / |A| >= t — "A's shingles are mostly inside B",
+    the doc-quotes-doc / subset-duplicate case symmetric Jaccard
+    misses (a short quote of a long document has tiny Jaccard but
+    containment ~1).
+
+    Prefix filter, containment form (Bayardo WWW'07 §5 extension to
+    asymmetric measures): if |A∩B| >= ceil(t·|A|) then A's first
+    |A| - ceil(t·|A|) + 1 tokens under the global rarest-first order
+    must hit B — the probe prefix lives on A only; B has no prefix
+    (any of B's tokens can witness). The index side is therefore ALL
+    of B's tokens, which would make stop-shingles join keys — so it is
+    semi-joined down to tokens that occur in SOME probe prefix first:
+    prefixes hold each doc's RAREST ~(1-t) fraction, so hot tokens are
+    pruned from the index before any pair forms (exactness kept: a
+    candidate must share a PREFIX token by the filter above, and every
+    prefix token survives the semi-join by construction).
+
+    Filters in pure integer arithmetic like set_similarity_join:
+    size |B| >= ceil(t·|A|); positional |A| - pos_a + 1 >= ceil(t·|A|).
+    Verification counts the intersection over skinny (id, token) joins
+    (never array payloads). Returns (id_a, id_b, inter, n_a,
+    containment) for the qualifying ordered pairs."""
+    num, den = threshold_num, threshold_den
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be in (0, 1]: got {num}/{den}")
+
+    sh = _cache_session_scoped(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("token"),
+        )
+    )
+    sh.count()  # materialize before planning (see set_similarity_join)
+    tdf = sh.groupBy("token").agg(F.count(F.lit(1)).alias("tdf"))
+    sets = (
+        sh.join(tdf, "token")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("tdf", "token"))).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # alpha(A) = ceil(t*|A|); probe prefix length = |A| - alpha + 1
+    plen = F.expr(f"n - ((n * {num} + {den} - 1) div {den}) + 1")
+    probe = sets.select(
+        "id",
+        "n",
+        F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos0", "tk"),
+    ).select(
+        "id", "n", (F.col("pos0") + 1).alias("pos"), F.col("tk.token").alias("token")
+    )
+    # index = every (id, token), pruned to tokens some probe prefix holds
+    prefix_tokens = probe.select("token").distinct()
+    index = sh.join(F.broadcast(prefix_tokens), "token")
+    nsz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    index = index.join(nsz, "id")
+
+    a, b = probe.alias("a"), index.hint("merge").alias("b")
+    alpha = F.expr(f"((a.n * {num}) + {den} - 1) div {den}")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") != F.col("b.id"))
+            # size filter: |B| >= ceil(t|A|)
+            & (F.col("b.n") >= alpha)
+            # positional: tokens of A at/after pos must still cover alpha
+            & (F.col("a.n") - F.col("a.pos") + 1 >= alpha),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a_tok = sh.select(F.col("id").alias("id_a"), "token")
+    b_tok = sh.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cand.join(a_tok, "id_a")
+        .join(b_tok, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(nsz.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .filter(F.col("inter") * den >= F.col("n_a") * num)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "n_a",
+            (F.col("inter").cast("double") / F.col("n_a")).alias("containment"),
+        )
+    )

@@ -358,3 +358,45 @@ ORACLES = {
     "dedup_simjoin_exact": ORACLE_SIMJOIN,
     "dedup_simjoin_survivors": _simjoin_survivors_oracle(),
 }
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric-containment join (r7): ordered pairs where >= 3/5
+    of A's 3-gram shingles appear in B — the quote/subset-duplicate case
+    symmetric Jaccard misses. Prefix-filtered on the probing side only
+    (containment has no index prefix), with the index pruned to
+    prefix-witness tokens so stop-shingles never become join keys.
+    Oracle = brute force over all ordered pairs, proving zero recall
+    loss."""
+    tune(spark)
+    from geo_db_spark.operators.simjoin import containment_join
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_join(docs, threshold_num=3, threshold_den=5)
+
+
+ORACLE_CONTAINMENT_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT id, list_distinct(list_filter(list_transform(list_zip(t, t[2:], t[3:]),
+      p -> CASE WHEN p[3] IS NULL THEN NULL ELSE p[1]||' '||p[2]||' '||p[3] END),
+      x -> x IS NOT NULL)) AS sh
+  FROM toks
+),
+nz AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         CAST(len(a.sh) AS BIGINT) AS n_a
+  FROM nz a JOIN nz b ON a.id <> b.id
+)
+SELECT id_a, id_b, inter, n_a, CAST(inter AS DOUBLE) / n_a AS containment
+FROM pairs WHERE inter * 5 >= n_a * 3
+"""
+
+QUERIES["dedup_containment_pairs"] = dedup_containment_pairs
+ORACLES["dedup_containment_pairs"] = ORACLE_CONTAINMENT_PAIRS

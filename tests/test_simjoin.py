@@ -72,3 +72,33 @@ def test_simjoin_no_cartesian_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_containment_finds_quote_case_jaccard_misses(spark):
+    """The subset-duplicate case: a short doc fully quoted inside a long
+    one has containment 1.0 but tiny Jaccard — containment_join must
+    find the ordered pair (short -> long), NOT the reverse, while
+    set_similarity_join at t=1/2 misses it. Brute-force parity on the
+    whole synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.simjoin import containment_join, set_similarity_join
+
+    words = [f"w{i}" for i in range(40)]
+    long_doc = " ".join(words)                 # 38 3-gram shingles
+    short_doc = " ".join(words[10:16])         # 4 shingles, all in long_doc
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_join(docs, 3, 5).collect()
+    }
+    assert (2, 1) in got and got[(2, 1)] == 1.0
+    assert (1, 2) not in got  # asymmetric: long is NOT contained in short
+    jac = {
+        (r.id_a, r.id_b)
+        for r in set_similarity_join(docs, 1, 2).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac  # Jaccard 4/38 misses it
