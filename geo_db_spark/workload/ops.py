@@ -1330,3 +1330,56 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 
 QUERIES["g25_grouping_sets_revenue"] = g25_grouping_sets_revenue
 ORACLES["g25_grouping_sets_revenue"] = ORACLE_G25
+
+
+def g21_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact z-score outlier flagging (r7): events whose value
+    deviates from their event_type's mean by more than 3 sigma. The
+    data-quality gate every pipeline runs before training — done WITHOUT
+    sqrt or float accumulation: values quantize to integers v =
+    floor(value·1000), and |x-μ| > 3σ is tested as the equivalent
+    integer inequality (n·x − s)² > 9·(n·s2 − s²) with s = Σv,
+    s2 = Σv² (both exact int64 — derived by multiplying the float
+    inequality through by n²). One pass for the per-group moments
+    (map-side combined, two longs of state per group), broadcast back,
+    codegen comparison — the same shape at any scale."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1000).cast("long")
+    base = ev.select("event_id", "event_type", v.alias("v"))
+    mom = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    j = base.join(F.broadcast(mom), "event_type")
+    dev = (F.col("n") * F.col("v") - F.col("s")).cast("double")
+    var_n2 = (
+        F.col("n").cast("double") * F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double")
+    )
+    return j.filter(dev * dev > 9 * var_n2).select(
+        "event_id",
+        "event_type",
+        "v",
+        F.col("n").alias("group_n"),
+    )
+
+
+ORACLE_G21 = """
+WITH base AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v FROM events
+),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM base GROUP BY event_type
+)
+SELECT b.event_id, b.event_type, b.v, mom.n AS group_n
+FROM base b JOIN mom USING (event_type)
+WHERE CAST(mom.n * b.v - mom.s AS DOUBLE) * CAST(mom.n * b.v - mom.s AS DOUBLE)
+      > 9 * (CAST(mom.n AS DOUBLE) * CAST(mom.s2 AS DOUBLE) - CAST(mom.s AS DOUBLE) * CAST(mom.s AS DOUBLE))
+"""
+
+QUERIES["g21_zscore_outliers"] = g21_zscore_outliers
+ORACLES["g21_zscore_outliers"] = ORACLE_G21
