@@ -183,6 +183,77 @@ def save_zorder_clustered(
     )
 
 
+def hilbert_index(ka, kb, bits: int):
+    """Hilbert-curve index of two ``bits``-bit integer columns — the
+    rot-by-n variant (coordinates stay in [0, 2^bits) through every
+    flip, so no negative-shift semantics are involved). Unrolled into
+    pure shift/mask/when expressions: ``bits`` rounds of quadrant
+    classification (d += s²·((3·rx) xor ry)) and conditional
+    flip+swap — all whole-stage codegen, no UDF. Validated against the
+    reference Python implementation and the defining property (unit
+    Manhattan steps between consecutive d) in tests."""
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    x, y = ka, kb
+    d = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftright(x, i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(y, i).bitwiseAND(F.lit(1))
+        d = d + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry).cast("long")
+        fx = F.when(rx == 1, F.lit(n - 1) - x).otherwise(x)
+        fy = F.when(rx == 1, F.lit(n - 1) - y).otherwise(y)
+        x, y = F.when(ry == 0, fy).otherwise(x), F.when(ry == 0, fx).otherwise(y)
+    return d
+
+
+def save_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Hilbert-curve clustered parquet layout — ``save_zorder_clustered``
+    with the space-filling curve Delta Lake's OPTIMIZE now prefers over
+    Morton: consecutive Hilbert positions are ALWAYS unit neighbors
+    (the Z curve takes long diagonal jumps at quadrant boundaries), so
+    per-file bounding boxes are tighter on average and either-column
+    predicates skip more files at equal write cost. Same plan shape:
+    broadcast bounds row, codegen curve index, one range exchange."""
+    from pyspark.sql import functions as F
+
+    a, b = cols
+    scale = (1 << bits) - 1
+    bounds = df.agg(
+        F.min(F.col(a).cast("double")).alias("__amin"),
+        F.max(F.col(a).cast("double")).alias("__amax"),
+        F.min(F.col(b).cast("double")).alias("__bmin"),
+        F.max(F.col(b).cast("double")).alias("__bmax"),
+    )
+
+    def norm(c: str, lo: str, hi: str):
+        span = F.col(hi) - F.col(lo)
+        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(lo)) / span).otherwise(F.lit(0.0))
+        return F.round(frac * scale).cast("long")
+
+    with_keys = df.crossJoin(F.broadcast(bounds)).withColumns(
+        {"__ka": norm(a, "__amin", "__amax"), "__kb": norm(b, "__bmin", "__bmax")}
+    )
+    (
+        with_keys.withColumn("__h", hilbert_index(F.col("__ka"), F.col("__kb"), bits))
+        .repartitionByRange(n_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h", "__ka", "__kb", "__amin", "__amax", "__bmin", "__bmax")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 # ------------------------------------------------- versioned table (manifest)
 
 _MANIFEST = "_MANIFEST.json"

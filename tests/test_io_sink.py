@@ -376,3 +376,87 @@ def test_versioned_committed_set_refuses_bogus_snapshot_below_pointer(spark, tmp
     # committed history untouched
     assert read_versioned(spark, d).count() == 8
     assert read_versioned(spark, d, version=2).count() == 7
+
+
+def test_hilbert_index_matches_reference_and_is_a_hilbert_curve(spark):
+    """r7: the unrolled column-expression Hilbert index must equal the
+    reference Python xy2d on every cell of a 16x16 grid, be bijective,
+    and satisfy the defining curve property — consecutive d values are
+    unit Manhattan neighbors (the locality Z-order lacks at quadrant
+    seams)."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import hilbert_index
+
+    bits = 4
+    n = 1 << bits
+
+    def xy2d(x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if x & s else 0
+            ry = 1 if y & s else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    rows = grid.withColumn(
+        "d", hilbert_index(F.col("x"), F.col("y"), bits)
+    ).collect()
+    pos = {}
+    for r in rows:
+        assert r.d == xy2d(r.x, r.y), (r.x, r.y, r.d)
+        pos[r.d] = (r.x, r.y)
+    assert len(pos) == n * n  # bijective
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = pos[d], pos[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, d
+
+
+def test_hilbert_files_tighter_than_zorder(spark, tmp_path):
+    """Hilbert files must be tight on BOTH dims like Z-order, and the
+    total bounding-box area across files should not exceed Z-order's
+    (unit-step locality removes the Morton seam jumps)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import save_hilbert_clustered, save_zorder_clustered
+
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    outs = {}
+    for name, saver in (("h", save_hilbert_clustered), ("z", save_zorder_clustered)):
+        out = str(tmp_path / name)
+        saver(grid, out, ("x", "y"), n_files=16, bits=6)
+        areas = []
+        for f in sorted(os.listdir(out)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(out, f)).metadata
+            sch = md.schema.to_arrow_schema()
+            span = {}
+            for col in ("x", "y"):
+                idx = sch.get_field_index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                span[col] = max(maxs) - min(mins) + 1
+            areas.append(span["x"] * span["y"])
+        outs[name] = sum(areas)
+    # each of 16 files holds 256 cells; a perfect tiling has area 256
+    # per file (total 4096); allow slack but Hilbert must not lose to Z
+    assert outs["h"] <= outs["z"] * 1.05, outs
+    back = spark.read.parquet(str(tmp_path / "h"))
+    assert back.columns == ["x", "y"] and back.count() == 4096
