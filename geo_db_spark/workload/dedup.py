@@ -400,3 +400,48 @@ FROM pairs WHERE inter * 5 >= n_a * 3
 
 QUERIES["dedup_containment_pairs"] = dedup_containment_pairs
 ORACLES["dedup_containment_pairs"] = ORACLE_CONTAINMENT_PAIRS
+
+
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit (r7): near-duplicate pairs that straddle
+    different md5-split bands — the governance check every training
+    corpus needs (a test document with a train-side near-dup inflates
+    eval). Built from the EXACT simjoin (zero recall loss, so "no
+    leakage" is a proof, not a probability) crossed with the
+    deterministic split assignment; at 100 TB both inputs are already
+    computed by their own pipelines and this is one broadcast-band
+    annotate + filter on the (small) pair set."""
+    tune(spark)
+    from geo_db_spark.operators.packing import split_assign
+    from geo_db_spark.operators.simjoin import set_similarity_join
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = set_similarity_join(docs, 1, 2)
+    sa = docs.select(F.col("doc_id").alias("id_a"), split_assign().alias("split_a"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), split_assign().alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "inter", "uni", "jaccard")
+    )
+
+
+_SPLIT_CASE = (
+    "CASE WHEN ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT % 100 < 96 "
+    "THEN 'train' WHEN ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT % 100 < 98 "
+    "THEN 'val' ELSE 'test' END"
+)
+
+ORACLE_SPLIT_LEAKAGE = rf"""
+WITH p AS ({ORACLE_SIMJOIN})
+SELECT id_a, id_b,
+       {_SPLIT_CASE.format(col='id_a')} AS split_a,
+       {_SPLIT_CASE.format(col='id_b')} AS split_b,
+       inter, uni, jaccard
+FROM p
+WHERE {_SPLIT_CASE.format(col='id_a')} <> {_SPLIT_CASE.format(col='id_b')}
+"""
+
+QUERIES["dedup_split_leakage"] = dedup_split_leakage
+ORACLES["dedup_split_leakage"] = ORACLE_SPLIT_LEAKAGE

@@ -278,3 +278,67 @@ ORACLES = {
     "ids_stable_documents": ORACLE_STABLE_IDS,
     "g18_salted_join_events": ORACLE_SALTED,
 }
+
+
+def pack_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching (r7): the serving-side prep
+    that keeps padding waste bounded — docs fall into power-of-2 token
+    buckets (integer CASE chain, no float log2 whose rounding could
+    flap the band), each bucket batches floor(256/cap) docs in
+    (len desc, id) order, and each batch reports real vs padded token
+    counts (pad target = in-batch max). One window per bucket partition
+    + one batch aggregate; at 100 TB this is the standard two-shuffle
+    shape and the bucket key is never skewed (caps are bounded)."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    base = docs.select("doc_id", n_tok.alias("n"))
+    cap = F.when(F.col("n") <= 1, 1)
+    c = 2
+    while c <= 1024:
+        cap = cap.when(F.col("n") <= c, c)
+        c *= 2
+    base = base.withColumn("bucket_cap", cap.otherwise(F.lit(2048)).cast("long"))
+    per_batch = F.greatest(F.lit(1), (F.lit(256) / F.col("bucket_cap")).cast("long"))
+    w = Window.partitionBy("bucket_cap").orderBy(F.col("n").desc(), F.col("doc_id"))
+    assigned = base.withColumn(
+        "batch_ix", ((F.row_number().over(w) - 1) / per_batch).cast("long")
+    )
+    return assigned.groupBy("bucket_cap", "batch_ix").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.max("n")).alias("padded_tokens"),
+    )
+
+
+ORACLE_LEN_BATCHES = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n,
+         CAST(CASE WHEN n <= 1 THEN 1 WHEN n <= 2 THEN 2 WHEN n <= 4 THEN 4
+              WHEN n <= 8 THEN 8 WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+              WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+              WHEN n <= 512 THEN 512 WHEN n <= 1024 THEN 1024 ELSE 2048 END AS BIGINT) AS bucket_cap
+  FROM base
+),
+a AS (
+  SELECT doc_id, n, bucket_cap,
+         CAST((row_number() OVER (PARTITION BY bucket_cap ORDER BY n DESC, doc_id) - 1)
+              // GREATEST(1, 256 // bucket_cap) AS BIGINT) AS batch_ix
+  FROM b
+)
+SELECT bucket_cap, batch_ix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS real_tokens,
+       CAST(COUNT(*) * MAX(n) AS BIGINT) AS padded_tokens
+FROM a GROUP BY bucket_cap, batch_ix
+"""
+
+QUERIES["pack_length_bucketed_batches"] = pack_length_bucketed_batches
+ORACLES["pack_length_bucketed_batches"] = ORACLE_LEN_BATCHES
