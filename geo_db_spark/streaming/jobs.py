@@ -622,3 +622,52 @@ def run_streaming_cms(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_moments(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Streaming per-group moments for the 3-sigma outlier gate
+    (workload/ops.g21_zscore_outliers' streaming twin): values quantize
+    to ints (floor(value*1000)) and the state is exactly (n, s=Σv,
+    s2=Σv²) per group — three int64 sums, associative and commutative,
+    so Spark's stateful groupBy sum IS the merge across micro-batches
+    and the moments after any prefix of batches are BIT-IDENTICAL to
+    the batch aggregate over the same rows (tested). State is bounded
+    at groups x 3 longs forever; run in update/complete mode."""
+    v = F.floor(F.col("value") * 1000).cast("long")
+    return (
+        events.select(F.col(group_col), v.alias("v"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+        )
+    )
+
+
+def run_streaming_moments(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Maintain the streaming moments over an events directory; each
+    batch overwrites ``out_dir`` with the current per-type moments (the
+    rollup-maintenance sink pattern). The sink rows feed the same
+    overflow-safe double comparison the batch gate uses."""
+    ev = read_events_stream(spark, events_dir, max_files_per_trigger=max_files_per_trigger)
+    mom = streaming_moments(ev)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    writer = (
+        mom.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -730,3 +730,48 @@ def test_click_impression_outer_join_emits_unmatched(spark, tmp_path):
     run()
     rows2 = {(r.c_event_id, r.i_event_id) for r in spark.read.parquet(out).collect()}
     assert rows2 == {(1, 2), (3, None), (8, None)}
+
+
+def test_streaming_moments_match_batch_gate(spark, tmp_path):
+    """r7 streaming 3-sigma gate: the per-type (n, s, s2) state after
+    consuming all micro-batches must be BIT-IDENTICAL to the batch
+    moments (integer sums are the merge), and flagging events against
+    the streamed moments must reproduce g21's outlier set exactly."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
+    from geo_db_spark.streaming.jobs import run_streaming_moments
+    from geo_db_spark.workload.ops import g21_zscore_outliers
+
+    ev = load(spark, SF_SMOKE, "events")
+    d = tmp_path / "ev_shards"
+    ev.repartition(3).write.parquet(str(d))
+    out = str(tmp_path / "mom_out")
+    q = run_streaming_moments(
+        spark, str(d), str(tmp_path / "ckpt"), out,
+        max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 1  # genuinely multi-batch
+    mom = spark.read.parquet(out)
+    want = (
+        ev.select("event_type", F.floor(F.col("value") * 1000).cast("long").alias("v"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+             F.sum(F.col("v") * F.col("v")).alias("s2"))
+    )
+    got_m = {r.event_type: (r.n, r.s, r.s2) for r in mom.collect()}
+    want_m = {r.event_type: (r.n, r.s, r.s2) for r in want.collect()}
+    assert got_m == want_m and len(got_m) > 0
+
+    # flag with the streamed moments -> identical outlier set to batch
+    base = ev.select(
+        "event_id", "event_type", F.floor(F.col("value") * 1000).cast("long").alias("v")
+    )
+    j = base.join(F.broadcast(mom), "event_type")
+    dev = (F.col("n") * F.col("v") - F.col("s")).cast("double")
+    var_n2 = (F.col("n").cast("double") * F.col("s2").cast("double")
+              - F.col("s").cast("double") * F.col("s").cast("double"))
+    got_ids = {r.event_id for r in j.filter(dev * dev > 9 * var_n2).collect()}
+    want_ids = {r.event_id for r in g21_zscore_outliers(spark, SF_SMOKE).collect()}
+    assert got_ids == want_ids
