@@ -445,3 +445,31 @@ WHERE {_SPLIT_CASE.format(col='id_a')} <> {_SPLIT_CASE.format(col='id_b')}
 
 QUERIES["dedup_split_leakage"] = dedup_split_leakage
 ORACLES["dedup_split_leakage"] = ORACLE_SPLIT_LEAKAGE
+
+
+def dedup_editdist_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup: customer-name pairs within levenshtein
+    distance 1 (one-digit typos), via the FastSS deletion-neighborhood
+    join — the exact char-metric complement to the shingle-set family,
+    which cannot see single-char edits in short keys. Oracle is the
+    brute-force quadratic levenshtein, so recall loss would be caught."""
+    tune(spark)
+    from geo_db_spark.operators.editjoin import edit_distance_join
+
+    cust = load(spark, sf_dir, "customer")
+    return edit_distance_join(cust, "c_custkey", "c_name").select(
+        F.col("id_a").alias("custkey_a"),
+        F.col("id_b").alias("custkey_b"),
+        F.col("editdist").cast("long").alias("editdist"),
+    )
+
+
+ORACLE_EDITDIST = r"""
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS editdist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+QUERIES["dedup_editdist_customer_names"] = dedup_editdist_customer_names
+ORACLES["dedup_editdist_customer_names"] = ORACLE_EDITDIST

@@ -1,0 +1,73 @@
+"""FastSS edit-distance join (operators/editjoin.py): brute-force parity,
+case coverage of the single-edit kinds, and the zero-false-negative
+claim fuzzed over random short strings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geo_db_spark.operators.editjoin import deletion_variants, edit_distance_join
+
+
+def _brute(spark, df):
+    a = df.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    b = df.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("editdist", F.levenshtein("sa", "sb"))
+        .filter(F.col("editdist") <= 1)
+        .select("id_a", "id_b", "editdist")
+    )
+
+
+def test_editjoin_single_edit_kinds(spark):
+    rows = [
+        (1, "kitten"),
+        (2, "kittan"),   # substitution of 1
+        (3, "kitten"),   # exact dup of 1
+        (4, "kittens"),  # insertion on 1
+        (5, "kiten"),    # deletion from 1
+        (6, "sitting"),  # ed 3 from 1 — must NOT pair
+        (7, "a"),        # 1-char string
+        (8, ""),         # empty string: ed("", "a") == 1
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(map(tuple, edit_distance_join(df, "id", "s").collect()))
+    want = sorted(map(tuple, _brute(spark, df).collect()))
+    assert got == want
+    pairs = {(a, b) for a, b, _ in got}
+    assert {(1, 2), (1, 3), (1, 4), (1, 5), (7, 8)} <= pairs
+    assert all(6 not in p for p in pairs)
+
+
+def test_editjoin_bruteforce_fuzz(spark):
+    """Random corpus over a 3-letter alphabet (maximizes 1-edit
+    collisions): FastSS output == quadratic levenshtein output."""
+    import random
+
+    rng = random.Random(1234)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 5))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = sorted(map(tuple, edit_distance_join(df, "id", "s").collect()))
+    want = sorted(map(tuple, _brute(spark, df).collect()))
+    assert got == want
+    assert len(got) > 50  # the alphabet is tight enough that pairs exist
+
+
+def test_deletion_variants_shape(spark):
+    df = spark.createDataFrame([("abc",), ("",)], "s string")
+    out = df.select(deletion_variants(F.col("s")).alias("v")).collect()
+    assert out[0].v == ["abc", "bc", "ac", "ab"]
+    assert out[1].v == [""]
+
+
+def test_editjoin_rejects_depth_gt_1(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    with pytest.raises(NotImplementedError):
+        edit_distance_join(df, "id", "s", max_dist=2)
