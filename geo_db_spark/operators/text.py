@@ -72,3 +72,58 @@ def fingerprint(col: Column) -> Column:
         F.array_distinct(F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " "))
     )
     return F.md5(F.array_join(toks, " ").cast("binary"))
+
+
+def chunk_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style sliding-window chunking: whitespace tokens sliced into
+    windows of ``chunk`` tokens every ``stride`` tokens (overlap =
+    chunk - stride). Returns one row per (doc, window): (id, chunk_id,
+    start, n_chunk_tokens, chunk_text) — the retrieval-index unit every
+    embedding pipeline feeds.
+
+    Scale shape: rows out ~= n_tokens/stride per doc, produced by one
+    posexplode over the per-doc start list (a ~n/stride-element
+    sequence — the only interpreted higher-order lambda walks THAT tiny
+    list, never the tokens). slice/array_join are codegen'd JVM
+    expressions; the token array never shuffles (chunking is a pure
+    map — zero exchanges, any partitioning survives). At 100 TB this
+    pipelines with the scan; downstream embedding batches group by
+    length via the existing bucketed-inference path.
+    """
+    if not (0 < stride <= chunk):
+        raise ValueError(f"need 0 < stride <= chunk: got {stride}, {chunk}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+    )
+    # keep a start only if it begins new content: drop tail windows whose
+    # predecessor already reached the end of the doc (start-stride+chunk
+    # >= n), the standard splitter contract — the final window always
+    # ends AT the last token, never strictly inside the previous window.
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s < F.col("__n"))
+        & ((s == 0) | (s - F.lit(stride) + F.lit(chunk) < F.col("__n"))),
+    )
+    return base.select(
+        id_col,
+        "__toks",
+        "__n",
+        F.posexplode(starts).alias("chunk_id", "start"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.least(F.lit(chunk), F.col("__n") - F.col("start"))
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("start") + 1, F.lit(chunk)), " "
+        ).alias("chunk_text"),
+    )

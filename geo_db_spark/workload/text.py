@@ -622,3 +622,32 @@ ORACLES = {
     "text_token_stats": ORACLE_TOKEN_STATS,
     "text_weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 64-token windows at stride 48 over every document
+    (overlap 16). One row per (doc, window) with the window text — the
+    unit a retrieval index embeds."""
+    tune(spark)
+    from geo_db_spark.operators.text import chunk_windows
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_windows(docs, "doc_id", "text", chunk=64, stride=48)
+
+
+ORACLE_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(u.s / 48 AS BIGINT) AS chunk_id,
+       CAST(u.s AS BIGINT) AS start,
+       CAST(least(64, len(toks) - CAST(u.s AS INT)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, CAST(u.s AS INT) + 1, CAST(u.s AS INT) + 64), ' ') AS chunk_text
+FROM t, unnest(generate_series(0, len(toks) - 1, 48)) AS u(s)
+WHERE u.s = 0 OR u.s - 48 + 64 < len(toks)
+"""
+
+QUERIES["text_chunk_windows"] = text_chunk_windows
+ORACLES["text_chunk_windows"] = ORACLE_CHUNKS

@@ -149,3 +149,45 @@ def test_dup_span_removal_excises_shared_phrase(spark):
     assert got[3].n_kept == got[3].n_tokens == 8
     assert got[3].kept_md5 == md5("totally unrelated text with enough tokens here ok")
     assert abs(got[1].kept_frac - 4 / 14) < 1e-12
+
+
+def test_chunk_windows_edges(spark):
+    """chunk/stride geometry: full window, ragged tail, overlap content,
+    single-token doc, and the exactly-one-window boundary (n == chunk)."""
+    from geo_db_spark.operators.text import chunk_windows
+
+    rows = [
+        (1, " ".join(str(i) for i in range(11))),  # n=11: starts 0,4,8
+        (2, "solo"),                               # n=1: one window
+        (3, " ".join("x" * 1 for _ in range(6))),  # n=6==chunk: ONE window
+        (4, " ".join(str(i) for i in range(10))),  # n=10: start 8 is fully
+                                                   # inside window 1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.chunk_id): r
+        for r in chunk_windows(df, "doc_id", "text", chunk=6, stride=4).collect()
+    }
+    assert {(d, c) for d, c in out} == {
+        (1, 0), (1, 1), (1, 2), (2, 0), (3, 0), (4, 0), (4, 1)
+    }
+    assert out[(1, 0)].chunk_text == "0 1 2 3 4 5"
+    assert out[(1, 1)].chunk_text == "4 5 6 7 8 9"   # overlap of 2 with chunk 0
+    assert out[(1, 2)].chunk_text == "8 9 10"        # ragged tail
+    assert out[(1, 2)].n_chunk_tokens == 3
+    assert out[(1, 2)].start == 8
+    assert out[(2, 0)].chunk_text == "solo"
+    assert out[(3, 0)].n_chunk_tokens == 6
+    assert out[(4, 1)].chunk_text == "4 5 6 7 8 9"   # ends AT the last token
+
+
+def test_chunk_windows_rejects_bad_stride(spark):
+    import pytest
+
+    from geo_db_spark.operators.text import chunk_windows
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_windows(df, stride=0)
+    with pytest.raises(ValueError):
+        chunk_windows(df, chunk=4, stride=8)
