@@ -651,3 +651,124 @@ WHERE u.s = 0 OR u.s - 48 + 64 < len(toks)
 
 QUERIES["text_chunk_windows"] = text_chunk_windows
 ORACLES["text_chunk_windows"] = ORACLE_CHUNKS
+
+
+BM25_TERMS = ("merge", "window", "stream")
+
+
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (Robertson & Zaragoza 2009) for a fixed
+    3-term query, k1=1.2, b=0.75 — the classic retrieval scorer a RAG
+    pipeline runs next to the vector index. Log-free idf variant: the
+    raw odds ratio (N - df + 0.5)/(df + 0.5) is used WITHOUT the ln()
+    wrapper, same discipline as text_tfidf_topterms (ln is not
+    cross-libm reproducible; the ratio is a monotone transform of the
+    standard idf per term, and the per-term saturation shape is
+    untouched).
+
+    Scale shape: tf is explode -> filter(IN terms) -> groupBy doc
+    (map-side combined, terms pruned BEFORE the shuffle so only
+    matching-token rows move); df/N/avgdl are two 1-row aggregates
+    broadcast onto the per-doc score projection; top-100 is
+    orderBy+limit (TakeOrderedAndProject, no global sort
+    materialization); the rank window runs over the 100 survivors only.
+    Every float op is order-mirrored in the oracle so scores are
+    bit-identical."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("__t"), F.size(toks).alias("dl"))
+
+    ex = base.select("doc_id", F.explode("__t").alias("w")).filter(
+        F.col("w").isin(*BM25_TERMS)
+    )
+    tf = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("w") == t, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    stats = tf.agg(
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ]
+    )
+    corpus = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("long").alias("total_dl")
+    )
+
+    scored = (
+        base.select("doc_id", "dl")
+        .join(tf, "doc_id", "left")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(corpus))
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+
+    def part(i: int):
+        tfc = F.coalesce(F.col(f"tf_{i}"), F.lit(0)).cast("double")
+        idf = (
+            (F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        inner = F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+        return (idf * (tfc * F.lit(2.2))) / (tfc + F.lit(1.2) * inner)
+
+    score = ((part(0) + part(1)) + part(2)).alias("score")
+    top = (
+        scored.select("doc_id", score)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _bm25_part(i: int) -> str:
+    return (
+        f"(((CAST(n_docs - df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf_{i} AS DOUBLE) * 2.2))"
+        f" / (CAST(tf_{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 *"
+        f" (CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    )
+
+
+ORACLE_BM25 = rf"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         len(regexp_split_to_array(trim(text), '\s+')) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl,
+         len(list_filter(toks, x -> x = '{BM25_TERMS[0]}')) AS tf_0,
+         len(list_filter(toks, x -> x = '{BM25_TERMS[1]}')) AS tf_1,
+         len(list_filter(toks, x -> x = '{BM25_TERMS[2]}')) AS tf_2
+  FROM base
+),
+stats AS (
+  SELECT CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+         CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+         CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2,
+         COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_dl
+  FROM tf
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM (
+  SELECT doc_id,
+         (({_bm25_part(0)} + {_bm25_part(1)}) + {_bm25_part(2)}) AS score
+  FROM tf, stats
+)
+ORDER BY score DESC, doc_id
+LIMIT 100
+"""
+
+QUERIES["text_bm25_rank"] = text_bm25_rank
+ORACLES["text_bm25_rank"] = ORACLE_BM25
