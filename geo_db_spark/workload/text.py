@@ -772,3 +772,94 @@ LIMIT 100
 
 QUERIES["text_bm25_rank"] = text_bm25_rank
 ORACLES["text_bm25_rank"] = ORACLE_BM25
+
+
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    over three per-document quality signals — the standard way to blend
+    incomparable rankers (here: length, lexical diversity, inverse
+    stopword load) without score calibration:
+    rrf = sum_i 1/(60 + rank_i), k=60 per the paper.
+
+    Scale shape: each global rank comes from assign_stable_ids (range
+    exchange + driver prefix sum) — NOT a row_number window, whose
+    SinglePartition sort is the 100 TB killer; negated keys turn the
+    operator's ascending contract into DESC ranks. The three rank
+    tables join back on doc_id (co-partitioned hash joins on the key),
+    the fusion arithmetic is one projection with a fixed float-add
+    order, and top-100 is TakeOrderedAndProject. The final rank window
+    runs over the 100 survivors only."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    from geo_db_spark.operators.ids import assign_stable_ids
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.split(F.trim(t), r"\s+")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(t), F.lit(r"\b(the|a|an|and|or|of|to|in|is|it)\b"), 0
+            )
+        ).alias("n_stop"),
+    )
+
+    def rank_by(col: F.Column, name: str) -> DataFrame:
+        keyed = m.select("doc_id", col.alias("__k"))
+        return assign_stable_ids(keyed, ["__k", "doc_id"], name).select(
+            "doc_id", name
+        )
+
+    ranks = (
+        m.join(rank_by(-F.col("n_tokens"), "r_len"), "doc_id")
+        .join(rank_by(-F.col("n_distinct"), "r_div"), "doc_id")
+        .join(rank_by(F.col("n_stop"), "r_stop"), "doc_id")
+    )
+    rrf = (
+        (
+            F.lit(1.0) / (F.lit(60) + F.col("r_len")).cast("double")
+            + F.lit(1.0) / (F.lit(60) + F.col("r_div")).cast("double")
+        )
+        + F.lit(1.0) / (F.lit(60) + F.col("r_stop")).cast("double")
+    ).alias("rrf")
+    top = (
+        ranks.select("doc_id", "r_len", "r_div", "r_stop", rrf)
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+ORACLE_RRF = r"""
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+         len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY -n_tokens, doc_id) AS BIGINT) AS r_len,
+         CAST(row_number() OVER (ORDER BY -n_distinct, doc_id) AS BIGINT) AS r_div,
+         CAST(row_number() OVER (ORDER BY n_stop, doc_id) AS BIGINT) AS r_stop
+  FROM m
+)
+SELECT doc_id, r_len, r_div, r_stop,
+       ((1.0 / CAST(60 + r_len AS DOUBLE) + 1.0 / CAST(60 + r_div AS DOUBLE))
+         + 1.0 / CAST(60 + r_stop AS DOUBLE)) AS rrf,
+       CAST(row_number() OVER (
+         ORDER BY ((1.0 / CAST(60 + r_len AS DOUBLE) + 1.0 / CAST(60 + r_div AS DOUBLE))
+                    + 1.0 / CAST(60 + r_stop AS DOUBLE)) DESC, doc_id) AS BIGINT) AS rank
+FROM r
+ORDER BY rrf DESC, doc_id
+LIMIT 100
+"""
+
+QUERIES["text_rrf_fusion"] = text_rrf_fusion
+ORACLES["text_rrf_fusion"] = ORACLE_RRF
