@@ -5,6 +5,7 @@ from geo_db_spark.streaming.jobs import (  # noqa: F401
     purchase_click_stream_join,
     rate_limit_dedup,
     read_events_stream,
+    sessionize_builtin,
     sessionize_stateful,
     windowed_event_counts,
 )

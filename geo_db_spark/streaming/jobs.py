@@ -671,3 +671,42 @@ def run_streaming_moments(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sessionize_builtin(
+    events: DataFrame,
+    gap_minutes: int = SESSION_GAP_MINUTES,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sessionization via the BUILT-IN F.session_window — the JVM-state
+    twin of sessionize_stateful (which demonstrates the custom
+    applyInPandasWithState path). Same gap semantics, but state merging
+    and eviction run inside Spark's session-window state store: append
+    mode emits a session once the event-time watermark passes its end
+    (last event + gap), so late rows inside the watermark still merge
+    and the operator needs no processing-time timeouts. Prefer THIS form
+    whenever the aggregate is expressible as count/sum/min/max — the
+    Pandas operator exists for session logic built-ins can't say.
+
+    Scale: state is per (user, open-session) and evicted at watermark;
+    the shuffle key is user_id — the same exchange the stateful twin
+    uses. Output schema matches w3_sessionize's batch result, so
+    stream-vs-batch parity is a set comparison."""
+    sw = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

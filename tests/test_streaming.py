@@ -775,3 +775,86 @@ def test_streaming_moments_match_batch_gate(spark, tmp_path):
     got_ids = {r.event_id for r in j.filter(dev * dev > 9 * var_n2).collect()}
     want_ids = {r.event_id for r in g21_zscore_outliers(spark, SF_SMOKE).collect()}
     assert got_ids == want_ids
+
+
+def test_builtin_sessionize_stream_matches_batch(spark, tmp_path):
+    """sessionize_builtin (F.session_window + watermark, append mode):
+    closed sessions emitted by the stream must equal the batch
+    session_window result for every session the final watermark passed —
+    including a gap-split (two sessions for one user) and a multi-event
+    merge inside one session."""
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geo_db_spark.streaming import read_events_stream, sessionize_builtin
+
+    d = tmp_path / "sess_events"
+    d.mkdir()
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        df["ts"] = pd.to_datetime(df["ts"])
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / name)
+
+    # user 1: two events 10 min apart (one session), then a 2h gap, then
+    # one more (second session). user 2: a single event.
+    batch_a = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 1, "click", 2.5, "{}"),
+        (3, "2024-01-01 02:10:00", 1, "click", 4.0, "{}"),
+        (4, "2024-01-01 00:05:00", 2, "view", 1.5, "{}"),
+    ]
+    write("a.parquet", batch_a)
+    time.sleep(1.1)
+    # far-future event advances the watermark past every session above...
+    write("b.parquet", [(5, "2024-01-03 00:00:00", 3, "click", 1.0, "{}")])
+    time.sleep(1.1)
+    # ...and a filler batch runs WITH that watermark, evicting + emitting
+    write("c.parquet", [(6, "2024-01-03 00:01:00", 3, "click", 1.0, "{}")])
+
+    q = (
+        sessionize_builtin(
+            read_events_stream(spark, str(d), max_files_per_trigger=1),
+            gap_minutes=30,
+            watermark="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("builtin_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from builtin_sessions").collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(e, pd.Timestamp(ts).to_pydatetime(), u, t, v, p) for e, ts, u, t, v, p in batch_a],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    want = {
+        (
+            r["user_id"],
+            r["session_window"]["start"],
+            r["session_window"]["end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 3  # user 1 split into two sessions; user 2 one
