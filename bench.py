@@ -92,6 +92,10 @@ TIER2 = [
     "text_bigram_lm_score",
     "ann_sq8_topk",
     "d5_salted_group_concat",
+    "dedup_editdist_customer_names",
+    "text_chunk_windows",
+    "text_bm25_rank",
+    "text_rrf_fusion",
 ]
 
 
