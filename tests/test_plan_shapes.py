@@ -224,3 +224,41 @@ def test_bigram_lm_scoring_join_broadcasts(spark, qs):
     plan = _plan(qs["text_bigram_lm_score"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_editjoin_no_cartesian_and_skinny_join(spark, qs):
+    """The FastSS candidate join must be a hash/SMJ equi-join on the
+    variant hash — never a cartesian/BNL product — and the variant
+    STRING must not survive into the join (only the 64-bit hash)."""
+    plan = _plan(qs["dedup_editdist_customer_names"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # join keys are the xxhash64 columns, not raw variant strings
+    assert "xxhash64" in plan
+
+
+def test_chunk_windows_is_pure_map(spark, qs):
+    """Chunking is a per-row generate — zero exchanges in the plan."""
+    plan = _plan(qs["text_chunk_windows"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_bm25_no_python_and_take_ordered(spark, qs):
+    """BM25 stays JVM-side (no Python workers in the plan) and the
+    top-100 compiles to TakeOrderedAndProject, not a global sort."""
+    plan = _plan(qs["text_bm25_rank"](spark, SF_SMOKE))
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_no_single_partition_rank_windows(spark, qs):
+    """The three global ranks come from assign_stable_ids — the only
+    window allowed is the final one over the 100 survivors (which sits
+    above a TakeOrderedAndProject). No Window node may read an
+    Exchange SinglePartition over the full doc set: assert the plan has
+    exactly one Window and a TakeOrderedAndProject below it."""
+    plan = _plan(qs["text_rrf_fusion"](spark, SF_SMOKE))
+    assert plan.count("Window") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
