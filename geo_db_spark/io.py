@@ -9,6 +9,7 @@ first thing to check.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -515,3 +516,57 @@ def compact_versioned(
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     return write_versioned(df, table_dir, mode_note=f"compaction to {n_files} files")
+
+
+def save_token_balanced(
+    df: DataFrame,
+    path: str,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_width: int = 4096,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> int:
+    """Token-balanced training-export layout: write the corpus as
+    ``shard=K/`` parquet directories where each shard holds consecutive
+    (by ``id_col``) documents totalling ~``budget_tokens`` whitespace
+    tokens — the shard contract trainers want (equal WORK per file, not
+    equal rows: 100 long docs and 100 tweets are very different steps).
+
+    Shard assignment is floor(exclusive-prefix-token-sum / budget) via
+    the same two-phase distributed prefix sum the packing layouts use —
+    no single-partition window anywhere. Each shard's total is
+    < budget_tokens + max single-doc tokens (one doc may straddle the
+    boundary and is kept whole in the earlier shard). The payload is
+    then hash-repartitioned on the shard id, so every shard is exactly
+    one task = one file per directory; the skinny (id, n_tokens) rows
+    do the prefix-sum shuffles, the payload moves once.
+
+    Returns the number of shards written.
+    """
+    from geo_db_spark.operators.packing import _cum_token_positions
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    pos = _cum_token_positions(
+        df.select(F.col(id_col), F.col(text_col)).withColumn("__src", F.lit("all")),
+        "__src",
+        id_col,
+        text_col,
+        shard_width,
+    )
+    assign = pos.select(
+        F.col("id").alias(id_col),
+        F.floor(F.col("cum_before") / F.lit(budget_tokens)).alias("shard"),
+    )
+    out = df.join(assign, id_col)
+    (
+        out.repartition("shard")
+        .write.mode(mode)
+        .option("compression", compression)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    n = assign.agg(F.count_distinct("shard").alias("n")).collect()[0]["n"]
+    return int(n)

@@ -127,3 +127,54 @@ def chunk_windows(
             F.slice(F.col("__toks"), F.col("start") + 1, F.lit(chunk)), " "
         ).alias("chunk_text"),
     )
+
+
+NFC_CONTROL_PATTERN = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+
+
+def nfc_normalize_clean(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode NFC normalization + C0/DEL control stripping — the
+    cleanup stage every web-scale text pipeline runs first (mojibake
+    from mixed encodings arrives decomposed; stray terminal controls
+    break downstream tokenizers). Strip order is STRIP THEN NORMALIZE
+    (a control char between base and combining mark would otherwise
+    block composition). Keeps \\t and \\n (document structure); strips
+    the rest of C0 plus DEL.
+
+    Spark has no Unicode-normalization builtin, so this is the honest
+    Pandas path: Arrow-batched mapInPandas over (id, text) only —
+    unicodedata's NFC implements the same spec tables utf8proc does, so
+    the DuckDB oracle (nfc_normalize) matches codepoint-for-codepoint.
+
+    Scale: pure map, zero exchanges; per-batch cost is linear in text
+    bytes; NFC on already-composed batches is a fast quick-check scan
+    in CPython."""
+    import re
+    import unicodedata
+
+    ctrl = re.compile(NFC_CONTROL_PATTERN)
+    out_schema = (
+        f"{id_col} long, norm_text string, n_controls_removed long, changed boolean"
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col]
+            stripped = raw.map(lambda s: ctrl.sub("", s))
+            norm = stripped.map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "norm_text": norm,
+                    "n_controls_removed": (
+                        raw.str.len() - stripped.str.len()
+                    ).astype("int64"),
+                    "changed": (norm != raw),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, out_schema)

@@ -863,3 +863,51 @@ LIMIT 100
 
 QUERIES["text_rrf_fusion"] = text_rrf_fusion
 ORACLES["text_rrf_fusion"] = ORACLE_RRF
+
+
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-strip cleanup over an adversarial
+    augmentation of the corpus: each doc gets doc_id%3 BEL controls and
+    a trailing e+combining-acute (even ids, composes under NFC) or a
+    precomposed \u00e9 (odd ids, already NFC) — so n_controls_removed
+    and changed genuinely vary per row and the value oracle exercises
+    composition, stripping, and the no-op path."""
+    tune(spark)
+    from geo_db_spark.operators.text import nfc_normalize_clean
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" x"),
+            F.repeat(F.lit("\u0007"), (F.col("doc_id") % 3).cast("int")),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("e\u0301")).otherwise(
+                F.lit("\u00e9")
+            ),
+        ).alias("text"),
+    )
+    return nfc_normalize_clean(aug, "doc_id", "text")
+
+
+ORACLE_NFC = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' x' || repeat(chr(7), CAST(doc_id % 3 AS INT))
+              || CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769) ELSE chr(233) END AS text
+  FROM documents
+),
+s AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[\x00-\x08\x0B-\x1F\x7F]', '', 'g') AS stripped
+  FROM aug
+)
+SELECT doc_id,
+       nfc_normalize(stripped) AS norm_text,
+       CAST(length(text) - length(stripped) AS BIGINT) AS n_controls_removed,
+       nfc_normalize(stripped) <> text AS changed
+FROM s
+"""
+
+QUERIES["text_nfc_normalize"] = text_nfc_normalize
+ORACLES["text_nfc_normalize"] = ORACLE_NFC

@@ -460,3 +460,52 @@ def test_hilbert_files_tighter_than_zorder(spark, tmp_path):
     assert outs["h"] <= outs["z"] * 1.05, outs
     back = spark.read.parquet(str(tmp_path / "h"))
     assert back.columns == ["x", "y"] and back.count() == 4096
+
+
+def test_token_balanced_shards(spark, tmp_path):
+    """save_token_balanced: every doc present exactly once, shards are
+    contiguous in id order, each shard's token total stays under
+    budget + max single-doc tokens, and every shard dir is ONE file."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load, save_token_balanced
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "tok_balanced")
+    budget = 2000
+    n_shards = save_token_balanced(docs, out, budget_tokens=budget)
+    back = spark.read.parquet(out)
+
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    assert back.select("shard").distinct().count() == n_shards
+
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    per = (
+        back.groupBy("shard")
+        .agg(
+            F.sum(tok).alias("total"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    max_doc = docs.select(F.max(tok).alias("m")).collect()[0]["m"]
+    assert len(per) >= 2  # the budget actually splits this corpus
+    for r in per:
+        assert r["total"] < budget + max_doc
+    # contiguity: shard id ranges don't interleave
+    for a, b in zip(per, per[1:]):
+        assert a["hi"] < b["lo"]
+    # full budget use: every shard except the last is at least budget -
+    # max_doc (no premature cut)
+    for r in per[:-1]:
+        assert r["total"] > budget - max_doc
+    # one file per shard dir
+    for d in glob.glob(out + "/shard=*"):
+        files = [f for f in glob.glob(d + "/*") if f.endswith(".parquet")]
+        assert len(files) == 1, d

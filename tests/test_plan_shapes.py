@@ -262,3 +262,11 @@ def test_rrf_no_single_partition_rank_windows(spark, qs):
     assert plan.count("Window") == 1
     assert "TakeOrderedAndProject" in plan
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_nfc_normalize_is_arrow_batched_pure_map(spark, qs):
+    """The NFC stage is the honest Pandas path: exactly one Arrow-batched
+    python node (MapInPandas), zero exchanges around it."""
+    plan = _plan(qs["text_nfc_normalize"](spark, SF_SMOKE))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
