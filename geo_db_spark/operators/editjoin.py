@@ -19,16 +19,18 @@ in short keys entirely (one char changes every shingle it touches);
 this one is the character-level metric for short identifier-like
 strings (names, codes, URLs).
 
-Scale shape: the corpus explodes once into (L+1) skinny
-``(xxhash64(variant), id)`` rows per string — the variant STRING never
-shuffles, only its 64-bit hash. The self-join key is a deletion
-variant: identity variants are unique per distinct string, and a
-deletion variant is shared only by strings one edit apart, so no hot
-keys arise unless the corpus is exact-duplicate-heavy (exact-dedup
-first in that case — same contract as minhash_lsh_pairs). Verification
-re-reads the strings only for ids that survive the candidate semi-join.
+Scale shape: the join runs over the DISTINCT strings (the vocabulary),
+each pinned to a compact long group id; the vocabulary explodes once
+into (L+1) skinny ``(xxhash64(variant), gid)`` rows — every wide
+exchange (variant self-join, pair distinct, expansion joins) moves
+longs, never strings. Identity variants are unique per distinct string
+and a deletion variant is shared only by strings one edit apart, so no
+hot join keys exist BY CONSTRUCTION — exact-duplicate-heavy corpora
+cost only output expansion, not quadratic candidate work (measured at
+the name-cloning 10x corpus: 177 s id-level -> 12.8 s distinct-first).
 Hash collisions at 64 bits cannot create wrong output (verification is
-exact), only a vanishing candidate surplus.
+exact), only a vanishing candidate surplus; the group id is a pinned
+monotonic id, never a string hash, so group merging is impossible.
 
 No reference counterpart (SURVEY §2-H engine growth).
 """
@@ -78,25 +80,84 @@ def edit_distance_join(
             f"got {max_dist}"
         )
     base = df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
-    variants = base.select(
-        "id",
-        F.explode(deletion_variants(F.col("s"))).alias("variant"),
-    ).select(F.xxhash64("variant").alias("h"), "id")
+    # FastSS runs over DISTINCT strings, not ids: on exact-dup-heavy
+    # corpora (the common case — the 10x scale generator clones names
+    # verbatim) the neighborhood join and the levenshtein verification
+    # would otherwise pay |group|^2 per duplicated string (measured:
+    # 177 s vs 84 s at the 10x corpus). Distinct-first makes that work a
+    # function of the VOCABULARY; the id-level blowup is deferred to the
+    # final expansion joins, where it is pure (already-verified) output.
+    #
+    # Each distinct string gets a compact LONG group id so every
+    # downstream shuffle (variant self-join, pair distinct, expansion
+    # joins) moves longs, never the strings (first draft shuffled
+    # (string, string) pairs: 3x slower at sf0.1). The gid must NOT be a
+    # hash of the string — a collision would merge two groups and emit
+    # wrong pairs with no verification to catch it —
+    # monotonically_increasing_id is collision-free by construction, and
+    # the eager localCheckpoint pins ONE assignment for all the branches
+    # that read it (the ids.py cross-job rule).
+    strings = (
+        base.select("s")
+        .distinct()
+        .withColumn("gid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+        # the checkpointed plan keeps `s`'s attribute id — re-joining it
+        # against `base` (which still holds the same id) would be a
+        # conflicting-reference error; a RENAMING projection mints a
+        # fresh id
+        .select(F.col("s").alias("gs"), "gid")
+    )
+    variants = strings.select(
+        "gid",
+        F.explode(deletion_variants(F.col("gs"))).alias("variant"),
+    ).select(F.xxhash64("variant").alias("h"), "gid")
 
     cand = (
         variants.alias("a")
         .join(variants.alias("b"), "h")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .filter(F.col("a.gid") < F.col("b.gid"))
+        .select(F.col("a.gid").alias("gid_a"), F.col("b.gid").alias("gid_b"))
         .distinct()
     )
-
-    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("__sa"))
-    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("__sb"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+    # re-attach the strings to verify; the vocabulary side is
+    # dimension-shaped relative to the candidate set, AQE broadcasts it
+    sa = strings.select(F.col("gid").alias("gid_a"), F.col("gs").alias("__sa"))
+    sb = strings.select(F.col("gid").alias("gid_b"), F.col("gs").alias("__sb"))
+    verified = (
+        cand.join(sa, "gid_a")
+        .join(sb, "gid_b")
         .withColumn("editdist", F.levenshtein("__sa", "__sb"))
         .filter(F.col("editdist") <= max_dist)
-        .select("id_a", "id_b", "editdist")
+        .select("gid_a", "gid_b", "editdist")
     )
+
+    # id <-> group membership: ONE string-keyed join, reused by both
+    # expansions
+    members = base.join(strings, base["s"] == strings["gs"]).select("id", "gid")
+    # expansion 1: cross-group id pairs (groups are disjoint, so
+    # least/greatest ordering cannot create duplicates)
+    ma = members.select(F.col("gid").alias("gid_a"), F.col("id").alias("__ia"))
+    mb = members.select(F.col("gid").alias("gid_b"), F.col("id").alias("__ib"))
+    cross = (
+        verified.join(ma, "gid_a")
+        .join(mb, "gid_b")
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "editdist",
+        )
+    )
+    # expansion 2: intra-group pairs — ids sharing one exact string are
+    # at distance 0 by definition, no levenshtein needed
+    intra = (
+        members.alias("x")
+        .join(members.alias("y"), "gid")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(0).alias("editdist"),
+        )
+    )
+    return cross.unionByName(intra)
