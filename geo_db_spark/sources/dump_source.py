@@ -39,7 +39,12 @@ import os
 import urllib.error
 import urllib.request
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 DEFAULT_NUM_PARTITIONS = 8
 _CHUNK = 1 << 20
@@ -168,15 +173,7 @@ class _DumpReader(DataSourceReader):
                 for line in _iter_lines_from_stream(stream, start, end, skip_first):
                     yield (line.decode("utf-8", errors="replace"),)
         else:
-            with open(self.path, "rb") as f:
-                skip_first = False
-                if start > 0:
-                    f.seek(start - 1)
-                    skip_first = f.read(1) != b"\n"
-                else:
-                    f.seek(start)
-                for line in _iter_lines_from_stream(f, start, end, skip_first):
-                    yield (line.decode("utf-8", errors="replace"),)
+            yield from _read_local_slice(self.path, start, end)
 
 
 class WikidataDumpDataSource(DataSource):
@@ -189,3 +186,109 @@ class WikidataDumpDataSource(DataSource):
 
     def reader(self, schema) -> _DumpReader:
         return _DumpReader(self.options)
+
+    def streamReader(self, schema) -> "_DumpStreamReader":
+        return _DumpStreamReader(self.options)
+
+
+def _read_local_slice(path: str, start: int, end: int):
+    """The batch reader's local-file branch as a reusable generator —
+    identical ownership rule, shared by the batch and stream readers."""
+    if start == end:
+        return
+    with open(path, "rb") as f:
+        skip_first = False
+        if start > 0:
+            f.seek(start - 1)
+            skip_first = f.read(1) != b"\n"
+        else:
+            f.seek(start)
+        for line in _iter_lines_from_stream(f, start, end, skip_first):
+            yield (line.decode("utf-8", errors="replace"),)
+
+
+def _last_line_boundary(path: str, upto: int) -> int:
+    """Largest p <= upto such that byte p-1 is a newline (0 if none):
+    the stream offset frontier. Scans backwards in chunks from ``upto``
+    so a torn final line (a writer mid-append) is never claimed by an
+    offset — claiming it would emit a prefix once and then skip the
+    completed line forever (the skip_first rule would eat it)."""
+    with open(path, "rb") as f:
+        pos = upto
+        while pos > 0:
+            lo = max(0, pos - _CHUNK)
+            f.seek(lo)
+            buf = f.read(pos - lo)
+            nl = buf.rfind(b"\n")
+            if nl >= 0:
+                return lo + nl + 1
+            pos = lo
+    return 0
+
+
+class _DumpStreamReader(DataSourceStreamReader):
+    """Streaming tail of a line-ledger file with byte-position offsets —
+    the streaming twin of the batch reader. Each micro-batch claims
+    [start, end) where ``end`` advances by at most
+    ``maxbytespertrigger`` AND always lands one byte past a newline
+    (_last_line_boundary), so every emitted line is complete and every
+    batch boundary is exactly-once by the same line-ownership rule the
+    batch slices use. Offsets live in the query checkpoint; a restarted
+    query resumes from the committed position (Spark passes it back via
+    partitions(start, end) — the reader keeps no authoritative state).
+
+    Local files only: an HTTP tail cannot give consistent byte offsets
+    without validators; the batch reader covers HTTP. Appends must be
+    whole-file-append (a ledger), not in-place rewrites.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wikidata_dump stream: option 'path' is required")
+        if self.path.startswith(("http://", "https://")):
+            raise ValueError(
+                "wikidata_dump stream: HTTP tailing is not supported; "
+                "stream from a local/mounted ledger file"
+            )
+        if self.path.endswith(".bz2"):
+            raise ValueError(
+                "wikidata_dump stream: .bz2 is not byte-splittable"
+            )
+        self.n = int(options.get("numpartitions", DEFAULT_NUM_PARTITIONS))
+        self.max_bytes = int(options.get("maxbytespertrigger", 1 << 20))
+        if self.max_bytes <= 0:
+            raise ValueError("maxbytespertrigger must be positive")
+        # rate-limit bookkeeping only — NEVER authoritative (the
+        # checkpoint is); None means "first latestOffset after (re)start",
+        # where we allow a full catch-up batch
+        self._pos: int | None = None
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        size = os.stat(self.path).st_size
+        cap = size if self._pos is None else min(size, self._pos + self.max_bytes)
+        off = _last_line_boundary(self.path, cap)
+        if self._pos is not None:
+            off = max(off, self._pos)  # never regress the frontier
+        self._pos = off
+        return {"pos": off}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["pos"]), int(end["pos"])
+        # restart resync: the checkpointed end is authoritative
+        self._pos = max(self._pos or 0, e)
+        if e <= s:
+            return [_Slice(s, s)]
+        n = max(1, min(self.n, e - s))
+        step = (e - s) // n
+        bounds = [s + i * step for i in range(n)] + [e]
+        return [_Slice(bounds[i], bounds[i + 1]) for i in range(n)]
+
+    def read(self, partition: _Slice):
+        yield from _read_local_slice(self.path, partition.start, partition.end)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are checkpoint-managed; nothing external to ack

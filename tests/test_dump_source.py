@@ -160,3 +160,118 @@ def test_boundary_exactly_at_line_start_not_lost(registered, tmp_path):
         .collect()
     )
     assert got == sorted(lines)
+
+
+def _await_rows(spark, table, want, timeout=60):
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        n = spark.sql(f"select count(*) n from {table}").collect()[0]["n"]
+        if n >= want:
+            return n
+        time.sleep(0.3)
+    return spark.sql(f"select count(*) n from {table}").collect()[0]["n"]
+
+
+def test_stream_tail_rate_limited_exactly_once(registered, tmp_path):
+    """Streaming twin: a small maxbytespertrigger forces MANY micro-
+    batches over one ledger; the union of all batches must be exactly
+    the file's lines — no loss, no duplicates — with batch boundaries
+    landing mid-file (the ownership rule across OFFSETS, not just
+    partitions)."""
+    lines = _lines(300)
+    p = tmp_path / "ledger.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    q = (
+        registered.readStream.format("wikidata_dump")
+        .option("path", str(p))
+        .option("maxbytespertrigger", 2048)
+        .option("numpartitions", 3)
+        .load()
+        .writeStream.format("memory")
+        .queryName("dump_tail")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        got_n = _await_rows(registered, "dump_tail", len(lines))
+        got = [r["value"] for r in registered.sql("select value from dump_tail").collect()]
+    finally:
+        q.stop()
+    assert sorted(got) == sorted(lines)
+    assert got_n == len(lines)
+    # the rate limit must actually have split the work
+    assert q.lastProgress is None or q.recentProgress  # progress recorded
+
+
+def test_stream_tail_never_emits_torn_line(registered, tmp_path):
+    """A writer mid-append leaves an unterminated tail; the offset
+    frontier must hold BEFORE it (no prefix emission), then emit the
+    completed line exactly once after the newline lands."""
+    p = tmp_path / "torn.jsonl"
+    p.write_text("alpha\nbeta\ngam")  # torn third line
+    q = (
+        registered.readStream.format("wikidata_dump")
+        .option("path", str(p))
+        .load()
+        .writeStream.format("memory")
+        .queryName("torn_tail")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        _await_rows(registered, "torn_tail", 2)
+        got1 = {r["value"] for r in registered.sql("select value from torn_tail").collect()}
+        assert got1 == {"alpha", "beta"}  # 'gam' prefix withheld
+        with open(p, "a") as f:
+            f.write("ma\ndelta\n")  # complete the torn line + one more
+        _await_rows(registered, "torn_tail", 4)
+        got2 = {r["value"] for r in registered.sql("select value from torn_tail").collect()}
+    finally:
+        q.stop()
+    assert got2 == {"alpha", "beta", "gamma", "delta"}
+
+
+def test_stream_tail_restart_resumes_from_checkpoint(registered, tmp_path):
+    """Exactly-once across a restart: stop after consuming the first
+    write, append, restart with the SAME checkpoint — the sink gains
+    only the new lines (offsets came from the checkpoint, not the
+    reader's memory)."""
+    p = tmp_path / "resume.jsonl"
+    out = str(tmp_path / "resume_out")
+    ckpt = str(tmp_path / "resume_ckpt")
+    p.write_text("one\ntwo\n")
+
+    def run(expect):
+        q = (
+            registered.readStream.format("wikidata_dump")
+            .option("path", str(p))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            import time
+
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    n = registered.read.parquet(out).count()
+                except Exception:
+                    n = 0
+                if n >= expect:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+
+    run(2)
+    with open(p, "a") as f:
+        f.write("three\nfour\n")
+    run(4)
+    got = sorted(r["value"] for r in registered.read.parquet(out).collect())
+    assert got == ["four", "one", "three", "two"]
