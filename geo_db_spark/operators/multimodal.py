@@ -123,10 +123,12 @@ def _decode_bmp(payload: bytes):
     w, h_raw = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression == 1 and bpp == 8:
+        return _decode_bmp_rle8(payload)
     if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
-            f"compression={compression})"
+            f"only BI_RGB 24/32-bit and BI_RLE8 8-bit BMP supported "
+            f"(bpp={bpp}, compression={compression})"
         )
     h = abs(h_raw)
     bytes_pp = bpp // 8
@@ -138,6 +140,104 @@ def _decode_bmp(payload: bytes):
     if h_raw > 0:
         rgb = rgb[::-1]  # bottom-up storage -> top-down
     return np.ascontiguousarray(rgb)
+
+
+def _decode_bmp_rle8(payload: bytes):
+    """BI_RLE8 BMP (Windows BMP spec, public): 8-bit palette-indexed
+    pixels, run-length encoded bottom-up. Opcodes: (n>0, v) = n copies
+    of index v; (0,0) = end of line; (0,1) = end of bitmap; (0,2,dx,dy)
+    = cursor delta (skipped pixels stay index 0 per spec); (0, n>=3,
+    n bytes [, pad]) = absolute literal run, word-aligned. Returned as
+    top-down RGB via the BGRA palette."""
+    import struct
+
+    import numpy as np
+
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    if h_raw < 0:
+        raise ValueError("RLE8 BMP cannot be top-down (spec forbids)")
+    h = h_raw
+    clr_used = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal_off = 14 + header_size
+    pal = (
+        np.frombuffer(payload, dtype=np.uint8, count=clr_used * 4, offset=pal_off)
+        .reshape(-1, 4)[:, 2::-1]  # BGRA quads -> RGB
+        .copy()
+    )
+    if clr_used < 256:  # out-of-range indices defined as 0 by padding
+        pal = np.vstack([pal, np.zeros((256 - clr_used, 3), np.uint8)])
+
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0  # y counts from the BOTTOM row (storage order)
+    i = data_offset
+    n_bytes = len(payload)
+    while i + 1 < n_bytes:
+        b0, b1 = payload[i], payload[i + 1]
+        i += 2
+        if b0 > 0:  # encoded run
+            end = min(x + b0, w)
+            if y < h:
+                idx[y, x:end] = b1
+            x += b0
+        elif b1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif b1 == 1:  # end of bitmap
+            break
+        elif b1 == 2:  # delta
+            x += payload[i]
+            y += payload[i + 1]
+            i += 2
+        else:  # absolute mode: b1 literal indices, word-aligned
+            lit = np.frombuffer(payload, dtype=np.uint8, count=b1, offset=i)
+            i += b1 + (b1 & 1)
+            end = min(x + b1, w)
+            if y < h:
+                idx[y, x:end] = lit[: end - x]
+            x += b1
+    return np.ascontiguousarray(pal[idx][::-1])  # bottom-up -> top-down
+
+
+def make_bmp_rle8(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Assemble a REAL BI_RLE8 BMP: maximal encoded runs per row (the
+    actual compression, not a stored escape hatch), end-of-line after
+    every row, end-of-bitmap last. ``indices`` is top-down row-major
+    (len = width*height); ``palette`` is 256*3 RGB bytes (stored as
+    BGRA quads per the spec). Fixture twin of the RLE8 decoder, same
+    contract as make_png/make_gif."""
+    import struct
+
+    if len(indices) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(indices)}")
+    if len(palette) != 256 * 3:
+        raise ValueError("palette must be 256*3 RGB bytes")
+    quads = bytearray()
+    for c in range(256):
+        r, g, b = palette[3 * c : 3 * c + 3]
+        quads += bytes((b, g, r, 0))
+    enc = bytearray()
+    for row in range(height - 1, -1, -1):  # stored bottom-up
+        line = indices[row * width : (row + 1) * width]
+        x = 0
+        while x < width:
+            run = 1
+            while x + run < width and line[x + run] == line[x] and run < 255:
+                run += 1
+            enc += bytes((run, line[x]))
+            x += run
+        enc += b"\x00\x00"  # end of line
+    enc += b"\x00\x01"  # end of bitmap
+    data_offset = 14 + 40 + len(quads)
+    header = b"BM" + struct.pack(
+        "<IHHI", data_offset + len(enc), 0, 0, data_offset
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(enc), 0, 0, 256, 0
+    )
+    return header + info + bytes(quads) + bytes(enc)
 
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"

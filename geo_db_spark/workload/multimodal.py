@@ -616,3 +616,70 @@ ORACLES = {
     "mm_audio_downsample": ORACLE_MM_AUDIO_DOWNSAMPLE,
     "mm_image_decode_gif": ORACLE_MM_IMAGE_DECODE_GIF,
 }
+
+
+def mm_image_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI_RLE8 BMP end-to-end (r7): each document's leading 4·H text
+    bytes become palette indices of a 4-wide RLE8-compressed BMP (REAL
+    maximal-run encoding, bottom-up rows, EOL/EOB escapes) over a
+    grayscale palette, decoded back by the pure-Python RLE walker in
+    one Arrow-batched mapInPandas pass. Grayscale palette => decoded
+    RGB = each index tripled, so the DuckDB oracle reproduces the pixel
+    md5 with a regex char-tripling (same construction as the GIF and
+    PNG decode oracles — one per real decoder)."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_image, make_bmp_rle8
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_md5", T.StringType()),
+        ]
+    )
+    BMP_W = 4
+    PAL = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant (ADVICE r6)
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char raster/oracle arithmetic"
+                    )
+                h = len(raw) // BMP_W
+                bmp = make_bmp_rle8(BMP_W, h, raw[: h * BMP_W], PAL)
+                arr = decode_image(bmp)
+                rows.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     hashlib.md5(arr.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pixel_md5"])
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+ORACLE_MM_IMAGE_DECODE_BMP_RLE = r"""
+SELECT doc_id,
+       CAST(4 AS INT) AS width,
+       CAST(length(text) // 4 AS INT) AS height,
+       md5(regexp_replace(substr(text, 1, CAST((length(text) // 4) * 4 AS INT)),
+           '(.)', '\1\1\1', 'g')) AS pixel_md5
+FROM documents
+"""
+
+QUERIES["mm_image_decode_bmp_rle"] = mm_image_decode_bmp_rle
+ORACLES["mm_image_decode_bmp_rle"] = ORACLE_MM_IMAGE_DECODE_BMP_RLE

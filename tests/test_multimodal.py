@@ -431,3 +431,93 @@ def test_gif_lzw_code_width_growth_and_reset():
     pal = bytes(bytearray(v for i in range(256) for v in (i, i, i)))
     arr = _decode_gif(make_gif(120, 120, idx, pal))
     assert (arr[:, :, 0].tobytes() == idx)
+
+
+def test_bmp_rle8_roundtrip_hypothesis():
+    """make_bmp_rle8 -> decode_image roundtrips arbitrary index rasters
+    and palettes (runs-heavy and alternating alike), matching the
+    PPM/BMP/PNG fuzz suites. Pure Python, no Spark."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geo_db_spark.operators.multimodal import decode_image, make_bmp_rle8
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        data=st.data(),
+    )
+    def run(w, h, data):
+        idx = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)
+            )
+        )
+        pal = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=768, max_size=768)
+            )
+        )
+        arr = decode_image(make_bmp_rle8(w, h, idx, pal))
+        want = np.array(
+            [
+                [list(pal[3 * i : 3 * i + 3]) for i in idx[r * w : (r + 1) * w]]
+                for r in range(h)
+            ],
+            dtype=np.uint8,
+        ).reshape(h, w, 3)
+        assert (arr == want).all()
+
+    run()
+
+
+def test_bmp_rle8_absolute_and_delta_escapes():
+    """Hand-built payload exercising the opcodes make_bmp_rle8 never
+    emits: absolute literal mode (word-aligned), the (0,2,dx,dy) cursor
+    delta (skipped pixels stay index 0 per spec), EOL, EOB."""
+    import struct
+
+    from geo_db_spark.operators.multimodal import decode_image
+
+    quads = b"".join(bytes((c, c, c, 0)) for c in range(256))
+    # 4x2, stored bottom-up:
+    #  stored row 0 (image bottom): absolute [7,8,9] + pad, run (1,6)
+    #  stored row 1 (image top):    delta skip 2, run (2,5)
+    enc = bytes(
+        [0, 3, 7, 8, 9, 0, 1, 6, 0, 0,  # abs(3) pad, run, EOL
+         0, 2, 2, 0, 2, 5, 0, 0,        # delta(+2,0), run, EOL
+         0, 1]                          # EOB
+    )
+    off = 14 + 40 + len(quads)
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(enc), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(enc), 0, 0, 256, 0)
+        + quads
+        + enc
+    )
+    arr = decode_image(payload)
+    assert arr.shape == (2, 4, 3)
+    assert arr[:, :, 0].tolist() == [[0, 0, 5, 5], [7, 8, 9, 6]]
+
+
+def test_bmp_rle8_topdown_refused():
+    import struct
+
+    import pytest
+
+    from geo_db_spark.operators.multimodal import decode_image
+
+    quads = b"\x00" * 1024
+    off = 14 + 40 + len(quads)
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", off + 2, 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 4, -2, 1, 8, 1, 2, 0, 0, 256, 0)
+        + quads
+        + b"\x00\x01"
+    )
+    with pytest.raises(ValueError):
+        decode_image(payload)
