@@ -200,3 +200,97 @@ ORACLES = {
     "cdc_table_changes": ORACLE_CDC_TABLE_CHANGES,
     "cdc_scd2_event_type_history": ORACLE_SCD2,
 }
+
+
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-segment (COUNT, SUM) view
+    maintained from the change feed alone — old_agg + delta over
+    changed keys, never re-scanning unchanged rows. The oracle
+    recomputes the view from scratch on the new snapshot, so the gate
+    IS the IVM identity (maintained == recomputed, decimal-exact)."""
+    tune(spark)
+    from geo_db_spark.operators.cdc import incremental_sum_count
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    out = incremental_sum_count(
+        cust, _next_snapshot(cust), ["c_custkey"], "c_mktsegment", "c_acctbal"
+    )
+    return out.select(
+        "c_mktsegment",
+        "n_rows",
+        F.col("total").cast("double").alias("total_bal"),
+    )
+
+
+ORACLE_INCREMENTAL_AGG = f"""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM ({_NEXT_SQL})
+GROUP BY 1
+"""
+
+QUERIES["cdc_incremental_agg"] = cdc_incremental_agg
+ORACLES["cdc_incremental_agg"] = ORACLE_INCREMENTAL_AGG
+
+
+def cdc_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the SCD2 history: each PURCHASE
+    event picks up the non-purchase activity state its user was in AT
+    purchase time (valid_from <= ts < valid_to, open interval current)
+    — the leakage-safe feature join SCD2 exists for (a feature computed
+    from the CURRENT dimension row would leak the future). Purchases
+    interleave with the state changes, so matches land mid-history, not
+    just on the open interval."""
+    tune(spark)
+    from geo_db_spark.operators.cdc import scd2_history, scd2_point_in_time
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    hist = scd2_history(
+        ev.filter(F.col("event_type") != "purchase"),
+        ["user_id"],
+        ["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = scd2_point_in_time(hist, probes, ["user_id"], "ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_type").alias("state_at_purchase"),
+        "valid_from",
+        "valid_to",
+    )
+
+
+ORACLE_SCD2_PIT = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE event_type <> 'purchase'
+),
+runs AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE event_type IS DISTINCT FROM prev
+),
+hist AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM runs
+)
+SELECT p.event_id, p.user_id, p.ts,
+       h.event_type AS state_at_purchase, h.valid_from, h.valid_to
+FROM events p JOIN hist h ON h.user_id = p.user_id
+ AND h.valid_from <= p.ts
+ AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+WHERE p.event_type = 'purchase'
+"""
+
+QUERIES["cdc_scd2_point_in_time"] = cdc_scd2_point_in_time
+ORACLES["cdc_scd2_point_in_time"] = ORACLE_SCD2_PIT

@@ -201,3 +201,88 @@ def test_scd2_history_collapses_and_chains(spark):
         (3, None, t(4), None, True),
         (3, "gold", t(2), t(4), False),
     ]  # note: sort key maps None tier to '' (rows 5-6 sort before 'gold')
+
+
+def test_incremental_sum_count_matches_recompute(spark):
+    """The IVM identity on every change shape at once: group vanishes
+    (all rows deleted), group appears (insert into new group), update
+    moves a row ACROSS groups, update changes value in place, plus
+    untouched rows. Maintained view == from-scratch aggregation of the
+    new snapshot, decimal-exact."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.cdc import incremental_sum_count
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "a", 20.0),
+            (3, "b", 5.0),   # group b will vanish
+            (4, "c", 7.0),   # moves to group d
+            (5, "c", 9.0),   # value change in place
+            (6, "e", 1.0),   # untouched
+        ],
+        "id long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "a", 20.0),
+            # 3 deleted -> b gone
+            (4, "d", 7.5),   # moved c -> d AND value changed
+            (5, "c", 11.0),
+            (6, "e", 1.0),
+            (7, "f", 3.25),  # new group f
+        ],
+        "id long, g string, v double",
+    )
+    got = {
+        (r["g"], r["n_rows"], float(r["total"]))
+        for r in incremental_sum_count(old, new, ["id"], "g", "v").collect()
+    }
+    want = {
+        (r["g"], r["n"], float(r["t"]))
+        for r in new.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("decimal(18,2)").alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert not any(g == "b" for g, *_ in got)  # vanished group dropped
+
+
+def test_scd2_point_in_time_interval_pick(spark):
+    """Probes land in the right interval: mid-history, boundary (ts ==
+    valid_from belongs to the NEW interval), open current interval, and
+    before-first-interval probes drop."""
+    import datetime as dt
+
+    from geo_db_spark.operators.cdc import scd2_history, scd2_point_in_time
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    feed = spark.createDataFrame(
+        [
+            (1, "bronze", T("2024-01-01 00:00:00"), 1),
+            (1, "silver", T("2024-01-10 00:00:00"), 2),
+            (1, "gold", T("2024-01-20 00:00:00"), 3),
+        ],
+        "user_id long, tier string, ts timestamp_ntz, event_id long",
+    )
+    hist = scd2_history(feed, ["user_id"], ["tier"], "ts", ["event_id"])
+    probes = spark.createDataFrame(
+        [
+            (100, 1, T("2023-12-31 23:59:59")),  # before history -> dropped
+            (101, 1, T("2024-01-05 00:00:00")),  # bronze
+            (102, 1, T("2024-01-10 00:00:00")),  # boundary -> silver
+            (103, 1, T("2024-02-01 00:00:00")),  # open interval -> gold
+            (104, 2, T("2024-01-05 00:00:00")),  # unknown user -> dropped
+        ],
+        "probe_id long, user_id long, ts timestamp_ntz",
+    )
+    got = {
+        r["probe_id"]: r["tier"]
+        for r in scd2_point_in_time(hist, probes, ["user_id"], "ts").collect()
+    }
+    assert got == {101: "bronze", 102: "silver", 103: "gold"}
