@@ -96,6 +96,10 @@ TIER2 = [
     "text_chunk_windows",
     "text_bm25_rank",
     "text_rrf_fusion",
+    "text_nfc_normalize",
+    "mm_image_decode_bmp_rle",
+    "cdc_incremental_agg",
+    "cdc_scd2_point_in_time",
 ]
 
 

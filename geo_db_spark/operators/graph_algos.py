@@ -214,3 +214,51 @@ def sssp_bellman_ford(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "a",
+    dst_col: str = "b",
+    rounds: int = 4,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983 "Network structure and minimum
+    degree" — public): ``rounds`` synchronous rounds of dropping every
+    node whose degree in the SURVIVING subgraph is < k. With enough
+    rounds this converges to the exact k-core (the maximal subgraph of
+    min-degree >= k); a fixed round count keeps the plan static and the
+    oracle expressible as K chained CTEs — the pagerank/Bellman-Ford
+    convention. Returns (node, degree) for nodes alive after the last
+    peel, with their degree in the surviving subgraph.
+
+    Scale shape: each round = one degree aggregate over the surviving
+    symmetric edge list + one semi-join filter of edges against
+    surviving nodes — both keyed on the node, riding one exchange; the
+    edge list is localCheckpoint'ed per round (lineage O(1), the
+    components.py rule). Monotone: the surviving set only shrinks, so
+    per-round cost falls.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"need k >= 1 and rounds >= 1: got k={k}, rounds={rounds}")
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("u")
+        sym = (
+            sym.join(alive, "u")
+            .join(alive.withColumnsRenamed({"u": "v"}), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("u").alias("node"), "degree")
+    )

@@ -252,3 +252,57 @@ SELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}
 
 QUERIES["g20_sssp_part_graph"] = g20_sssp_part_graph
 ORACLES["g20_sssp_part_graph"] = _sssp_oracle()
+
+
+def g26_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round 3-core peeling over the part co-occurrence graph (g15's
+    edge derivation): nodes surviving iterative min-degree-3 deletion,
+    with their core-subgraph degree. The family's missing
+    shrinking-fixpoint shape (closure grows, pagerank is static, this
+    PEELS). Oracle = 4 chained peel CTEs."""
+    tune(spark)
+    from geo_db_spark.operators.graph_algos import kcore_peel
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.withColumnsRenamed({"l_partkey": "pk2"})
+    pairs = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("pk2"))
+        .select(F.col("l_partkey").alias("a"), F.col("pk2").alias("b"))
+        .distinct()
+    )
+    return kcore_peel(pairs, k=3, rounds=4)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    base = """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+sym0 AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION ALL
+  SELECT b AS u, a AS v FROM pairs
+)"""
+    prev = "sym0"
+    for i in range(1, rounds + 1):
+        base += f""",
+alive{i} AS (
+  SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {k}
+),
+sym{i} AS (
+  SELECT s.u, s.v FROM {prev} s
+  JOIN alive{i} x ON s.u = x.u
+  JOIN alive{i} y ON s.v = y.u
+)"""
+        prev = f"sym{i}"
+    return base + f"""
+SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM {prev} GROUP BY u
+"""
+
+
+QUERIES["g26_kcore_parts"] = g26_kcore_parts
+ORACLES["g26_kcore_parts"] = _kcore_oracle()

@@ -50,3 +50,33 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, "src", "dst", max_iters=1)
+
+
+def test_kcore_peel_cascades(spark):
+    """The defining k-core property: peeling CASCADES. A chain hanging
+    off a triangle dies one link per round (degree drops below k only
+    after the outer node peels); the triangle is the exact 2-core."""
+    from geo_db_spark.operators.graph_algos import kcore_peel
+
+    # triangle 1-2-3, chain 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    out = {r["node"]: r["degree"] for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}  # chain fully peeled, triangle intact
+
+    # one round is NOT enough: node 4 still alive (5 peels first)
+    partial = {r["node"] for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert 4 in partial and 5 not in partial
+
+
+def test_kcore_rejects_bad_params(spark):
+    import pytest
+
+    from geo_db_spark.operators.graph_algos import kcore_peel
+
+    edges = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=0)
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=2, rounds=0)
