@@ -342,3 +342,47 @@ FROM a GROUP BY bucket_cap, batch_ix
 
 QUERIES["pack_length_bucketed_batches"] = pack_length_bucketed_batches
 ORACLES["pack_length_bucketed_batches"] = ORACLE_LEN_BATCHES
+
+
+def pack_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch reshuffling (r7b): every training epoch
+    gets its own global document order from a pure function of
+    (doc_id, epoch) — md5-derived 64-bit keys, so epoch orders are
+    independent permutations yet reproducible across runs, machines and
+    partitionings (the property epoch shuffling needs: NO data movement,
+    the order is computed, not stored). Sequence numbers come from
+    assign_stable_ids over (epoch, key) — the range-exchange global rank,
+    never a SinglePartition window; epoch is the leading sort key so one
+    ranking pass numbers all epochs, and per-epoch seq = global ordinal
+    (epochs are equal-sized blocks of the ordering)."""
+    tune(spark)
+    from geo_db_spark.operators.dedup import md5_prefix64
+    from geo_db_spark.operators.ids import assign_stable_ids
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").cast("long").alias("epoch"))
+    keyed = docs.crossJoin(epochs).select(
+        "doc_id",
+        "epoch",
+        md5_prefix64(
+            F.concat(F.col("doc_id").cast("string"), F.lit("-e"), F.col("epoch").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    return assign_stable_ids(
+        keyed, ["epoch", "shuffle_key", "doc_id"], id_name="ord"
+    ).select("epoch", "doc_id", "shuffle_key", "ord")
+
+
+ORACLE_EPOCH_SHUFFLE = """
+WITH keyed AS (
+  SELECT d.doc_id, e.epoch,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '-e' || CAST(e.epoch AS VARCHAR)), 1, 8))::BIGINT AS shuffle_key
+  FROM documents d CROSS JOIN (SELECT 0 AS epoch UNION ALL SELECT 1) e
+)
+SELECT epoch, doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY epoch, shuffle_key, doc_id) AS BIGINT) AS ord
+FROM keyed
+"""
+
+QUERIES["pack_epoch_shuffle"] = pack_epoch_shuffle
+ORACLES["pack_epoch_shuffle"] = ORACLE_EPOCH_SHUFFLE
