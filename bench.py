@@ -100,6 +100,8 @@ TIER2 = [
     "mm_image_decode_bmp_rle",
     "cdc_incremental_agg",
     "cdc_scd2_point_in_time",
+    "g26_kcore_parts",
+    "pack_epoch_shuffle",
 ]
 
 
