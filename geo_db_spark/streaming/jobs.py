@@ -189,8 +189,10 @@ def click_impression_stream_join(
     emitted (they are not yet provably unmatched); tests push the
     watermark with frontier events to drain them. State bound is the
     same O(rate x (window + lateness)) as the inner form."""
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError(
+            f"how must be 'inner', 'left_outer' or 'full_outer', got {how!r}"
+        )
     c = (
         clicks.filter(F.col("event_type") == "click")
         .select(
@@ -210,7 +212,7 @@ def click_impression_stream_join(
         )
         .withWatermark("i_ts", f"{late_minutes} minutes")
     )
-    return c.join(
+    joined = c.join(
         i,
         F.expr(
             f"c_user_id = i_user_id AND "
@@ -218,7 +220,18 @@ def click_impression_stream_join(
             f"AND c_ts + INTERVAL {window_minutes} MINUTES"
         ),
         how,
-    ).select("c_event_id", "c_user_id", "c_ts", "i_event_id", "i_ts", "i_value")
+    )
+    cols = ["c_event_id", "c_user_id", "c_ts", "i_event_id", "i_ts", "i_value"]
+    if how == "full_outer":
+        # r7b: unmatched IMPRESSIONS also surface (impressions that drove
+        # no click — the wasted-spend rows); their c_* side is null, so a
+        # coalesced user_id keeps every row attributable. Same eviction
+        # rule both ways: a row emits null-extended only once the
+        # opposite side's watermark proves it final.
+        return joined.select(
+            *cols, F.coalesce("c_user_id", "i_user_id").alias("user_id")
+        )
+    return joined.select(*cols)
 
 
 def enrich_stream_with_dim(

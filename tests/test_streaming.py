@@ -858,3 +858,64 @@ def test_builtin_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 3  # user 1 split into two sessions; user 2 one
+
+
+def test_click_impression_full_outer_join(spark, tmp_path):
+    """r7b FULL OUTER interval join: unmatched rows surface from BOTH
+    sides — the unmatched click null-extends its i_* columns, the
+    unmatched view (wasted impression) null-extends its c_* columns —
+    each only once the opposite watermark proves it final; matched rows
+    behave as the inner join."""
+    from datetime import datetime
+
+    from geo_db_spark.streaming import click_impression_stream_join, read_events_stream
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda m: datetime(2024, 1, 1, 12, m)
+
+    def run():
+        q = (
+            click_impression_stream_join(
+                read_events_stream(spark, src, encoding="micros"),
+                read_events_stream(spark, src, encoding="micros"),
+                how="full_outer",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # user 1: matched pair. user 2: click whose only view is outside the
+    # window -> BOTH null rows must eventually emit (one per side).
+    # user 3: lone view -> full outer must surface it (unlike left).
+    # Frontier at 15:00 pushes the watermark past every eviction time.
+    _write_events(
+        spark,
+        [
+            (1, t(0), 1, "click", 1.0, "{}"),
+            (2, t(5), 1, "view", 2.0, "{}"),
+            (3, t(0), 2, "click", 1.0, "{}"),
+            (4, t(20), 2, "view", 3.0, "{}"),  # outside ±10 min
+            (5, t(5), 3, "view", 4.0, "{}"),  # lone view
+            (8, datetime(2024, 1, 1, 15, 0), 99, "click", 0.0, "{}"),
+            (9, datetime(2024, 1, 1, 15, 0), 98, "view", 0.0, "{}"),
+        ],
+        src,
+    )
+    run()
+    rows = {
+        (r.c_event_id, r.i_event_id, r.user_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, 2, 1) in rows            # matched
+    assert (3, None, 2) in rows          # unmatched click, user attributable
+    assert (None, 4, 2) in rows          # out-of-window view surfaces too
+    assert (None, 5, 3) in rows          # lone view surfaces (vs left outer)
+    # frontier rows (15:00) are not yet provably unmatched at wm 14:30
+    assert not any(c == 8 or i == 9 for c, i, _ in rows)
