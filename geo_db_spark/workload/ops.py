@@ -1383,3 +1383,59 @@ WHERE CAST(mom.n * b.v - mom.s AS DOUBLE) * CAST(mom.n * b.v - mom.s AS DOUBLE)
 
 QUERIES["g21_zscore_outliers"] = g21_zscore_outliers
 ORACLES["g21_zscore_outliers"] = ORACLE_G21
+
+
+def g27_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate (r7b): median absolute deviation instead of
+    g21's mean/sigma — MAD is what production data-quality gates use
+    when the metric itself has heavy tails (3-sigma's mean AND sigma are
+    dragged by the very outliers being hunted; the median and MAD are
+    50%-breakdown robust). Flags events with |v - median| > 3 * MAD per
+    event type.
+
+    Two exact-percentile passes (median of v, then median of |v - med|),
+    g7's determinism recipe (decimal-quantized doubles so both engines
+    interpolate identical values); the per-type (median, mad) table is
+    dimension-sized and broadcast onto the event scan — same comparison
+    shape as g21's broadcast moments."""
+    tune(spark)
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)").cast("double")
+    med = ev.groupBy("event_type").agg(F.percentile(v, F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        v.alias("v"),
+        "med",
+        F.abs(v - F.col("med")).alias("absdev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("absdev"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("v") - F.col("med")) > F.lit(3.0) * F.col("mad"))
+        .select("event_type", "event_id", "v", "med", "mad")
+    )
+
+
+ORACLE_G27 = """
+WITH q AS (
+  SELECT event_type, event_id,
+         CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS v
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM q GROUP BY event_type
+),
+mad AS (
+  SELECT q.event_type, quantile_cont(abs(q.v - m.med), 0.5) AS mad
+  FROM q JOIN med m USING (event_type) GROUP BY q.event_type
+)
+SELECT q.event_type, q.event_id, q.v, m.med, d.mad
+FROM q JOIN med m USING (event_type) JOIN mad d USING (event_type)
+WHERE abs(q.v - m.med) > 3.0 * d.mad
+"""
+
+QUERIES["g27_mad_outliers"] = g27_mad_outliers
+ORACLES["g27_mad_outliers"] = ORACLE_G27
