@@ -919,3 +919,87 @@ def test_click_impression_full_outer_join(spark, tmp_path):
     assert (None, 5, 3) in rows          # lone view surfaces (vs left outer)
     # frontier rows (15:00) are not yet provably unmatched at wm 14:30
     assert not any(c == 8 or i == 9 for c, i, _ in rows)
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """r7b transformWithStateInPandas: after a multi-batch availableNow
+    run, each user's LAST emitted running total equals the batch
+    aggregate exactly (integer milli-unit sums), and intermediate
+    emissions are genuinely cumulative (monotone n_events).
+
+    The TWS runtime needs protobuf (its state-server wire format);
+    this container lacks it, so the test skips there — the operator's
+    plan still ANALYZES without protobuf (checked unconditionally
+    below), so API-level drift is caught either way."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState runtime needs protobuf"
+    )
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
+    from geo_db_spark.streaming import read_events_stream
+    from geo_db_spark.streaming.jobs import running_user_totals
+
+    ev = load(spark, SF_SMOKE, "events")
+    d = tmp_path / "ev_shards"
+    ev.repartition(3).write.parquet(str(d))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            running_user_totals(
+                read_events_stream(spark, str(d), max_files_per_trigger=1)
+            )
+            .writeStream.format("memory")
+            .queryName("running_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert q.lastProgress["batchId"] >= 1  # genuinely multi-batch
+        emitted = spark.sql("select * from running_totals").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got = {}
+    for r in emitted:  # last emission per user = max n_events (cumulative)
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], r["sum_milli"])
+    want = {
+        r["user_id"]: (r["n"], r["sv"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("sv"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_transform_with_state_plan_analyzes_without_protobuf(spark, tmp_path):
+    """The TWS operator's unresolved plan must build and ANALYZE on any
+    container (protobuf is only needed at execution): guards against
+    API drift even where the runtime dependency is absent."""
+    from geo_db_spark.streaming import read_events_stream
+    from geo_db_spark.streaming.jobs import running_user_totals
+
+    import shutil
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "p.parquet")
+    df = running_user_totals(read_events_stream(spark, str(d)))
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["user_id", "n_events", "sum_milli"]
