@@ -1,0 +1,57 @@
+"""Exchange-budget regression tests (plans/report.plan_stats): pin the
+shuffle/broadcast/Python-node counts of representative hot queries. A
+new join, window, or stray Python node that silently adds a shuffle is
+exactly the regression that only HURTS at 100 TB but is VISIBLE at
+sf0.001 — in the plan, not the wall clock."""
+
+from __future__ import annotations
+
+import pytest
+
+from geo_db_spark.plans.report import plan_stats
+from tests.conftest import SF_SMOKE
+
+# name -> (max exchanges, max single_partition, max python_nodes)
+BUDGETS = {
+    # single scan -> one partial+final agg exchange, nothing else
+    "q1_pricing_summary": (1, 0, 0),
+    # single-row global agg: its one exchange IS SinglePartition (fine —
+    # input is already aggregated per partition)
+    "q6_revenue_forecast": (1, 1, 0),
+    # dims broadcast, ONE fact-side shuffle for the agg
+    "q3_shipping_priority": (1, 0, 0),
+    # pure maps: ZERO exchanges, and NFC is exactly one Python node
+    "text_quality_metrics": (0, 0, 0),
+    "text_chunk_windows": (0, 0, 0),
+    "text_nfc_normalize": (0, 0, 1),
+    "mm_image_decode": (0, 0, 1),
+    # hash-agg families: one shuffle on their key
+    "dedup_exact_documents": (1, 0, 0),
+    "w3_sessionize": (1, 0, 0),
+    # sketch build+merge: two levels of aggregation
+    "sk_hll_distinct_parts": (2, 1, 0),
+}
+
+
+@pytest.fixture(scope="module")
+def qs():
+    from geo_db_spark import workload
+
+    return workload.queries()
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget(spark, qs, name):
+    max_ex, max_single, max_py = BUDGETS[name]
+    got = plan_stats(qs[name](spark, SF_SMOKE))
+    assert got["exchanges"] <= max_ex, (name, got)
+    assert got["single_partition"] <= max_single, (name, got)
+    assert got["python_nodes"] <= max_py, (name, got)
+
+
+def test_python_nodes_only_where_declared(spark, qs):
+    """No JVM-only query may grow a Python node: spot-check the
+    relational core (whole TPC-H-style q* family stays codegen'd)."""
+    for name in ["q5_local_supplier_volume", "q10_returned_items", "g1_rollup_revenue"]:
+        got = plan_stats(qs[name](spark, SF_SMOKE))
+        assert got["python_nodes"] == 0, (name, got)
