@@ -102,6 +102,8 @@ TIER2 = [
     "cdc_scd2_point_in_time",
     "g26_kcore_parts",
     "pack_epoch_shuffle",
+    "g27_mad_outliers",
+    "ann_pq_topk",
 ]
 
 

@@ -384,3 +384,120 @@ def kmeans_fixed_rounds(
         ).select(F.col("cell").alias("cent_id"), "c").localCheckpoint(eager=True)
 
     return assign(cent), cent
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rescore_m: int = 20,
+    m_sub: int = 4,
+    k_cent: int = 8,
+    train_rounds: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze, Schmid TPAMI 2011 —
+    public) with exact rescore: the vector splits into ``m_sub``
+    subspaces, each trained with the integer-exact Lloyd trainer
+    (kmeans_fixed_rounds on the SLICED vectors — quantize and slice
+    commute elementwise, which is what lets the oracle mirror this);
+    every corpus vector is then encoded as ``m_sub`` small centroid ids
+    (the 64x-compressed representation a 100 TB scan keeps hot), and
+    query-time ADC sums per-subspace exact-integer squared-L2 lookup
+    tables instead of touching vectors. Top ``rescore_m`` ADC candidates
+    per query are rescored with the exact quantized cosine — the same
+    two-stage contract as cosine_topk_sq8.
+
+    Determinism end to end: the trainer is integer-exact, codes are
+    argmin with (dist, cent_id) total order, ADC distances are int64
+    sums, and both cuts tie-break on ids — the DuckDB oracle replays
+    training, encoding, ADC and rescore verbatim.
+
+    Scale shape: training/encoding touches the corpus ``train_rounds+2``
+    times with K-row broadcasts; the ADC scan joins the CODES table
+    (m_sub ints per row) against m_sub broadcast distance tables of
+    K rows each — no vector ever moves at query time; full vectors are
+    fetched (id-keyed) for only rescore_m candidates per query."""
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub_w = dim // m_sub
+
+    codes = None
+    dts = []
+    for m in range(m_sub):
+        lo = m * sub_w + 1  # F.slice is 1-based
+        sub = corpus.select(
+            id_col, F.slice(F.col(vec_col), lo, sub_w).alias(vec_col)
+        )
+        assigned, cent = kmeans_fixed_rounds(
+            sub, k=k_cent, rounds=train_rounds, id_col=id_col, vec_col=vec_col
+        )
+        code_m = assigned.select(
+            F.col("id").alias("c_id"), F.col("cell").alias(f"code{m}")
+        )
+        codes = code_m if codes is None else codes.join(code_m, "c_id")
+
+        qsub = with_quantized(
+            queries.select(
+                id_col, F.slice(F.col(vec_col), lo, sub_w).alias(vec_col)
+            ),
+            vec_col,
+        ).select(F.col(id_col).alias("q_id"), "q", "qnorm")
+        c = cent.withColumn("c_n", int_dot(F.col("c"), F.col("c")))
+        dts.append(
+            qsub.crossJoin(F.broadcast(c))
+            .select(
+                "q_id",
+                F.col("cent_id").alias(f"code{m}"),
+                (
+                    F.col("qnorm") + F.col("c_n")
+                    - 2 * int_dot(F.col("q"), F.col("c"))
+                ).alias(f"d{m}"),
+            )
+        )
+
+    adc = codes
+    for m, dt in enumerate(dts):
+        adc = adc.join(
+            F.broadcast(dt),
+            on=[f"code{m}"] if m == 0 else ["q_id", f"code{m}"],
+        )
+    from functools import reduce
+
+    adist = reduce(
+        lambda a, b: a + b, [F.col(f"d{m}") for m in range(m_sub)]
+    )  # exact int64 sum — association-free
+    adc = adc.filter(F.col("c_id") != F.col("q_id")).select(
+        "q_id", "c_id", adist.alias("adist")
+    )
+    w_cand = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("c_id"))
+    cand = (
+        adc.withColumn("__r", F.row_number().over(w_cand))
+        .filter(F.col("__r") <= rescore_m)
+        .select("q_id", "c_id")
+    )
+    exact = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
+    )
+    exact_q = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("q").alias("q_q"), F.col("qnorm").alias("q_n")
+    )
+    rescored = (
+        cand.join(exact, "c_id")
+        .join(F.broadcast(exact_q), "q_id")
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            cosine_from_quantized(
+                int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1422,3 +1422,112 @@ QUALIFY rank <= 3
 
 QUERIES["ann_ivf_kmeans_topk"] = ann_ivf_kmeans_topk
 ORACLES["ann_ivf_kmeans_topk"] = _ivf_kmeans_oracle()
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (r7b): 4 subspaces x 8 centroids trained
+    with the integer-exact Lloyd trainer on sliced vectors, corpus
+    encoded as 4 small centroid ids, query-time ADC over broadcast
+    lookup tables, exact-cosine rescore of the top 20 — the 64x-
+    compressed member of the compressed-search family (SQ8 = 4x,
+    MRL prefix = 2-4x). The oracle replays training, encoding, ADC and
+    rescore, so a slice/codebook/lookup bug anywhere flips the hash."""
+    tune(spark)
+    from geo_db_spark.operators.similarity import cosine_topk_pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    # honest operating point on this UNCLUSTERED synthetic corpus:
+    # recall@5 vs brute force = 0.48/0.70/0.76 at rescore 20/50/100
+    # (8 centroids x 4 subspaces; k_cent=16 and 2 training rounds both
+    # measured NO better — the corpus has no cluster structure to
+    # learn, same finding as trained-IVF's 0.60 and MRL-16's 0.38).
+    # rescore_m=50 keeps the exact-fetch bounded at 10x the answer size.
+    return cosine_topk_pq(emb, queries, k=5, rescore_m=50)
+
+
+def _pq_sub_block(m: int, sub_w: int = 16, k: int = 8, n_q: int = 10) -> str:
+    lo, hi = m * sub_w + 1, (m + 1) * sub_w
+    dot = "CAST(list_sum(list_transform(list_zip(v.q, c.c), p -> p[1] * p[2])) AS BIGINT)"
+    cn = "CAST(list_sum(list_transform(c.c, x -> x * x)) AS BIGINT)"
+    return f""",
+s{m}n AS (
+  SELECT vec_id, list_slice(q, {lo}, {hi}) AS q,
+         CAST(list_sum(list_transform(list_slice(q, {lo}, {hi}), x -> x * x)) AS BIGINT) AS qn
+  FROM qall
+),
+s{m}c0 AS (SELECT vec_id AS cent_id, q AS c FROM s{m}n WHERE vec_id < {k}),
+s{m}a1 AS (
+  SELECT id, cell FROM (
+    SELECT v.vec_id AS id, c.cent_id AS cell,
+           v.qn + {cn} - 2 * {dot} AS dist
+    FROM s{m}n v, s{m}c0 c)
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, cell) = 1
+),
+s{m}pd1 AS (
+  SELECT a.cell, dims.d, SUM(v.q[dims.d + 1]) AS s, COUNT(*) AS n
+  FROM s{m}a1 a JOIN s{m}n v ON v.vec_id = a.id, dims
+  GROUP BY a.cell, dims.d
+),
+s{m}c1 AS (
+  SELECT cell AS cent_id,
+         list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS c
+  FROM s{m}pd1 GROUP BY cell
+),
+s{m}af AS (
+  SELECT id, cell FROM (
+    SELECT v.vec_id AS id, c.cent_id AS cell,
+           v.qn + {cn} - 2 * {dot} AS dist
+    FROM s{m}n v, s{m}c1 c)
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, cell) = 1
+),
+dt{m} AS (
+  SELECT v.vec_id AS q_id, c.cent_id,
+         v.qn + {cn} - 2 * {dot} AS d
+  FROM s{m}n v, s{m}c1 c WHERE v.vec_id < {n_q}
+)"""
+
+
+def _pq_oracle(m_sub: int = 4, sub_w: int = 16, k_cent: int = 8,
+               n_q: int = 10, rescore_m: int = 20, k: int = 5) -> str:
+    sql = f"""
+WITH qall AS (SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings),
+dims AS (SELECT CAST(unnest(range({sub_w})) AS INT) AS d)"""
+    for m in range(m_sub):
+        sql += _pq_sub_block(m, sub_w, k_cent, n_q)
+    joins = "s0af c0 " + " ".join(
+        f"JOIN s{m}af c{m} ON c{m}.id = c0.id" for m in range(1, m_sub)
+    )
+    code_cols = ", ".join(f"c{m}.cell AS code{m}" for m in range(m_sub))
+    sql += f""",
+codes AS (SELECT c0.id, {code_cols} FROM {joins}),
+adc AS (
+  SELECT dt0.q_id, codes.id AS c_id,
+         {' + '.join(f'dt{m}.d' for m in range(m_sub))} AS adist
+  FROM codes
+  {' '.join(f'JOIN dt{m} ON codes.code{m} = dt{m}.cent_id' + ('' if m == 0 else f' AND dt{m}.q_id = dt0.q_id') for m in range(m_sub))}
+  WHERE codes.id <> dt0.q_id
+),
+cand AS (
+  SELECT q_id, c_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) <= {rescore_m}
+),
+normed AS (
+  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n FROM qall
+)
+SELECT cand.q_id, cand.c_id AS neighbor_id,
+       CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY cand.q_id
+           ORDER BY CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) DESC,
+                    cand.c_id) AS INT) AS rank
+FROM cand
+JOIN normed a ON a.vec_id = cand.q_id
+JOIN normed b ON b.vec_id = cand.c_id
+QUALIFY rank <= {k}
+"""
+    return sql
+
+
+QUERIES["ann_pq_topk"] = ann_pq_topk
+ORACLES["ann_pq_topk"] = _pq_oracle(rescore_m=50)
