@@ -104,6 +104,7 @@ TIER2 = [
     "pack_epoch_shuffle",
     "g27_mad_outliers",
     "ann_pq_topk",
+    "corpus_build_pipeline",
 ]
 
 

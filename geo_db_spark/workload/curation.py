@@ -537,3 +537,82 @@ FROM ranked WHERE rn <= 20
 
 QUERIES["text_stratified_sample_approx"] = text_stratified_sample_approx
 ORACLES["text_stratified_sample_approx"] = ORACLE_STRATIFIED_APPROX
+
+
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composition (r7b): the full training-corpus build as
+    ONE oracle-gated artifact — exact dedup (normalized-digest min-id
+    survivors) -> C4 keep gate -> deterministic md5 train/val/test split
+    -> token-balanced shard assignment via the distributed prefix sum,
+    per split. A user of this engine runs exactly this chain; gating the
+    COMPOSITION catches stage-interface bugs (a gate reordering, a
+    survivor set leaking dropped docs into the prefix sum) that
+    per-stage oracles cannot.
+
+    Every stage is the already-verified operator — the pipeline adds no
+    new shuffle beyond their own (digest groupBy, prefix-sum exchanges);
+    C4 flags and the split are map-only and fuse into the scan."""
+    tune(spark)
+    from geo_db_spark.operators.curation import c4_filter_flags
+    from geo_db_spark.operators.dedup import exact_dedup
+    from geo_db_spark.operators.packing import _cum_token_positions, split_assign
+
+    docs = load(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs, "text", "doc_id").select("doc_id")
+    kept = docs.join(survivors, "doc_id")
+    gated = kept.join(
+        c4_filter_flags(kept).filter(F.col("keep") == 1).select("doc_id"),
+        "doc_id",
+    ).withColumn("__split", split_assign())
+    pos = _cum_token_positions(gated, "__split", "doc_id", "text", 4096)
+    return pos.select(
+        F.col("id").alias("doc_id"),
+        F.col("source").alias("split"),
+        F.col("n_tokens"),
+        F.floor(F.col("cum_before") / F.lit(2000)).alias("shard"),
+    )
+
+
+_SPLIT_CASE_C = (
+    "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 96 "
+    "THEN 'train' WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 98 "
+    "THEN 'val' ELSE 'test' END"
+)
+
+ORACLE_CORPUS_BUILD = rf"""
+WITH surv AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+),
+c4 AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\s+')) AS mean_wlen,
+         contains(text, '{{') AS curly,
+         (contains(lower(text), 'lorem ipsum') OR contains(lower(text), 'javascript')
+          OR contains(lower(text), 'terms of use') OR contains(lower(text), 'cookie policy')) AS boiler
+  FROM kept
+),
+gated AS (
+  SELECT k.doc_id, k.text, c.n_tok
+  FROM kept k JOIN c4 c USING (doc_id)
+  WHERE NOT (c.n_tok < 30 OR c.mean_wlen < 3.0 OR c.mean_wlen > 10.0 OR c.curly OR c.boiler)
+),
+placed AS (
+  SELECT doc_id, {_SPLIT_CASE_C} AS split, CAST(n_tok AS BIGINT) AS n_tokens
+  FROM gated
+)
+SELECT doc_id, split, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+         PARTITION BY split ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard
+FROM placed
+"""
+
+QUERIES["corpus_build_pipeline"] = corpus_build_pipeline
+ORACLES["corpus_build_pipeline"] = ORACLE_CORPUS_BUILD
