@@ -105,6 +105,7 @@ TIER2 = [
     "g27_mad_outliers",
     "ann_pq_topk",
     "corpus_build_pipeline",
+    "ann_ivf_pq_topk",
 ]
 
 

@@ -386,40 +386,21 @@ def kmeans_fixed_rounds(
     return assign(cent), cent
 
 
-def cosine_topk_pq(
+def pq_train_encode_adc(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
-    rescore_m: int = 20,
     m_sub: int = 4,
     k_cent: int = 8,
     train_rounds: int = 1,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Product-quantization ANN (Jégou, Douze, Schmid TPAMI 2011 —
-    public) with exact rescore: the vector splits into ``m_sub``
-    subspaces, each trained with the integer-exact Lloyd trainer
-    (kmeans_fixed_rounds on the SLICED vectors — quantize and slice
-    commute elementwise, which is what lets the oracle mirror this);
-    every corpus vector is then encoded as ``m_sub`` small centroid ids
-    (the 64x-compressed representation a 100 TB scan keeps hot), and
-    query-time ADC sums per-subspace exact-integer squared-L2 lookup
-    tables instead of touching vectors. Top ``rescore_m`` ADC candidates
-    per query are rescored with the exact quantized cosine — the same
-    two-stage contract as cosine_topk_sq8.
-
-    Determinism end to end: the trainer is integer-exact, codes are
-    argmin with (dist, cent_id) total order, ADC distances are int64
-    sums, and both cuts tie-break on ids — the DuckDB oracle replays
-    training, encoding, ADC and rescore verbatim.
-
-    Scale shape: training/encoding touches the corpus ``train_rounds+2``
-    times with K-row broadcasts; the ADC scan joins the CODES table
-    (m_sub ints per row) against m_sub broadcast distance tables of
-    K rows each — no vector ever moves at query time; full vectors are
-    fetched (id-keyed) for only rescore_m candidates per query."""
+):
+    """PQ shared machinery: per-subspace integer-exact Lloyd codebooks,
+    corpus encoding (codes: one row per vector, ``m_sub`` centroid-id
+    columns), and per-query ADC distance tables (dts[m]: (q_id, code_m,
+    d_m), K rows per query per subspace — the broadcast lookup side).
+    Used by cosine_topk_pq (flat PQ) and ivf_pq_topk (cell-restricted)."""
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     sub_w = dim // m_sub
@@ -457,6 +438,46 @@ def cosine_topk_pq(
                 ).alias(f"d{m}"),
             )
         )
+    return codes, dts
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rescore_m: int = 20,
+    m_sub: int = 4,
+    k_cent: int = 8,
+    train_rounds: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze, Schmid TPAMI 2011 —
+    public) with exact rescore: the vector splits into ``m_sub``
+    subspaces, each trained with the integer-exact Lloyd trainer
+    (kmeans_fixed_rounds on the SLICED vectors — quantize and slice
+    commute elementwise, which is what lets the oracle mirror this);
+    every corpus vector is then encoded as ``m_sub`` small centroid ids
+    (the 64x-compressed representation a 100 TB scan keeps hot), and
+    query-time ADC sums per-subspace exact-integer squared-L2 lookup
+    tables instead of touching vectors. Top ``rescore_m`` ADC candidates
+    per query are rescored with the exact quantized cosine — the same
+    two-stage contract as cosine_topk_sq8.
+
+    Determinism end to end: the trainer is integer-exact, codes are
+    argmin with (dist, cent_id) total order, ADC distances are int64
+    sums, and both cuts tie-break on ids — the DuckDB oracle replays
+    training, encoding, ADC and rescore verbatim.
+
+    Scale shape: training/encoding touches the corpus ``train_rounds+2``
+    times with K-row broadcasts; the ADC scan joins the CODES table
+    (m_sub ints per row) against m_sub broadcast distance tables of
+    K rows each — no vector ever moves at query time; full vectors are
+    fetched (id-keyed) for only rescore_m candidates per query."""
+    codes, dts = pq_train_encode_adc(
+        corpus, queries, m_sub, k_cent, train_rounds, dim, id_col, vec_col
+    )
 
     adc = codes
     for m, dt in enumerate(dts):
@@ -469,6 +490,84 @@ def cosine_topk_pq(
     adist = reduce(
         lambda a, b: a + b, [F.col(f"d{m}") for m in range(m_sub)]
     )  # exact int64 sum — association-free
+    adc = adc.filter(F.col("c_id") != F.col("q_id")).select(
+        "q_id", "c_id", adist.alias("adist")
+    )
+    w_cand = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("c_id"))
+    cand = (
+        adc.withColumn("__r", F.row_number().over(w_cand))
+        .filter(F.col("__r") <= rescore_m)
+        .select("q_id", "c_id")
+    )
+    exact = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
+    )
+    exact_q = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("q").alias("q_q"), F.col("qnorm").alias("q_n")
+    )
+    rescored = (
+        cand.join(exact, "c_id")
+        .join(F.broadcast(exact_q), "q_id")
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            cosine_from_quantized(
+                int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    rescore_m: int = 10,
+    coarse_k: int = 16,
+    coarse_rounds: int = 2,
+    m_sub: int = 4,
+    k_cent: int = 8,
+    train_rounds: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the production large-scale ANN shape (FAISS IndexIVFPQ,
+    Jégou TPAMI'11): trained coarse cells bound WHICH vectors are
+    probed, PQ codes bound WHAT is read per probed vector, exact rescore
+    bounds the full-vector fetches. This is the no-residual variant
+    (codes encode the raw sub-vectors, not the cell residuals — residual
+    encoding would need per-cell codebook training; documented
+    simplification, same two-stage exactness contract).
+
+    Scale: at query time NOTHING full-width moves — the probe is a
+    cell-equi-join of the (cell, 4 small ints) codes table against the
+    broadcast query cells, ADC is 4 broadcast lookup joins, and only
+    rescore_m candidates per query fetch real vectors."""
+    assigned, _cent = kmeans_fixed_rounds(
+        corpus, k=coarse_k, rounds=coarse_rounds, id_col=id_col, vec_col=vec_col
+    )
+    cells = assigned.select(F.col("id").alias("c_id"), "cell")
+    codes, dts = pq_train_encode_adc(
+        corpus, queries, m_sub, k_cent, train_rounds, dim, id_col, vec_col
+    )
+    coded = codes.join(cells, "c_id")
+    qcells = cells.withColumnsRenamed({"c_id": "q_id"}).join(
+        queries.select(F.col(id_col).alias("q_id")), "q_id"
+    )
+
+    adc = coded.join(F.broadcast(qcells), "cell")
+    for m, dt in enumerate(dts):
+        adc = adc.join(F.broadcast(dt), ["q_id", f"code{m}"])
+    from functools import reduce
+
+    adist = reduce(lambda a, b: a + b, [F.col(f"d{m}") for m in range(m_sub)])
     adc = adc.filter(F.col("c_id") != F.col("q_id")).select(
         "q_id", "c_id", adist.alias("adist")
     )

@@ -1531,3 +1531,106 @@ QUALIFY rank <= {k}
 
 QUERIES["ann_pq_topk"] = ann_pq_topk
 ORACLES["ann_pq_topk"] = _pq_oracle(rescore_m=50)
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (r7b): the production composition — 16 trained coarse
+    cells bound the probe set, 4x8 PQ codes bound the bytes read per
+    probed vector, exact-cosine rescore of the top 10. No-residual
+    variant (documented). The oracle replays BOTH trainings, the
+    encoding, cell probe, ADC and rescore."""
+    tune(spark)
+    from geo_db_spark.operators.similarity import ivf_pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_pq_topk(emb, queries, k=3, rescore_m=10)
+
+
+def _coarse_block(k: int = 16, rounds: int = 2, dim: int = 64) -> str:
+    """Coarse-quantizer CTE chain with g-prefixed names (the PQ blocks
+    own qall/dims/s{m}*)."""
+    dot = "CAST(list_sum(list_transform(list_zip(v.q, c.c), p -> p[1] * p[2])) AS BIGINT)"
+    cn = "CAST(list_sum(list_transform(c.c, x -> x * x)) AS BIGINT)"
+    sql = f""",
+gnv AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn FROM qall),
+gdims AS (SELECT CAST(unnest(range({dim})) AS INT) AS d),
+gc0 AS (SELECT vec_id AS cent_id, q AS c FROM qall WHERE vec_id < {k})"""
+    prev = "gc0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+ga{r} AS (
+  SELECT id, cell FROM (
+    SELECT v.vec_id AS id, c.cent_id AS cell, v.qn + {cn} - 2 * {dot} AS dist
+    FROM gnv v, {prev} c)
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, cell) = 1
+),
+gpd{r} AS (
+  SELECT a.cell, gdims.d, SUM(v.q[gdims.d + 1]) AS s, COUNT(*) AS n
+  FROM ga{r} a JOIN gnv v ON v.vec_id = a.id, gdims
+  GROUP BY a.cell, gdims.d
+),
+gc{r} AS (
+  SELECT cell AS cent_id,
+         list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY d) AS c
+  FROM gpd{r} GROUP BY cell
+)"""
+        prev = f"gc{r}"
+    sql += f""",
+gaf AS (
+  SELECT id, cell FROM (
+    SELECT v.vec_id AS id, c.cent_id AS cell, v.qn + {cn} - 2 * {dot} AS dist
+    FROM gnv v, {prev} c)
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, cell) = 1
+)"""
+    return sql
+
+
+def _ivf_pq_oracle(m_sub: int = 4, sub_w: int = 16, k_cent: int = 8,
+                   coarse_k: int = 16, coarse_rounds: int = 2,
+                   n_q: int = 10, rescore_m: int = 10, k: int = 3) -> str:
+    sql = f"""
+WITH qall AS (SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings),
+dims AS (SELECT CAST(unnest(range({sub_w})) AS INT) AS d)"""
+    sql += _coarse_block(coarse_k, coarse_rounds)
+    for m in range(m_sub):
+        sql += _pq_sub_block(m, sub_w, k_cent, n_q)
+    joins = "s0af c0 " + " ".join(
+        f"JOIN s{m}af c{m} ON c{m}.id = c0.id" for m in range(1, m_sub)
+    )
+    code_cols = ", ".join(f"c{m}.cell AS code{m}" for m in range(m_sub))
+    sql += f""",
+codes AS (SELECT c0.id, {code_cols}, g.cell AS gcell
+          FROM {joins} JOIN gaf g ON g.id = c0.id),
+qcell AS (SELECT id AS q_id, cell AS gcell FROM gaf WHERE id < {n_q}),
+adc AS (
+  SELECT qcell.q_id, codes.id AS c_id,
+         {' + '.join(f'dt{m}.d' for m in range(m_sub))} AS adist
+  FROM codes
+  JOIN qcell ON qcell.gcell = codes.gcell
+  {' '.join(f'JOIN dt{m} ON codes.code{m} = dt{m}.cent_id AND dt{m}.q_id = qcell.q_id' for m in range(m_sub))}
+  WHERE codes.id <> qcell.q_id
+),
+cand AS (
+  SELECT q_id, c_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) <= {rescore_m}
+),
+normed AS (
+  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n FROM qall
+)
+SELECT cand.q_id, cand.c_id AS neighbor_id,
+       CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY cand.q_id
+           ORDER BY CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) DESC,
+                    cand.c_id) AS INT) AS rank
+FROM cand
+JOIN normed a ON a.vec_id = cand.q_id
+JOIN normed b ON b.vec_id = cand.c_id
+QUALIFY rank <= {k}
+"""
+    return sql
+
+
+QUERIES["ann_ivf_pq_topk"] = ann_ivf_pq_topk
+ORACLES["ann_ivf_pq_topk"] = _ivf_pq_oracle()
