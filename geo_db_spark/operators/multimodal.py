@@ -251,9 +251,11 @@ def _decode_png(payload: bytes):
     (r5 verdict #3): walk the chunk stream (IHDR, concatenated IDATs),
     inflate, then undo the per-scanline filter — None/Sub/Up/Average/
     Paeth per the PNG spec (RFC 2083 §6). Grayscale / gray+alpha /
-    RGB / RGBA color types; returned as (H, W, 3) uint8 RGB (gray
+    RGB / RGBA color types, plus (r7b) PALETTE (color type 3: one
+    index byte per pixel unfiltered as a 1-channel image, then mapped
+    through the PLTE chunk); returned as (H, W, 3) uint8 RGB (gray
     replicated, alpha dropped) like the PPM/BMP decoders. Interlaced
-    (Adam7), palette, and 16-bit PNGs raise NotImplementedError."""
+    (Adam7) and 16-bit PNGs raise NotImplementedError."""
     import struct
     import zlib
 
@@ -263,6 +265,7 @@ def _decode_png(payload: bytes):
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
+    plte = None
     idat = []
     while pos + 8 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, pos)
@@ -270,6 +273,8 @@ def _decode_png(payload: bytes):
         pos += 12 + ln  # len + type + data + crc
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -281,9 +286,14 @@ def _decode_png(payload: bytes):
         raise NotImplementedError(f"only 8-bit PNG supported (bit depth {depth})")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
-    ch = _PNG_CHANNELS.get(color)
-    if ch is None:
-        raise NotImplementedError(f"palette/unknown PNG color type {color}")
+    if color == 3:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG missing/malformed PLTE chunk")
+        ch = 1  # one palette index per pixel; unfilter as 1-channel
+    else:
+        ch = _PNG_CHANNELS.get(color)
+        if ch is None:
+            raise NotImplementedError(f"unknown PNG color type {color}")
     raw = zlib.decompress(b"".join(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
@@ -340,7 +350,13 @@ def _decode_png(payload: bytes):
         out[y] = cur.astype(np.uint8)
         prev = cur
     px = out.reshape(h, w, ch)
-    if ch == 1:
+    if color == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette PNG index out of PLTE range")
+        rgb = pal[idx]
+    elif ch == 1:
         rgb = np.repeat(px, 3, axis=2)
     elif ch == 2:
         rgb = np.repeat(px[:, :, :1], 3, axis=2)
@@ -357,6 +373,7 @@ def make_png(
     pixel_bytes: bytes,
     color_type: int = 2,
     row_filters: "list[int] | None" = None,
+    palette: "bytes | None" = None,
 ) -> bytes:
     """Assemble a real PNG payload (correct CRCs, zlib-deflated IDAT) —
     the fixture generator for the PNG decode path. ``row_filters`` picks
@@ -368,7 +385,12 @@ def make_png(
 
     import numpy as np
 
-    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3:
+        if palette is None or len(palette) % 3 != 0 or not palette:
+            raise ValueError("color_type 3 needs an RGB palette (3n bytes)")
+        ch = 1  # pixel_bytes are palette indices
+    else:
+        ch = _PNG_CHANNELS[color_type]
     stride = width * ch
     if len(pixel_bytes) != height * stride:
         raise ValueError(f"need {height * stride} bytes, got {len(pixel_bytes)}")
@@ -415,9 +437,11 @@ def make_png(
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = chunk(b"PLTE", palette) if color_type == 3 else b""
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(lines)))
         + chunk(b"IEND", b"")
     )

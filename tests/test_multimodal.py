@@ -521,3 +521,51 @@ def test_bmp_rle8_topdown_refused():
     )
     with pytest.raises(ValueError):
         decode_image(payload)
+
+
+def test_png_palette_roundtrip_hypothesis():
+    """Palette (color type 3) PNG: encode->decode roundtrips arbitrary
+    index rasters x palettes x per-row filters — the PLTE path joins
+    the fuzzed-decoder family."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geo_db_spark.operators.multimodal import decode_image, make_png
+
+    @settings(max_examples=30, deadline=None)
+    @given(w=st.integers(1, 8), h=st.integers(1, 6), data=st.data())
+    def run(w, h, data):
+        n_pal = data.draw(st.integers(1, 256))
+        idx = bytes(
+            data.draw(st.lists(st.integers(0, n_pal - 1), min_size=w * h, max_size=w * h))
+        )
+        pal = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=3 * n_pal, max_size=3 * n_pal))
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        arr = decode_image(
+            make_png(w, h, idx, color_type=3, row_filters=filters, palette=pal)
+        )
+        want = np.array(
+            [[list(pal[3 * i : 3 * i + 3]) for i in idx[r * w : (r + 1) * w]] for r in range(h)],
+            np.uint8,
+        ).reshape(h, w, 3)
+        assert (arr == want).all()
+
+    run()
+
+
+def test_png_palette_guards():
+    import pytest
+
+    from geo_db_spark.operators.multimodal import decode_image, make_png
+
+    with pytest.raises(ValueError):
+        make_png(2, 1, b"\x00\x01", color_type=3)  # no palette
+    # out-of-range index: valid encode with a 2-entry palette but index 5
+    png = make_png(1, 1, b"\x05", color_type=3, palette=bytes(6))
+    with pytest.raises(ValueError):
+        decode_image(png)
