@@ -166,7 +166,7 @@ def test_downsample_payload_halves_bytes(spark):
 
 def test_decode_png_golden_and_refusals():
     """PNG: golden decode through the dispatcher, plus the documented
-    refusals (16-bit, interlaced, palette, truncated scanlines)."""
+    refusals (16-bit, interlaced, PLTE-less palette, truncated scanlines)."""
     import struct
     import zlib
 
@@ -194,7 +194,9 @@ def test_decode_png_golden_and_refusals():
         decode_image(png_with_ihdr(depth=16))
     with pytest.raises(NotImplementedError):  # Adam7
         decode_image(png_with_ihdr(interlace=1))
-    with pytest.raises(NotImplementedError):  # palette
+    # palette is IMPLEMENTED since r7b — but a type-3 stream without a
+    # PLTE chunk is malformed, not unsupported
+    with pytest.raises(ValueError):
         decode_image(png_with_ihdr(color=3))
     bad = PNG_MAGIC + chunk(
         b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0)
