@@ -6,7 +6,7 @@ the public quality-filter families of large LLM corpus builds, over the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geo_db_spark.io import load
@@ -553,17 +553,47 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     new shuffle beyond their own (digest groupBy, prefix-sum exchanges);
     C4 flags and the split are map-only and fuse into the scan."""
     tune(spark)
-    from geo_db_spark.operators.curation import c4_filter_flags
-    from geo_db_spark.operators.dedup import exact_dedup
+    from geo_db_spark.operators.curation import (
+        C4_BOILERPLATE,
+        C4_MEAN_WORD_LEN_MAX,
+        C4_MEAN_WORD_LEN_MIN,
+        C4_MIN_TOKENS,
+    )
+    from geo_db_spark.operators.dedup import normalize_text
     from geo_db_spark.operators.packing import _cum_token_positions, split_assign
 
     docs = load(spark, sf_dir, "documents")
-    survivors = exact_dedup(docs, "text", "doc_id").select("doc_id")
-    kept = docs.join(survivors, "doc_id")
-    gated = kept.join(
-        c4_filter_flags(kept).filter(F.col("keep") == 1).select("doc_id"),
+    # ONE scan computes every per-row signal (digest, C4 keep, split) —
+    # the naive operator-by-operator composition re-scanned the parquet
+    # 8 times (plan_stats-measured); at 100 TB the text scan IS the
+    # cost, so the stages share ONE projection (keep flag inlined from the C4 constants) and only the dedup window
+    # + the prefix-sum exchanges remain (their inputs are skinny).
+    t = F.col("text")
+    n_tok = F.size(F.split(F.trim(t), r"\s+"))
+    mean_wlen = F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_tok
+    boiler = F.lit(False)
+    for marker in C4_BOILERPLATE:
+        boiler = boiler | F.lower(t).contains(marker)
+    keep = ~(
+        (n_tok < C4_MIN_TOKENS)
+        | (mean_wlen < C4_MEAN_WORD_LEN_MIN)
+        | (mean_wlen > C4_MEAN_WORD_LEN_MAX)
+        | t.contains("{")
+        | boiler
+    )
+    base = docs.select(
         "doc_id",
-    ).withColumn("__split", split_assign())
+        "text",
+        keep.cast("int").alias("keep"),
+        F.md5(normalize_text(t).cast("binary")).alias("__digest"),
+        split_assign().alias("__split"),
+    )
+    w_min = Window.partitionBy("__digest")
+    gated = (
+        base.withColumn("__min_id", F.min("doc_id").over(w_min))
+        .filter((F.col("doc_id") == F.col("__min_id")) & (F.col("keep") == 1))
+        .select("doc_id", "text", "__split")
+    )
     pos = _cum_token_positions(gated, "__split", "doc_id", "text", 4096)
     return pos.select(
         F.col("id").alias("doc_id"),

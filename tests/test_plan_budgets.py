@@ -30,6 +30,13 @@ BUDGETS = {
     "w3_sessionize": (1, 0, 0),
     # sketch build+merge: two levels of aggregation
     "sk_hll_distinct_parts": (2, 1, 0),
+    # r7b additions: the decode is ONE python node and nothing else;
+    # the capstone pipeline was rebuilt around one shared scan — pin the
+    # collapse (naive composition measured 12 exchanges / 8 scans)
+    "mm_image_decode_bmp_rle": (0, 0, 1),
+    "cdc_scd2_point_in_time": (2, 0, 0),
+    "g26_kcore_parts": (2, 0, 0),
+    "corpus_build_pipeline": (8, 0, 0),
 }
 
 
