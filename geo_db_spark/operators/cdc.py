@@ -291,7 +291,12 @@ def incremental_sum_count(
         .agg(F.sum("dn").alias("dn"), F.sum("dv").cast(dec).alias("dv"))
     )
     return (
-        old_agg.join(delta, old_agg[group_col] == delta["__ivm_g"], "full_outer")
+        # eqNullSafe: a NULL group is a real group — plain equality would
+        # never match its old aggregate to its delta, emitting two
+        # separate partial rows and breaking the IVM identity.
+        old_agg.join(
+            delta, old_agg[group_col].eqNullSafe(delta["__ivm_g"]), "full_outer"
+        )
         .select(
             F.coalesce(F.col(group_col), F.col("__ivm_g")).alias(group_col),
             (

@@ -193,7 +193,11 @@ def _decode_bmp_rle8(payload: bytes):
             lit = np.frombuffer(payload, dtype=np.uint8, count=b1, offset=i)
             i += b1 + (b1 & 1)
             end = min(x + b1, w)
-            if y < h:
+            # x < w guard: a malformed stream can leave the cursor past
+            # the row width, where end - x goes negative and a non-empty
+            # literal slice assigned into an empty target raises a numpy
+            # broadcast error; clamp to the same tolerance as runs.
+            if y < h and x < w:
                 idx[y, x:end] = lit[: end - x]
             x += b1
     return np.ascontiguousarray(pal[idx][::-1])  # bottom-up -> top-down

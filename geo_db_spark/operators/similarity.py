@@ -237,6 +237,52 @@ def sq8_codes(vec_col: str = "embedding") -> Column:
     )
 
 
+def batch_local_topm(
+    scored: DataFrame,
+    m: int,
+    score_col: str,
+    ascending: bool,
+    q_col: str = "q_id",
+    id_col: str = "c_id",
+) -> DataFrame:
+    """Batch-local pre-cut for a per-query candidate stream — the
+    scale fix for the scan-ANN family (SQ8 / PQ / IVF-PQ).
+
+    A bare ``Window.partitionBy(q_id)`` cut over the full candidate
+    scan is a 100 TB killer: hash partitioning on q_id funnels each
+    query's ENTIRE candidate stream — O(|corpus|) skinny rows — through
+    ONE task to be sorted, and AQE cannot split a window partition.
+    This applies the `cosine_topk_bruteforce_arrow` pattern to an
+    already-scored frame: each Arrow batch keeps only its local top-m
+    per query (no exchange — the kernel is a pandas sort + head inside
+    the scan stage), so the downstream exchange and global window see
+    O(batches * m * |Q|) rows instead of |corpus| * |Q|.
+
+    Bit-identical by construction: the batch cut uses the SAME total
+    order as the global window — (score, id) with the same direction,
+    and NULL placement mirroring Spark's defaults (NULLS FIRST for asc,
+    NULLS LAST for desc) — so the global top-m is a subset of the union
+    of batch-local top-ms. Callers keep their global window cut; it now
+    runs over the reduced stream.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    na_position = "first" if ascending else "last"
+
+    def cut(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(
+                [score_col, id_col],
+                ascending=[ascending, True],
+                na_position=na_position,
+            )
+            yield pdf.groupby(q_col, sort=False).head(m)
+
+    return scored.mapInPandas(cut, scored.schema)
+
+
 def cosine_topk_sq8(
     corpus: DataFrame,
     queries: DataFrame,
@@ -290,6 +336,9 @@ def cosine_topk_sq8(
             int_dot(F.col("c_rq"), F.col("q_rq")), F.col("q_rq_n"), F.col("c_rq_n")
         ).alias("adc"),
     )
+    # batch-local pre-cut: the global window must never consume the
+    # unreduced corpus x queries scan (see batch_local_topm)
+    adc = batch_local_topm(adc, rescore_m, "adc", ascending=False)
     w_cand = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("c_id"))
     cand = (
         adc.withColumn("__r", F.row_number().over(w_cand))
@@ -349,9 +398,19 @@ def kmeans_fixed_rounds(
     qdf = with_quantized(emb, vec_col).select(
         F.col(id_col).alias("id"), F.col("q"), F.col("qnorm")
     ).localCheckpoint(eager=True)
-    cent = qdf.filter(F.col("id") < k).select(
+    # Seed from the k SMALLEST ids, not filter(id < k): 1-based or
+    # sparse/hashed id spaces would otherwise silently train with fewer
+    # (or zero) centroids and return a degenerate assignment. orderBy +
+    # limit is a TakeOrdered — k rows through the driver plan, no full
+    # sort at scale.
+    cent = qdf.orderBy("id").limit(k).select(
         F.col("id").alias("cent_id"), F.col("q").alias("c")
-    )
+    ).localCheckpoint(eager=True)
+    n_seeds = cent.count()
+    if n_seeds < k:
+        raise ValueError(
+            f"k-means needs k={k} distinct vectors to seed, found {n_seeds}"
+        )
 
     def assign(centroids: DataFrame) -> DataFrame:
         c = centroids.withColumn("c_n", int_dot(F.col("c"), F.col("c")))
@@ -493,6 +552,9 @@ def cosine_topk_pq(
     adc = adc.filter(F.col("c_id") != F.col("q_id")).select(
         "q_id", "c_id", adist.alias("adist")
     )
+    # batch-local pre-cut: the global window must never consume the
+    # unreduced candidate stream (see batch_local_topm)
+    adc = batch_local_topm(adc, rescore_m, "adist", ascending=True)
     w_cand = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("c_id"))
     cand = (
         adc.withColumn("__r", F.row_number().over(w_cand))
@@ -571,6 +633,9 @@ def ivf_pq_topk(
     adc = adc.filter(F.col("c_id") != F.col("q_id")).select(
         "q_id", "c_id", adist.alias("adist")
     )
+    # batch-local pre-cut: the global window must never consume the
+    # unreduced candidate stream (see batch_local_topm)
+    adc = batch_local_topm(adc, rescore_m, "adist", ascending=True)
     w_cand = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("c_id"))
     cand = (
         adc.withColumn("__r", F.row_number().over(w_cand))

@@ -271,8 +271,15 @@ def containment_join(
         "id", "n", (F.col("pos0") + 1).alias("pos"), F.col("tk.token").alias("token")
     )
     # index = every (id, token), pruned to tokens some probe prefix holds
+    # Prune index rows to tokens some probe prefix holds. NO broadcast
+    # hint: prefix_tokens is the distinct set of probe-prefix shingles —
+    # O(corpus vocabulary), since most shingles are unique and each
+    # doc's rarest (1-t) fraction lands in a prefix. Forcing a
+    # corpus-sized broadcast is exactly the hazard the simjoin comments
+    # forbid; a plain left_semi lets AQE pick (and can still broadcast
+    # if the measured size is genuinely small).
     prefix_tokens = probe.select("token").distinct()
-    index = sh.join(F.broadcast(prefix_tokens), "token")
+    index = sh.join(prefix_tokens.hint("merge"), "token", "left_semi")
     nsz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     index = index.join(nsz, "id")
 

@@ -1313,7 +1313,7 @@ def _kmeans_prefix(k: int = 8, rounds: int = 2, dim: int = 64) -> str:
 WITH qe AS (SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings),
 nv AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn FROM qe),
 dims AS (SELECT CAST(unnest(range({dim})) AS INT) AS d),
-c0 AS (SELECT vec_id AS cent_id, q AS c FROM qe WHERE vec_id < {k})"""
+c0 AS (SELECT vec_id AS cent_id, q AS c FROM qe ORDER BY vec_id LIMIT {k})"""
     prev = "c0"
     for r in range(1, rounds + 1):
         sql += f""",

@@ -397,3 +397,30 @@ def test_ivf_pq_recall_near_ivf_ceiling(spark):
     }
     for qid, nid in got:
         assert cells[qid] == cells[nid]  # probe never leaves the cell
+
+
+def test_kmeans_seeds_from_smallest_ids_not_id_range(spark):
+    """Seeding must come from the k SMALLEST ids, not filter(id < k):
+    with 1-based (or sparse) id spaces filter(id < k) silently trains
+    with fewer centroids. 1000-based ids must still yield k distinct
+    cells; fewer than k vectors must raise instead of degenerating."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.similarity import kmeans_fixed_rounds
+
+    emb = spark.range(1000, 1030).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") % 7 + F.lit(float(d))).cast("double") for d in range(4)]
+        ).alias("embedding"),
+    )
+    assigned, cent = kmeans_fixed_rounds(emb, k=4, rounds=1)
+    assert cent.count() == 4
+    # every vector assigned, and to a real trained cell (non-degenerate)
+    rows = assigned.collect()
+    assert len(rows) == 30
+    assert len({r.cell for r in rows}) >= 2
+
+    with pytest.raises(ValueError, match="needs k=8"):
+        kmeans_fixed_rounds(emb.limit(5), k=8, rounds=1)

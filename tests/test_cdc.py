@@ -286,3 +286,36 @@ def test_scd2_point_in_time_interval_pick(spark):
         for r in scd2_point_in_time(hist, probes, ["user_id"], "ts").collect()
     }
     assert got == {101: "bronze", 102: "silver", 103: "gold"}
+
+
+def test_incremental_sum_count_null_group(spark):
+    """A NULL group value is a real group: the full-outer merge must be
+    null-safe, or the NULL-group's old aggregate and its delta emit as
+    TWO partial rows. Exercise value change, insert and delete inside
+    the NULL group and assert the maintained view still equals the
+    from-scratch recompute (one row for the NULL group)."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.cdc import incremental_sum_count
+
+    old = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "a", 5.0)],
+        "id long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, None, 12.0), (3, "a", 5.0), (4, None, 7.0)],
+        "id long, g string, v double",
+    )
+    out = incremental_sum_count(old, new, ["id"], "g", "v").collect()
+    got = {(r["g"], r["n_rows"], float(r["total"])) for r in out}
+    want = {
+        (r["g"], r["n"], float(r["t"]))
+        for r in new.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("decimal(18,2)").alias("t"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(out) == 2  # exactly one maintained row for the NULL group

@@ -571,3 +571,29 @@ def test_png_palette_guards():
     png = make_png(1, 1, b"\x05", color_type=3, palette=bytes(6))
     with pytest.raises(ValueError):
         decode_image(png)
+
+
+def test_bmp_rle8_absolute_past_row_width_no_crash():
+    """Malformed stream: an encoded run pushes the cursor past the row
+    width, then absolute mode fires with x > w. Before the guard,
+    end - x went negative and a non-empty literal assigned into an
+    empty slice raised a numpy broadcast ValueError; the decoder must
+    instead clamp (matching the encoded-run branch's tolerance)."""
+    import struct
+
+    from geo_db_spark.operators.multimodal import decode_image
+
+    quads = b"".join(bytes((c, c, c, 0)) for c in range(256))
+    # 4x1: run (5,1) overruns to x=5, then absolute [7,8,9] at x=5
+    enc = bytes([5, 1, 0, 3, 7, 8, 9, 0, 0, 0, 0, 1])
+    off = 14 + 40 + len(quads)
+    payload = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(enc), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 1, 1, 8, 1, len(enc), 0, 0, 256, 0)
+        + quads
+        + enc
+    )
+    arr = decode_image(payload)
+    assert arr.shape == (1, 4, 3)
+    assert arr[0, :, 0].tolist() == [1, 1, 1, 1]  # run clamped, literal skipped

@@ -62,3 +62,32 @@ def test_python_nodes_only_where_declared(spark, qs):
     for name in ["q5_local_supplier_volume", "q10_returned_items", "g1_rollup_revenue"]:
         got = plan_stats(qs[name](spark, SF_SMOKE))
         assert got["python_nodes"] == 0, (name, got)
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_sq8_topk", "ann_pq_topk", "ann_ivf_pq_topk"]
+)
+def test_scan_ann_window_never_consumes_unreduced_scan(spark, qs, name):
+    """r7 verdict #1: the scan-ANN family must batch-local pre-cut
+    candidates (batch_local_topm, a MapInPandas inside the scan stage)
+    BEFORE any per-q_id window — a bare Window.partitionBy(q_id) over
+    the full candidate stream funnels each query's O(|corpus|) scores
+    through one un-splittable task. Pin: exactly one Python node, and
+    it sits BELOW every Window in the tree (physical plans print
+    parents before children, so its line index must be greater)."""
+    df = qs[name](spark, SF_SMOKE)
+    assert plan_stats(df)["python_nodes"] == 1, name
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # only the per-QUERY windows are the hazard: PQ's k-means encoding
+    # has per-VECTOR argmin windows (partitioned by the corpus-wide id
+    # keyspace) legitimately below the cut
+    win_lines = [
+        i for i, ln in enumerate(lines) if "Window" in ln and "q_id#" in ln
+    ]
+    map_lines = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    assert win_lines and map_lines, name
+    assert min(map_lines) > max(win_lines), (
+        name,
+        "batch-local cut must sit below the candidate window",
+    )

@@ -66,7 +66,7 @@ def test_salted_ordered_concat_matches_unsalted_on_skew(spark):
     df = (
         spark.range(0, 20000, 1, 16)
         .select(
-            F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("k") + (F.col("id") % 7).cast("string")).alias("k"),
+            F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))).alias("k"),
             # duplicate values on purpose: distinct must collapse them
             F.concat(F.lit("v"), (F.col("id") % 500).cast("string")).alias("v"),
         )
