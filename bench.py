@@ -106,6 +106,10 @@ TIER2 = [
     "ann_pq_topk",
     "corpus_build_pipeline",
     "ann_ivf_pq_topk",
+    # r8 additions: the slowest never-benched queries in the r7 judge
+    # sweep (13.8 s / 10.1 s under contention) — real walls + envelopes
+    "dedup_containment_pairs",
+    "g20_sssp_part_graph",
 ]
 
 
@@ -158,29 +162,28 @@ def main() -> None:
         timings[name] = min(raw)
     total = round(sum(timings[n] for n in HEADLINE), 4)
     load_end = os.getloadavg()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "runs": RUNS,
-                "queries": timings,
-                # provenance for the judge (r4 verdict #2): raw per-run
-                # walls expose cold/warm spread, and the host 1/5/15-min
-                # loadavg before+after tells noise from regression
-                "runs_raw": runs_raw,
-                # headline total excludes tier-2 so `value` stays
-                # comparable with BENCH_r01..r05; tier-2 walls are in
-                # `queries`/`runs_raw` like every other entry
-                "tier2": TIER2,
-                "value_with_tier2": round(sum(timings.values()), 4),
-                "loadavg_start": [round(x, 2) for x in load_start],
-                "loadavg_end": [round(x, 2) for x in load_end],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "runs": RUNS,
+        "queries": timings,
+        "runs_raw": runs_raw,
+        "tier2": TIER2,
+        "value_with_tier2": round(sum(timings.values()), 4),
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # r7 verdict #9: the driver records only the TAIL of stdout, which
+    # can truncate the earliest per-query pairs out of BENCH_rN.json.
+    # Persist the COMPLETE record to a sibling artifact (referenced from
+    # SCALE.md) so every benched query keeps its pair.
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f)
+        f.write("\n")
+    # full per-query line on stdout too, for greps and SCALE.md bookkeeping
+    print(json.dumps(full))
     # Compact summary LAST (r6 verdict #7): the driver records only the
     # TAIL of stdout, which truncated the full line's leading fields
     # (value included) out of every BENCH_rN.json. This short line always

@@ -177,21 +177,31 @@ def sssp_bellman_ford(
     src_col: str = "a",
     dst_col: str = "b",
     weight_col: str = "w",
-    rounds: int = 6,
+    rounds: int | None = 6,
 ) -> DataFrame:
-    """Single-source shortest paths by ``rounds`` synchronous
-    Bellman-Ford relaxations over an UNDIRECTED weighted graph
-    (edges are symmetrized here). Returns (node, dist) for every node
-    reached within ``rounds`` hops; with rounds >= graph diameter this
-    is the exact shortest-path distance. Fixed round count (not
-    convergence-tested) keeps the plan static and the oracle
-    expressible as K chained CTEs — pagerank_fixedpoint's convention.
+    """Single-source shortest paths by synchronous Bellman-Ford
+    relaxations over an UNDIRECTED weighted graph (edges are
+    symmetrized here). Returns (node, dist) for every reached node.
+
+    ``rounds=None`` (r7 verdict #4) relaxes TO THE FIXPOINT: after each
+    round a bounded driver scalar — (|dist|, sum(dist)) — is compared
+    with the previous round's, and the loop stops when it is stable.
+    The check is exact, not heuristic: dist rows only ever ACCUMULATE
+    (the union keeps every known node) and each node's dist only ever
+    DECREASES (min-aggregate over integer weights), so an unchanged
+    (count, sum) pair is impossible unless NO relaxation fired — the
+    true shortest-path fixpoint, guaranteed within |V| rounds on
+    positive weights. A fixed ``rounds=K`` keeps the old plan-static
+    behavior (the chained-CTE-oracle convention); with K < the graph's
+    weighted-hop radius that result is a round-bounded approximation,
+    NOT the shortest path.
 
     Scale shape: each round is one join of the frontier-bearing dist
     table with the edge list (both partitioned by node key) plus one
     min-aggregate — the textbook iterative-join SSSP; dist is
-    localCheckpoint'ed per round so lineage stays O(1) (the
-    components.py/spatial.py rule). Integer weights and min() make
+    localCheckpoint'ed per round so lineage stays O(1) and the
+    convergence scalar never re-runs prior rounds (the components.py/
+    ids.py materialized-exchange rule). Integer weights and min() make
     every round's result exact and order-independent."""
     sym = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v"), F.col(weight_col).alias("w")
@@ -203,7 +213,13 @@ def sssp_bellman_ford(
     dist = sym.sparkSession.createDataFrame(
         [(int(source), 0)], "node long, dist long"
     )
-    for _ in range(rounds):
+    converge = rounds is None
+    prev_sig = (1, 0) if converge else None
+    r = 0
+    while True:
+        if not converge and r >= rounds:
+            break
+        r += 1
         relaxed = dist.join(sym, dist["node"] == sym["u"]).select(
             F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
@@ -213,6 +229,14 @@ def sssp_bellman_ford(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+        if converge:
+            row = dist.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+            ).collect()[0]
+            sig = (row["n"], row["s"] or 0)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
     return dist
 
 
@@ -221,25 +245,33 @@ def kcore_peel(
     k: int,
     src_col: str = "a",
     dst_col: str = "b",
-    rounds: int = 4,
+    rounds: int | None = 4,
 ) -> DataFrame:
     """k-core peeling (Seidman 1983 "Network structure and minimum
-    degree" — public): ``rounds`` synchronous rounds of dropping every
-    node whose degree in the SURVIVING subgraph is < k. With enough
-    rounds this converges to the exact k-core (the maximal subgraph of
-    min-degree >= k); a fixed round count keeps the plan static and the
-    oracle expressible as K chained CTEs — the pagerank/Bellman-Ford
-    convention. Returns (node, degree) for nodes alive after the last
-    peel, with their degree in the surviving subgraph.
+    degree" — public): synchronous rounds of dropping every node whose
+    degree in the SURVIVING subgraph is < k. Returns (node, degree) for
+    nodes alive after the last peel, with their degree in the surviving
+    subgraph.
+
+    ``rounds=None`` (r7 verdict #4) peels TO THE FIXPOINT — the exact
+    k-core (maximal subgraph of min-degree >= k). The convergence check
+    is exact AND early-exiting: each round's degree aggregate (needed
+    anyway) also yields, as one bounded driver scalar, (nodes-in-graph,
+    nodes-with-deg>=k); when they are equal the filter is the identity,
+    so the loop stops BEFORE the two semi-joins — a converged round
+    costs one aggregate, not a full peel. A fixed ``rounds=K`` keeps
+    the old plan-static behavior (the chained-CTE-oracle convention);
+    with K < the peel depth that result is NOT the k-core.
 
     Scale shape: each round = one degree aggregate over the surviving
     symmetric edge list + one semi-join filter of edges against
     surviving nodes — both keyed on the node, riding one exchange; the
     edge list is localCheckpoint'ed per round (lineage O(1), the
-    components.py rule). Monotone: the surviving set only shrinks, so
-    per-round cost falls.
+    components.py rule), which also keeps the convergence scalar from
+    re-running prior rounds. Monotone: the surviving set only shrinks,
+    so per-round cost falls.
     """
-    if k < 1 or rounds < 1:
+    if k < 1 or (rounds is not None and rounds < 1):
         raise ValueError(f"need k >= 1 and rounds >= 1: got k={k}, rounds={rounds}")
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -248,8 +280,18 @@ def kcore_peel(
         )
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
+    converge = rounds is None
+    r = 0
+    while converge or r < rounds:
+        r += 1
         deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        if converge:
+            row = deg.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("deg") >= k).cast("long")).alias("a"),
+            ).collect()[0]
+            if row["n"] is None or row["n"] == (row["a"] or 0):
+                break  # every surviving node already has deg >= k (or graph empty)
         alive = deg.filter(F.col("deg") >= k).select("u")
         sym = (
             sym.join(alive, "u")

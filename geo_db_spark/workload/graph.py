@@ -193,13 +193,19 @@ ORACLES = {
 
 
 def g20_sssp_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted single-source shortest paths (r7): 6 Bellman-Ford
-    relaxation rounds over the part co-occurrence graph (g15's edge
-    derivation) with deterministic integer weights w = 1 + (a+b) % 5,
-    from the graph's minimum node id. New semantics for the family:
-    distance RELAXATION over a cyclic weighted graph, vs the closure
-    loops' hop counting on a DAG. Oracle = 6 chained relaxation CTEs
-    (pagerank's fixed-round convention)."""
+    """Weighted single-source shortest paths over the part
+    co-occurrence graph (g15's edge derivation) with deterministic
+    integer weights w = 1 + (a+b) % 5, from the graph's minimum node
+    id. New semantics for the family: distance RELAXATION over a cyclic
+    weighted graph, vs the closure loops' hop counting on a DAG.
+
+    r8 (verdict #4): Bellman-Ford now relaxes TO CONVERGENCE
+    (rounds=None — exact fixpoint check on the monotone (count, sum)
+    pair), so the result is the true shortest-path distance, not a
+    round-bounded approximation. The oracle stays a chained-CTE
+    relaxation, sized ABOVE the measured fixpoint (3 effective rounds
+    at sf0.01; 8 chained here) — rounds past the fixpoint are identity,
+    so the oracle equals the converged result."""
     tune(spark)
     from geo_db_spark.operators.graph_algos import sssp_bellman_ford
 
@@ -213,7 +219,7 @@ def g20_sssp_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", F.lit(1) + (F.col("a") + F.col("b")) % 5)
     )
     source = pairs.agg(F.min("a")).collect()[0][0]  # bounded driver scalar
-    out = sssp_bellman_ford(pairs, source, rounds=6)
+    out = sssp_bellman_ford(pairs, source, rounds=None)
     return out.select("node", F.col("dist").cast("long").alias("dist"))
 
 
@@ -251,15 +257,24 @@ SELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}
 
 
 QUERIES["g20_sssp_part_graph"] = g20_sssp_part_graph
-ORACLES["g20_sssp_part_graph"] = _sssp_oracle()
+# 8 chained rounds ≥ the measured fixpoint (3 effective at sf0.01, 2 at
+# sf0.001); relaxations past the fixpoint are identity CTEs
+ORACLES["g20_sssp_part_graph"] = _sssp_oracle(rounds=8)
 
 
 def g26_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-round 3-core peeling over the part co-occurrence graph (g15's
-    edge derivation): nodes surviving iterative min-degree-3 deletion,
-    with their core-subgraph degree. The family's missing
-    shrinking-fixpoint shape (closure grows, pagerank is static, this
-    PEELS). Oracle = 4 chained peel CTEs."""
+    """3-core peeling over the part co-occurrence graph (g15's edge
+    derivation): nodes surviving iterative min-degree-3 deletion, with
+    their core-subgraph degree. The family's missing shrinking-fixpoint
+    shape (closure grows, pagerank is static, this PEELS).
+
+    r8 (verdict #4): peels TO CONVERGENCE (rounds=None), so the result
+    is the true 3-core; the check also early-exits BEFORE the semi-joins
+    on the converged round. Measured: this graph is already a 3-core at
+    every test SF (fixpoint at round 1), so the old fixed-4 form was
+    running 4 identity peels — the converged form does one degree
+    aggregate. Oracle stays 4 chained peel CTEs (≥ the 0 effective
+    peels; peels past the fixpoint are identity)."""
     tune(spark)
     from geo_db_spark.operators.graph_algos import kcore_peel
 
@@ -271,7 +286,7 @@ def g26_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("a"), F.col("pk2").alias("b"))
         .distinct()
     )
-    return kcore_peel(pairs, k=3, rounds=4)
+    return kcore_peel(pairs, k=3, rounds=None)
 
 
 def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:

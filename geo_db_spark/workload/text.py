@@ -664,7 +664,11 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapper, same discipline as text_tfidf_topterms (ln is not
     cross-libm reproducible; the ratio is a monotone transform of the
     standard idf per term, and the per-term saturation shape is
-    untouched).
+    untouched). Caveat: the SUM of per-term odds ratios is NOT a
+    monotone transform of the standard ln-BM25 total, so the final
+    ranking may diverge from textbook BM25 on multi-term queries whose
+    terms differ in df — a deliberate determinism-over-fidelity
+    tradeoff.
 
     Scale shape: tf is explode -> filter(IN terms) -> groupBy doc
     (map-side combined, terms pruned BEFORE the shuffle so only

@@ -125,3 +125,25 @@ def test_sssp_bellman_ford_prefers_cheap_multihop(spark):
     )
     got = {r.node: r.dist for r in sssp_bellman_ford(edges, 1, rounds=6).collect()}
     assert got == {1: 0, 3: 1, 2: 2, 4: 3}  # 5,6 unreachable
+
+
+def test_sssp_converged_exact_where_rounds6_insufficient(spark):
+    """r7 verdict #4: rounds=None must relax to the TRUE shortest-path
+    fixpoint. A 9-hop path needs 9 relaxation rounds — rounds=6
+    provably misses the tail (and a late cheap detour means early
+    rounds also hold WRONG distances, not just missing ones)."""
+    from geo_db_spark.operators.graph_algos import sssp_bellman_ford
+
+    # path 1-2-...-10 (w=1 each) plus an expensive direct edge 1-10
+    path = [(i, i + 1, 1) for i in range(1, 10)]
+    edges = spark.createDataFrame(
+        path + [(1, 10, 100)], "a long, b long, w long"
+    )
+    bounded = {
+        r.node: r.dist for r in sssp_bellman_ford(edges, 1, rounds=6).collect()
+    }
+    assert bounded[10] == 100  # provably insufficient: direct edge not yet beaten
+    exact = {
+        r.node: r.dist for r in sssp_bellman_ford(edges, 1, rounds=None).collect()
+    }
+    assert exact == {i: i - 1 for i in range(1, 11)}  # true fixpoint: 10 at dist 9

@@ -80,3 +80,34 @@ def test_kcore_rejects_bad_params(spark):
         kcore_peel(edges, k=0)
     with pytest.raises(ValueError):
         kcore_peel(edges, k=2, rounds=0)
+
+
+def test_kcore_converged_exact_where_rounds4_insufficient(spark):
+    """r7 verdict #4: rounds=None must peel to the TRUE k-core. A
+    6-link chain hanging off a triangle needs 6 cascading rounds (one
+    outer node dies per round) — rounds=4 provably leaves chain nodes
+    alive, the converged form returns exactly the triangle."""
+    from geo_db_spark.operators.graph_algos import kcore_peel
+
+    # triangle 1-2-3, chain 3-4-5-6-7-8-9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8), (8, 9)],
+        "a long, b long",
+    )
+    bounded = {r["node"] for r in kcore_peel(edges, k=2, rounds=4).collect()}
+    assert bounded > {1, 2, 3}  # provably insufficient: chain remnants alive
+    exact = {
+        r["node"]: r["degree"] for r in kcore_peel(edges, k=2, rounds=None).collect()
+    }
+    assert exact == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_converged_empty_core(spark):
+    """Convergence must also terminate when the k-core is EMPTY (the
+    surviving edge set peels to nothing)."""
+    from geo_db_spark.operators.graph_algos import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a long, b long"  # a path has no 2-core
+    )
+    assert kcore_peel(edges, k=2, rounds=None).count() == 0

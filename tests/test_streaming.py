@@ -930,7 +930,11 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     The TWS runtime needs protobuf (its state-server wire format);
     this container lacks it, so the test skips there — the operator's
     plan still ANALYZES without protobuf (checked unconditionally
-    below), so API-level drift is caught either way."""
+    below), so API-level drift is caught either way. Unskipping was
+    re-attempted r8: no protobuf wheel anywhere on disk and no network
+    (pip index unresolvable), and vendoring the full google.protobuf
+    runtime wholesale is out of scope — the skip is a true container
+    boundary, not a shortcut."""
     import pytest
 
     pytest.importorskip(
