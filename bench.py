@@ -110,6 +110,7 @@ TIER2 = [
     # sweep (13.8 s / 10.1 s under contention) — real walls + envelopes
     "dedup_containment_pairs",
     "g20_sssp_part_graph",
+    "ann_ivf_pq_residual_topk",
 ]
 
 

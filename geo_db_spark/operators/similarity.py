@@ -46,6 +46,15 @@ def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("q", q).withColumn("qnorm", int_dot(F.col("q"), F.col("q")))
 
 
+def with_prequantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """`with_quantized` for a column ALREADY in quantized-integer space
+    (e.g. IVF residuals: differences of quantized vectors) — attaches
+    q/qnorm without re-scaling."""
+    return df.withColumn("q", F.col(vec_col)).withColumn(
+        "qnorm", int_dot(F.col("q"), F.col("q"))
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -376,6 +385,7 @@ def kmeans_fixed_rounds(
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_quantized: bool = False,
 ):
     """Lloyd's k-means with a FIXED round count over quantized-integer
     vectors — the IVF centroid TRAINER (the existing IVF paths use
@@ -394,8 +404,12 @@ def kmeans_fixed_rounds(
     Scale shape per round: one broadcast of K centroid rows against the
     corpus scan (argmin is a K-way least, here a window over K rows per
     vector), then one posexplode aggregate for the update — two
-    shuffles of skinny rows, centroid state is O(K·dim)."""
-    qdf = with_quantized(emb, vec_col).select(
+    shuffles of skinny rows, centroid state is O(K·dim).
+
+    ``pre_quantized=True`` takes ``vec_col`` as ALREADY integer-valued
+    (IVF residuals) and skips the float->int scaling."""
+    wq = with_prequantized if pre_quantized else with_quantized
+    qdf = wq(emb, vec_col).select(
         F.col(id_col).alias("id"), F.col("q"), F.col("qnorm")
     ).localCheckpoint(eager=True)
     # Seed from the k SMALLEST ids, not filter(id < k): 1-based or
@@ -454,15 +468,19 @@ def pq_train_encode_adc(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_quantized: bool = False,
 ):
     """PQ shared machinery: per-subspace integer-exact Lloyd codebooks,
     corpus encoding (codes: one row per vector, ``m_sub`` centroid-id
     columns), and per-query ADC distance tables (dts[m]: (q_id, code_m,
     d_m), K rows per query per subspace — the broadcast lookup side).
-    Used by cosine_topk_pq (flat PQ) and ivf_pq_topk (cell-restricted)."""
+    Used by cosine_topk_pq (flat PQ) and ivf_pq_topk (cell-restricted;
+    ``pre_quantized=True`` for its residual form, whose inputs are
+    already integer-valued)."""
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     sub_w = dim // m_sub
+    wq = with_prequantized if pre_quantized else with_quantized
 
     codes = None
     dts = []
@@ -472,14 +490,15 @@ def pq_train_encode_adc(
             id_col, F.slice(F.col(vec_col), lo, sub_w).alias(vec_col)
         )
         assigned, cent = kmeans_fixed_rounds(
-            sub, k=k_cent, rounds=train_rounds, id_col=id_col, vec_col=vec_col
+            sub, k=k_cent, rounds=train_rounds, id_col=id_col, vec_col=vec_col,
+            pre_quantized=pre_quantized,
         )
         code_m = assigned.select(
             F.col("id").alias("c_id"), F.col("cell").alias(f"code{m}")
         )
         codes = code_m if codes is None else codes.join(code_m, "c_id")
 
-        qsub = with_quantized(
+        qsub = wq(
             queries.select(
                 id_col, F.slice(F.col(vec_col), lo, sub_w).alias(vec_col)
             ),
@@ -599,26 +618,64 @@ def ivf_pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ — the production large-scale ANN shape (FAISS IndexIVFPQ,
     Jégou TPAMI'11): trained coarse cells bound WHICH vectors are
     probed, PQ codes bound WHAT is read per probed vector, exact rescore
-    bounds the full-vector fetches. This is the no-residual variant
-    (codes encode the raw sub-vectors, not the cell residuals — residual
-    encoding would need per-cell codebook training; documented
-    simplification, same two-stage exactness contract).
+    bounds the full-vector fetches.
 
-    Scale: at query time NOTHING full-width moves — the probe is a
-    cell-equi-join of the (cell, 4 small ints) codes table against the
-    broadcast query cells, ADC is 4 broadcast lookup joins, and only
-    rescore_m candidates per query fetch real vectors."""
-    assigned, _cent = kmeans_fixed_rounds(
+    ``residual=True`` (r7 verdict #2) is the FAISS-faithful by_residual
+    form: PQ codebooks are trained on the POOLED residuals x − c(x)
+    (each vector minus its trained coarse centroid, exact integer
+    subtraction in quantized space), the corpus is encoded as residual
+    codes, and each query's ADC tables are built from ITS residual
+    w.r.t. the probed cell (probe = own cell here, so q − c(q)). Raw
+    codebooks must spread k_cent centroids per subspace across the
+    ABSOLUTE positions of all coarse_k cells; residual codebooks only
+    encode the within-cell spread, so on a corpus with cluster
+    structure the same code budget resolves much finer — the recall
+    gap is measured in test_ann_recall on a clustered corpus (the
+    repo's synthetic embeddings table has no cluster structure, where
+    residual ties no-residual, documented honestly). ``residual=False``
+    keeps the raw-subvector form as the ablation baseline. Queries are
+    assumed drawn from the corpus (same contract as the probe's
+    own-cell lookup).
+
+    Scale: the residual transform is one broadcast join against the
+    K-row centroid table inside the scan — at query time still NOTHING
+    full-width moves: the probe is a cell-equi-join of the (cell, 4
+    small ints) codes table against the broadcast query cells, ADC is 4
+    broadcast lookup joins, and only rescore_m candidates per query
+    fetch real vectors."""
+    assigned, cent = kmeans_fixed_rounds(
         corpus, k=coarse_k, rounds=coarse_rounds, id_col=id_col, vec_col=vec_col
     )
     cells = assigned.select(F.col("id").alias("c_id"), "cell")
-    codes, dts = pq_train_encode_adc(
-        corpus, queries, m_sub, k_cent, train_rounds, dim, id_col, vec_col
-    )
+    if residual:
+        cq = with_quantized(corpus, vec_col).select(
+            F.col(id_col).alias("c_id"), "q"
+        )
+        centr = cent.select(F.col("cent_id").alias("cell"), F.col("c").alias("__cc"))
+        resid = (
+            cq.join(cells, "c_id")
+            .join(F.broadcast(centr), "cell")
+            .select(
+                F.col("c_id").alias(id_col),
+                F.zip_with("q", "__cc", lambda x, y: x - y).alias(vec_col),
+            )
+        )
+        rq = resid.join(
+            queries.select(F.col(id_col).alias(id_col)), id_col, "left_semi"
+        )
+        codes, dts = pq_train_encode_adc(
+            resid, rq, m_sub, k_cent, train_rounds, dim, id_col, vec_col,
+            pre_quantized=True,
+        )
+    else:
+        codes, dts = pq_train_encode_adc(
+            corpus, queries, m_sub, k_cent, train_rounds, dim, id_col, vec_col
+        )
     coded = codes.join(cells, "c_id")
     qcells = cells.withColumnsRenamed({"c_id": "q_id"}).join(
         queries.select(F.col(id_col).alias("q_id")), "q_id"

@@ -424,3 +424,51 @@ def test_kmeans_seeds_from_smallest_ids_not_id_range(spark):
 
     with pytest.raises(ValueError, match="needs k=8"):
         kmeans_fixed_rounds(emb.limit(5), k=8, rounds=1)
+
+
+def test_ivf_pq_residual_beats_raw_on_clustered_corpus(spark):
+    """r7 verdict #2: residual encoding is what makes IVF-PQ work on
+    corpora WITH cluster structure. Raw codebooks spend their 4x8 code
+    budget on the absolute positions of 16 coarse cells; residual
+    codebooks encode only the within-cell spread. On a 16-cluster
+    corpus (sigma=0.05 around uniform centers) the measured gap is
+    0.12 -> 0.54 recall@5 at rescore 20 and 0.36 -> 0.82 at rescore 50
+    — pinned loosely below so training-order jitter can't flake it.
+    The repo's flat synthetic table shows no gap (documented in the
+    workload docstring); this corpus is the one the operator exists
+    for."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_pq_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-1, 1, (16, 64))
+    rows = []
+    for i in range(2000):
+        v = centers[i % 16] + rng.normal(0, 0.05, 64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    truth = {}
+    for r in cosine_topk_bruteforce(emb, queries, k=5).collect():
+        truth.setdefault(r.q_id, set()).add(r.neighbor_id)
+    n_truth = sum(len(t) for t in truth.values())
+
+    def recall(residual, rescore_m):
+        got = {}
+        for r in ivf_pq_topk(
+            emb, queries, k=5, rescore_m=rescore_m, residual=residual
+        ).collect():
+            got.setdefault(r.q_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / n_truth
+
+    for rescore_m, raw_ceil, resid_floor in ((20, 0.35, 0.45), (50, 0.55, 0.70)):
+        raw = recall(False, rescore_m)
+        resid = recall(True, rescore_m)
+        assert resid > raw + 0.10, (rescore_m, raw, resid)
+        assert raw <= raw_ceil and resid >= resid_floor, (rescore_m, raw, resid)

@@ -65,7 +65,8 @@ def test_python_nodes_only_where_declared(spark, qs):
 
 
 @pytest.mark.parametrize(
-    "name", ["ann_sq8_topk", "ann_pq_topk", "ann_ivf_pq_topk"]
+    "name",
+    ["ann_sq8_topk", "ann_pq_topk", "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk"],
 )
 def test_scan_ann_window_never_consumes_unreduced_scan(spark, qs, name):
     """r7 verdict #1: the scan-ANN family must batch-local pre-cut
