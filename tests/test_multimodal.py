@@ -192,8 +192,11 @@ def test_decode_png_golden_and_refusals():
 
     with pytest.raises(NotImplementedError):  # 16-bit
         decode_image(png_with_ihdr(depth=16))
-    with pytest.raises(NotImplementedError):  # Adam7
-        decode_image(png_with_ihdr(interlace=1))
+    # Adam7 DECODES since r8 (1x1: only pass 1 is non-empty — one
+    # filter byte + 3 channel bytes, exactly the sequential stream)
+    assert decode_image(png_with_ihdr(interlace=1)).tolist() == [[[1, 2, 3]]]
+    with pytest.raises(ValueError):  # interlace method 2 does not exist
+        decode_image(png_with_ihdr(interlace=2))
     # palette is IMPLEMENTED since r7b — but a type-3 stream without a
     # PLTE chunk is malformed, not unsupported
     with pytest.raises(ValueError):
@@ -359,10 +362,9 @@ def test_decode_wav_roundtrip_fuzz():
 
 def test_decode_gif_golden_and_refusals():
     """GIF87a/89a LZW decode: palette indirection, extension-block skip,
-    KwKwK case exercised by a repeating raster; interlaced raises; MP3
-    (non-image) stays at the dispatcher boundary."""
+    KwKwK case exercised by a repeating raster; flipping the interlace
+    bit on the same stream re-scatters rows in spec pass order."""
     import numpy as np
-    import pytest
 
     from geo_db_spark.operators.multimodal import _decode_gif, decode_image, make_gif
 
@@ -379,8 +381,12 @@ def test_decode_gif_golden_and_refusals():
     # palette itself contains 0x2C bytes, so search past it
     ipos = g.index(b"\x2c", 13 + 768)
     interlaced[ipos + 9] |= 0x40
-    with pytest.raises(NotImplementedError):
-        _decode_gif(bytes(interlaced))
+    # interlaced DECODES since r8: flipping the bit on the same stream
+    # re-reads stored rows as pass order — for h=3 the row order is
+    # pass1 -> 0, pass3 -> 2, pass4 -> 1 (pass2 starts at 4, empty)
+    got = _decode_gif(bytes(interlaced))
+    want33 = want.reshape(3, 3, 3)
+    assert (got[[0, 2, 1]] == want33).all()
 
 
 def test_decode_gif_roundtrip_fuzz():
@@ -597,3 +603,188 @@ def test_bmp_rle8_absolute_past_row_width_no_crash():
     arr = decode_image(payload)
     assert arr.shape == (1, 4, 3)
     assert arr[0, :, 0].tolist() == [1, 1, 1, 1]  # run clamped, literal skipped
+
+
+def test_png_adam7_pass_geometry_pinned_to_spec():
+    """Pin the Adam7 pass layout against the PNG spec §8.2 by hand, not
+    against the decoder (encoder and decoder share the pass table, so a
+    roundtrip alone cannot catch a wrong table). An 8x8 grayscale image
+    with pixel = y*8+x, filter None everywhere: the inflated IDAT must
+    be exactly the spec's pass order with per-row filter bytes."""
+    import struct
+    import zlib
+
+    from geo_db_spark.operators.multimodal import make_png
+
+    px = bytes(y * 8 + x for y in range(8) for x in range(8))
+    png = make_png(8, 8, px, color_type=0, interlace=1,
+                   row_filters=[0] * (1 + 1 + 1 + 2 + 2 + 4 + 4))
+    # extract IDAT
+    pos, idat = 8, b""
+    while pos + 8 <= len(png):
+        ln, typ = struct.unpack_from(">I4s", png, pos)
+        if typ == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    want = bytes(
+        [0, 0]                                        # pass 1: (0,0)
+        + [0, 4]                                      # pass 2: (4,0)
+        + [0, 32, 36]                                 # pass 3: y=4, x=0,4
+        + [0, 2, 6, 0, 34, 38]                        # pass 4: y=0,4; x=2,6
+        + [0, 16, 18, 20, 22, 0, 48, 50, 52, 54]      # pass 5: y=2,6; x even
+        + [0, 1, 3, 5, 7, 0, 17, 19, 21, 23,
+           0, 33, 35, 37, 39, 0, 49, 51, 53, 55]      # pass 6: y even; x odd
+        + sum(([0] + list(range(y * 8, y * 8 + 8)) for y in (1, 3, 5, 7)), [])
+    )                                                 # pass 7: odd rows, full
+    assert raw == want
+
+
+def test_png_adam7_roundtrip_fuzz():
+    """Adam7 roundtrip fuzz: every color type (palette included), odd
+    sizes — including w,h < 5 where whole passes are EMPTY and must
+    contribute zero bytes — mixed per-pass-row filters. Decode must
+    reproduce the sequential decode of the same pixels exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geo_db_spark.operators.multimodal import (
+        _ADAM7,
+        _PNG_CHANNELS,
+        _decode_png,
+        make_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.sampled_from([1, 2, 3, 4, 5, 7, 9, 16]),
+        h=st.sampled_from([1, 2, 3, 4, 5, 8, 13]),
+        color_type=st.sampled_from(sorted(_PNG_CHANNELS) + [3]),
+        data=st.data(),
+    )
+    def roundtrip(w, h, color_type, data):
+        ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+        n_rows = sum(
+            (h - y0 + dy - 1) // dy
+            for x0, y0, dx, dy in _ADAM7
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=n_rows, max_size=n_rows),
+            label="row_filters",
+        )
+        if color_type == 3:
+            pal = bytes(range(256)) * 3
+            pal = bytes(b for i in range(256) for b in (i, 255 - i, i ^ 93))
+            px = np.array(
+                data.draw(
+                    st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h),
+                    label="pixels",
+                ),
+                dtype=np.uint8,
+            )
+            png_i = make_png(w, h, px.tobytes(), color_type=3, palette=pal,
+                             interlace=1, row_filters=filters)
+            png_s = make_png(w, h, px.tobytes(), color_type=3, palette=pal)
+        else:
+            px = np.array(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+                    ),
+                    label="pixels",
+                ),
+                dtype=np.uint8,
+            )
+            png_i = make_png(w, h, px.tobytes(), color_type=color_type,
+                             interlace=1, row_filters=filters)
+            png_s = make_png(w, h, px.tobytes(), color_type=color_type)
+        got = _decode_png(png_i)
+        want = _decode_png(png_s)
+        assert got.shape == (h, w, 3)
+        assert np.array_equal(got, want)
+
+    roundtrip()
+
+
+def test_png_adam7_truncated_and_bad_interlace():
+    import struct
+    import zlib
+
+    import pytest
+
+    from geo_db_spark.operators.multimodal import _decode_png, make_png
+
+    png = make_png(8, 8, bytes(64), color_type=0, interlace=1)
+    # corrupt: rebuild with one pass row missing from the inflated stream
+    pos, pre, idat, post = 8, png[:8], b"", b""
+    chunks = []
+    while pos + 8 <= len(png):
+        ln, typ = struct.unpack_from(">I4s", png, pos)
+        chunks.append((typ, png[pos + 8 : pos + 8 + ln]))
+        pos += 12 + ln
+    raw = zlib.decompress(b"".join(d for t, d in chunks if t == b"IDAT"))
+
+    def rebuild(new_raw):
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+        out = png[:8]
+        for t, d in chunks:
+            if t == b"IDAT":
+                out += chunk(b"IDAT", zlib.compress(new_raw))
+            else:
+                out += chunk(t, d)
+        return out
+
+    with pytest.raises(ValueError):
+        _decode_png(rebuild(raw[:-3]))   # truncated mid-pass
+    with pytest.raises(ValueError):
+        _decode_png(rebuild(raw + b"\x00"))  # trailing surplus byte
+
+
+def test_gif_interlace_row_order_pinned_to_spec():
+    """Pin the GIF interlace pass order against the spec by hand (the
+    encoder and decoder share _gif_row_order, so a roundtrip alone
+    cannot catch a wrong table): for h=10 the stored order is pass 1
+    (0, 8), pass 2 (4), pass 3 (2, 6), pass 4 (1, 3, 5, 7, 9)."""
+    from geo_db_spark.operators.multimodal import _gif_row_order
+
+    assert _gif_row_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert _gif_row_order(1) == [0]
+    assert _gif_row_order(4) == [0, 2, 1, 3]
+    assert sorted(_gif_row_order(37)) == list(range(37))
+
+
+def test_decode_gif_interlaced_roundtrip_fuzz():
+    """Interlaced encode -> decode must equal the sequential decode of
+    the same raster, across heights that leave passes empty (h < 5)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geo_db_spark.operators.multimodal import _decode_gif, make_gif
+
+    pal = bytes(bytearray(v for i in range(256) for v in (i, 255 - i, (i * 11) % 256)))
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.sampled_from([1, 3, 7]),
+        h=st.sampled_from([1, 2, 3, 4, 5, 9, 24]),
+        data=st.data(),
+    )
+    def roundtrip(w, h, data):
+        idx = bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h),
+                label="indices",
+            )
+        )
+        got = _decode_gif(make_gif(w, h, idx, pal, interlace=True))
+        want = _decode_gif(make_gif(w, h, idx, pal))
+        assert np.array_equal(got, want)
+
+    roundtrip()
