@@ -459,6 +459,83 @@ def kmeans_fixed_rounds(
     return assign(cent), cent
 
 
+def kmeans_fixed_rounds_grouped(
+    emb: DataFrame,
+    k: int,
+    rounds: int,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pre_quantized: bool = False,
+):
+    """``kmeans_fixed_rounds`` run INDEPENDENTLY per group in ONE set of
+    jobs — the PQ subspace trainer (r8 perf rework): the per-subspace
+    loop ran m_sub sequential Lloyd trainings, each with its own
+    assignment window, update aggregate and checkpoint; keying every
+    stage by ``group_col`` trains all groups in the same passes, so the
+    corpus is scanned rounds+1 times TOTAL instead of per subspace.
+    Identical math per group (same seed rule — the k smallest ids,
+    fetched once via TakeOrdered and shared across groups since all
+    groups carry the same id space — same (dist, cent_id) argmin order,
+    same floor-mean update), so results are bit-identical to the
+    sequential form and the chained-CTE oracles are untouched.
+
+    Returns (assignments (group, id, cell, dist), centroids (group,
+    cent_id, c)). Scale: the argmin window partitions by (group, id) —
+    never a single task; centroid state is O(groups·K·dim) broadcast."""
+    wq = with_prequantized if pre_quantized else with_quantized
+    qdf = wq(emb, vec_col).select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("id"), "q", "qnorm"
+    ).localCheckpoint(eager=True)
+    seed_ids = (
+        qdf.select("id").distinct().orderBy("id").limit(k).localCheckpoint(eager=True)
+        .select(F.col("id").alias("__sid"))
+    )
+    n_seeds = seed_ids.count()
+    if n_seeds < k:
+        raise ValueError(
+            f"k-means needs k={k} distinct vectors to seed, found {n_seeds}"
+        )
+    cent = qdf.join(
+        F.broadcast(seed_ids), qdf["id"] == F.col("__sid")
+    ).select("g", F.col("id").alias("cent_id"), F.col("q").alias("c"))
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        c = centroids.withColumn("c_n", int_dot(F.col("c"), F.col("c")))
+        scored = qdf.join(F.broadcast(c), "g").select(
+            "g",
+            "id",
+            "cent_id",
+            (
+                F.col("qnorm") + F.col("c_n")
+                - 2 * int_dot(F.col("q"), F.col("c"))
+            ).alias("dist"),
+        )
+        w = Window.partitionBy("g", "id").orderBy(F.col("dist").asc(), F.col("cent_id"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("g", "id", F.col("cent_id").alias("cell"), "dist")
+        )
+
+    for _ in range(rounds):
+        members = assign(cent).join(qdf, ["g", "id"])
+        per_dim = members.select(
+            "g", "cell", F.posexplode("q").alias("d", "x")
+        ).groupBy("g", "cell", "d").agg(
+            F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        cent = per_dim.withColumn(
+            "v", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
+        ).groupBy("g", "cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
+            ).alias("c")
+        ).select("g", F.col("cell").alias("cent_id"), "c").localCheckpoint(eager=True)
+
+    return assign(cent), cent
+
+
 def pq_train_encode_adc(
     corpus: DataFrame,
     queries: DataFrame,
@@ -476,46 +553,62 @@ def pq_train_encode_adc(
     d_m), K rows per query per subspace — the broadcast lookup side).
     Used by cosine_topk_pq (flat PQ) and ivf_pq_topk (cell-restricted;
     ``pre_quantized=True`` for its residual form, whose inputs are
-    already integer-valued)."""
+    already integer-valued).
+
+    r8 perf rework: all m_sub codebooks train in ONE grouped Lloyd run
+    (kmeans_fixed_rounds_grouped keyed by the subspace index — the
+    corpus slices explode once) instead of m_sub sequential trainings;
+    bit-identical per-subspace results, measured ~2x on the PQ family
+    at sf0.1."""
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     sub_w = dim // m_sub
     wq = with_prequantized if pre_quantized else with_quantized
 
-    codes = None
-    dts = []
-    for m in range(m_sub):
-        lo = m * sub_w + 1  # F.slice is 1-based
-        sub = corpus.select(
-            id_col, F.slice(F.col(vec_col), lo, sub_w).alias(vec_col)
+    def sliced(df: DataFrame) -> DataFrame:
+        return df.select(
+            id_col,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col(vec_col), m * sub_w + 1, sub_w)
+                        for m in range(m_sub)
+                    ]
+                )
+            ).alias("m", vec_col),
         )
-        assigned, cent = kmeans_fixed_rounds(
-            sub, k=k_cent, rounds=train_rounds, id_col=id_col, vec_col=vec_col,
-            pre_quantized=pre_quantized,
-        )
-        code_m = assigned.select(
-            F.col("id").alias("c_id"), F.col("cell").alias(f"code{m}")
-        )
-        codes = code_m if codes is None else codes.join(code_m, "c_id")
 
-        qsub = wq(
-            queries.select(
-                id_col, F.slice(F.col(vec_col), lo, sub_w).alias(vec_col)
-            ),
-            vec_col,
-        ).select(F.col(id_col).alias("q_id"), "q", "qnorm")
-        c = cent.withColumn("c_n", int_dot(F.col("c"), F.col("c")))
-        dts.append(
-            qsub.crossJoin(F.broadcast(c))
-            .select(
-                "q_id",
-                F.col("cent_id").alias(f"code{m}"),
-                (
-                    F.col("qnorm") + F.col("c_n")
-                    - 2 * int_dot(F.col("q"), F.col("c"))
-                ).alias(f"d{m}"),
-            )
+    assigned, cent = kmeans_fixed_rounds_grouped(
+        sliced(corpus), k=k_cent, rounds=train_rounds, group_col="m",
+        id_col=id_col, vec_col=vec_col, pre_quantized=pre_quantized,
+    )
+    codes = assigned.groupBy(F.col("id").alias("c_id")).agg(
+        *[
+            F.max(F.when(F.col("g") == m, F.col("cell"))).alias(f"code{m}")
+            for m in range(m_sub)
+        ]
+    )
+
+    qsub = wq(sliced(queries), vec_col).select(
+        F.col("m").alias("g"), F.col(id_col).alias("q_id"), "q", "qnorm"
+    )
+    c = cent.withColumn("c_n", int_dot(F.col("c"), F.col("c")))
+    dt_all = qsub.join(F.broadcast(c), "g").select(
+        "g",
+        "q_id",
+        "cent_id",
+        (
+            F.col("qnorm") + F.col("c_n") - 2 * int_dot(F.col("q"), F.col("c"))
+        ).alias("d"),
+    ).localCheckpoint(eager=True)
+    dts = [
+        dt_all.filter(F.col("g") == m).select(
+            "q_id",
+            F.col("cent_id").alias(f"code{m}"),
+            F.col("d").alias(f"d{m}"),
         )
+        for m in range(m_sub)
+    ]
     return codes, dts
 
 
