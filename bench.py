@@ -111,6 +111,7 @@ TIER2 = [
     "dedup_containment_pairs",
     "g20_sssp_part_graph",
     "ann_ivf_pq_residual_topk",
+    "mm_image_decode_jpeg",
 ]
 
 

@@ -1,0 +1,505 @@
+"""Baseline JPEG (ITU-T T.81, public spec) — pure stdlib+NumPy codec.
+
+Closes the r7 "codec surface" boundary for the single most common image
+format a real training-data corpus contains. Scope: baseline sequential
+DCT (SOF0), 8-bit precision, grayscale or 3-component YCbCr with
+sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0), restart markers,
+byte stuffing. Progressive (SOF2), arithmetic coding, 12-bit and
+hierarchical modes raise NotImplementedError — honest boundaries, the
+same convention as the PNG/GIF/BMP/WAV decoders in multimodal.py.
+
+Exactness contract: entropy decode, dequantization and dezigzag are
+integer-exact; the IDCT is the spec's real-valued transform evaluated
+in float64 (one matrix sandwich per block) with round-half-away
+clamping. For DC-ONLY blocks the output is analytically exact — the
+IDCT of a DC-only block is the constant DC/8, so quant=1 and
+DC = 8·(v − 128) decodes to exactly v — which is what lets the
+mm_image_decode_jpeg workload oracle reproduce decoded pixels from
+text bytes in SQL (the lossy general path cannot be oracled that way;
+it is pinned in pytest against an independently-written IDCT).
+
+Performance note: the entropy scan is a per-block Python bit reader —
+fixture/thumbnail scale, the Paeth-filter note applies verbatim: a real
+100 TB image corpus wants a native codec library behind the SAME
+mapInPandas seam; this module exists so the plumbing above it is real
+and tested end to end.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag index -> (row, col): diagonals alternate direction (T.81 Fig. 5)
+_ZIGZAG = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]),
+)
+_ZZ_ROWS = np.array([r for r, _ in _ZIGZAG])
+_ZZ_COLS = np.array([c for _, c in _ZIGZAG])
+
+# IDCT basis: M[u, x] = C(u)/2 * cos((2x+1) u pi / 16); block = M.T @ F @ M
+_IDCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0) / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _idct_block(coef: np.ndarray) -> np.ndarray:
+    """float64 2-D inverse DCT of one 8x8 coefficient block (T.81 A.3.3)."""
+    return _IDCT_M.T @ coef @ _IDCT_M
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    de-stuffing and restart-marker awareness."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError("hit restart marker inside entropy segment")
+            else:
+                raise ValueError(f"marker 0xFF{nxt:02X} inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            if length > 16:
+                raise ValueError("invalid Huffman code (>16 bits)")
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+
+    def align_and_expect_rst(self, n: int) -> None:
+        self.acc = 0
+        self.n = 0
+        if not (
+            self.buf[self.pos] == 0xFF and self.buf[self.pos + 1] == 0xD0 + (n & 7)
+        ):
+            raise ValueError(
+                f"expected RST{n & 7} at offset {self.pos}, found "
+                f"{self.buf[self.pos:self.pos + 2].hex()}"
+            )
+        self.pos += 2
+
+
+def _build_huff(bits: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman per T.81 C.2: (length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (H, W, 3) uint8 RGB (grayscale
+    replicated), matching the other decoders' contract."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {payload[pos]:#x}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        seg = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                tbl = np.zeros((8, 8), np.int64)
+                vals = seg[i + 1 : i + 65]
+                tbl[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(vals, np.uint8)
+                qt[tq] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = seg[i + 1 : i + 17]
+                n = sum(bits)
+                symbols = seg[i + 17 : i + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, symbols)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG (SOF0) supported, got SOF "
+                f"marker 0xFF{marker:02X}"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cs] = (tdta >> 4, tdta & 15)
+            return _decode_scan(
+                payload, pos + ln, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / others: skip
+        pos += ln
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w == 0 or h == 0:
+        raise ValueError("zero-sized JPEG frame")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c in comps):
+        raise NotImplementedError("sampling factors beyond 1/2 not supported")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.uint8))
+        if c["id"] not in scan:
+            raise ValueError(f"component {c['id']} missing from scan")
+        if c["tq"] not in qt:
+            raise ValueError(f"quant table {c['tq']} undefined")
+    rd = _BitReader(buf, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                rd.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) & 7
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan[c["id"]]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, np.int64)
+                        s = rd.huff(huff_dc[td])
+                        diff = _extend(rd.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(huff_ac[ta])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(rd.bits(s), s)
+                            k += 1
+                        coef = np.zeros((8, 8), np.int64)
+                        coef[_ZZ_ROWS, _ZZ_COLS] = zz
+                        px = _idct_block((coef * q).astype(np.float64)) + 128.0
+                        px = np.clip(np.floor(px + 0.5), 0, 255).astype(np.uint8)
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    # upsample to full resolution (sample replication) and crop
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w].astype(np.float64))
+    if len(comps) == 1:
+        g = full[0].astype(np.uint8)
+        return np.ascontiguousarray(np.stack([g, g, g], axis=2))
+    if len(comps) != 3:
+        raise NotImplementedError(f"{len(comps)}-component JPEG")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------- fixture encoder
+
+# compact custom Huffman tables (NOT Annex K — smaller, same decoder
+# path): DC = 12 symbols at length 4; AC = all 162 (run,size) symbols at
+# length 8. Canonical codes never reach all-ones of their length + 1.
+_ENC_DC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
+_ENC_DC_SYMS = bytes(range(12))
+_AC_SYMBOLS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_ENC_AC_BITS = bytes([0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS)] + [0] * 8)
+
+
+def _enc_codes(bits: bytes, symbols: bytes) -> dict:
+    return {s: lc for lc, s in _build_huff(bits, symbols).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, k: int) -> None:
+        self.acc = (self.acc << k) | (value & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def pad(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _mag(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _write_block(bw, zz, pred, dc_code, ac_code) -> int:
+    diff = int(zz[0]) - pred
+    s = _mag(diff)
+    if s > 11:
+        raise ValueError(f"DC difference {diff} exceeds baseline category 11")
+    ln, code = dc_code[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_code[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _mag(v)
+        if s > 10:
+            raise ValueError(f"AC coefficient {v} exceeds baseline category 10")
+        ln, code = ac_code[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_code[0x00]
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def make_jpeg_gray_from_blocks(
+    blocks_zz: np.ndarray,
+    blocks_x: int,
+    blocks_y: int,
+    quant: "np.ndarray | None" = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Assemble a grayscale baseline JPEG straight from QUANTIZED
+    zigzag-order coefficient blocks ((blocks_y*blocks_x, 64) int array)
+    — the coefficient-domain fixture generator: the decoder's output
+    must equal the reference IDCT of exactly these coefficients, so
+    tests get value-exact assertions through the full entropy layer
+    (categories, runs, ZRL, EOB, stuffing, restarts) with no lossy
+    round-trip in the way."""
+    q = np.ones((8, 8), np.int64) if quant is None else np.asarray(quant, np.int64)
+    dc_code = _enc_codes(_ENC_DC_BITS, _ENC_DC_SYMS)
+    ac_code = _enc_codes(_ENC_AC_BITS, _AC_SYMBOLS)
+    bw = _BitWriter()
+    pred = 0
+    rst_n = 0
+    for i in range(blocks_y * blocks_x):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.pad()
+            bw.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+            rst_n += 1
+            pred = 0
+        pred = _write_block(bw, blocks_zz[i], pred, dc_code, ac_code)
+    bw.pad()
+
+    qzz = bytes([0]) + bytes(int(q[r, c]) for r, c in _ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, qzz)
+    out += _seg(0xC0, struct.pack(">BHHB", 8, blocks_y * 8, blocks_x * 8, 1)
+                + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + _ENC_DC_BITS + _ENC_DC_SYMS)
+    out += _seg(0xC4, bytes([0x10]) + _ENC_AC_BITS + _AC_SYMBOLS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantization of one component plane (dims multiples
+    of 8) -> (n_blocks, 64) zigzag int64."""
+    bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh * bw_, 64), np.int64)
+    inv = np.linalg.inv(_IDCT_M.T)  # forward = inverse of the IDCT sandwich
+    i = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64)
+            coef = inv @ (blk - 128.0) @ np.linalg.inv(_IDCT_M)
+            qc = np.floor(coef / q + 0.5).astype(np.int64)
+            out[i] = qc[_ZZ_ROWS, _ZZ_COLS]
+            i += 1
+    return out
+
+
+def make_jpeg(
+    width: int,
+    height: int,
+    rgb_bytes: bytes,
+    subsample: bool = False,
+    quant: "np.ndarray | None" = None,
+) -> bytes:
+    """Assemble a 3-component YCbCr baseline JPEG from raw RGB bytes —
+    the pixel-domain fixture encoder (JFIF color transform, edge
+    replication to MCU multiples, optional 4:2:0 via 2x2 chroma
+    averaging). Lossy by nature; tests bound the roundtrip error
+    instead of asserting identity."""
+    if len(rgb_bytes) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {len(rgb_bytes)}")
+    q = np.ones((8, 8), np.int64) if quant is None else np.asarray(quant, np.int64)
+    rgb = np.frombuffer(rgb_bytes, np.uint8).reshape(height, width, 3).astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    hmax = 2 if subsample else 1
+    mcu = 8 * hmax
+
+    def pad(p, mult):
+        ph = -(-p.shape[0] // mult) * mult
+        pw = -(-p.shape[1] // mult) * mult
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+
+    yp = pad(np.clip(np.floor(y + 0.5), 0, 255), mcu)
+    if subsample:
+        cbp = pad(np.clip(np.floor(cb + 0.5), 0, 255), mcu)
+        crp = pad(np.clip(np.floor(cr + 0.5), 0, 255), mcu)
+        cbp = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+        crp = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+        cbp = np.clip(np.floor(cbp + 0.5), 0, 255)
+        crp = np.clip(np.floor(crp + 0.5), 0, 255)
+    else:
+        cbp = pad(np.clip(np.floor(cb + 0.5), 0, 255), 8)
+        crp = pad(np.clip(np.floor(cr + 0.5), 0, 255), 8)
+
+    zz = [_fdct_quant(p, q) for p in (yp, cbp, crp)]
+    dc_code = _enc_codes(_ENC_DC_BITS, _ENC_DC_SYMS)
+    ac_code = _enc_codes(_ENC_AC_BITS, _AC_SYMBOLS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcux = yp.shape[1] // mcu
+    mcuy = yp.shape[0] // mcu
+    ybw = yp.shape[1] // 8
+    cbw = cbp.shape[1] // 8
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, blocks in enumerate(zz):
+                n = hmax if ci == 0 else 1
+                for by in range(n):
+                    for bx in range(n):
+                        if ci == 0:
+                            bi = (my * n + by) * ybw + mx * n + bx
+                        else:
+                            bi = my * cbw + mx
+                        preds[ci] = _write_block(
+                            bw, blocks[bi], preds[ci], dc_code, ac_code
+                        )
+    bw.pad()
+
+    qzz = bytes([0]) + bytes(int(q[r_, c_]) for r_, c_ in _ZIGZAG)
+    sf_y = (hmax << 4) | hmax
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, qzz)
+    out += _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, sf_y, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _seg(0xC4, bytes([0x00]) + _ENC_DC_BITS + _ENC_DC_SYMS)
+    out += _seg(0xC4, bytes([0x10]) + _ENC_AC_BITS + _AC_SYMBOLS)
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

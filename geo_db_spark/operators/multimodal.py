@@ -59,12 +59,11 @@ def decode_image(payload: bytes):
 
     Pure-stdlib decoders for the formats that need no codec library:
     binary PPM (``P6``), uncompressed 24/32-bit BMP (``BM``, BI_RGB),
-    and — since r6 — 8-bit PNG (zlib inflate + per-row unfiltering, the
-    format real corpora actually contain; sequential AND, since r8,
-    Adam7-interlaced). JPEG/WebP still raise NotImplementedError —
-    lossy DCT/VP8 genuinely needs PIL/opencv, which this container
-    lacks; swap this dispatcher's fallthrough for a ``PIL.Image.open``
-    when available."""
+    8-bit PNG (since r6; Adam7 since r8), GIF (interlaced since r8) and
+    — since r8 — baseline sequential JPEG (operators/jpeg.py: Huffman
+    entropy decode, dequant, float64 IDCT, 4:2:0 upsample, YCbCr->RGB).
+    Progressive JPEG / WebP still raise NotImplementedError; swap this
+    dispatcher's fallthrough for a ``PIL.Image.open`` when available."""
     if payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if payload[:2] == b"BM":
@@ -73,10 +72,14 @@ def decode_image(payload: bytes):
         return _decode_png(payload)
     if payload[:6] in GIF_MAGICS:
         return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from geo_db_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM (P6), uncompressed BMP (BI_RGB), 8-bit PNG and GIF "
-        "decode without a codec library; JPEG/WebP need PIL/opencv, "
-        "not present in this environment"
+        "only PPM (P6), uncompressed BMP (BI_RGB), 8-bit PNG, GIF and "
+        "baseline JPEG decode without a codec library; progressive "
+        "JPEG/WebP need PIL/opencv, not present in this environment"
     )
 
 

@@ -683,3 +683,87 @@ FROM documents
 
 QUERIES["mm_image_decode_bmp_rle"] = mm_image_decode_bmp_rle
 ORACLES["mm_image_decode_bmp_rle"] = ORACLE_MM_IMAGE_DECODE_BMP_RLE
+
+
+def mm_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG end-to-end (r8): each document's leading 4·H text
+    bytes become DC-only 8x8 blocks of a REAL baseline JPEG (canonical
+    Huffman DC/AC tables, byte stuffing, restart markers every 7 MCUs,
+    quant=1, DC = 8·(v-128)) decoded back by the pure-NumPy T.81
+    decoder (operators/jpeg.py) in one Arrow-batched mapInPandas pass.
+    The IDCT of a DC-only block is analytically the constant DC/8, so
+    decoded pixels are EXACTLY the text bytes expanded 8x8 and tripled
+    to RGB — which is what makes the value-hash oracle expressible in
+    SQL (two regex expansions); the lossy general path is pinned in
+    test_jpeg against an independent IDCT instead."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.jpeg import make_jpeg_gray_from_blocks
+    from geo_db_spark.operators.multimodal import decode_image
+
+    tune(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_md5", T.StringType()),
+        ]
+    )
+    BLOCKS_X = 4
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant (ADVICE r6)
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char raster/oracle arithmetic"
+                    )
+                nb = len(raw) // BLOCKS_X
+                if nb == 0:
+                    rows.append((doc_id, BLOCKS_X * 8, 0,
+                                 hashlib.md5(b"").hexdigest()))
+                    continue
+                used = raw[: nb * BLOCKS_X]
+                zz = np.zeros((nb * BLOCKS_X, 64), np.int64)
+                zz[:, 0] = 8 * (np.frombuffer(used, np.uint8).astype(np.int64) - 128)
+                jpg = make_jpeg_gray_from_blocks(
+                    zz, blocks_x=BLOCKS_X, blocks_y=nb, restart_interval=7
+                )
+                arr = decode_image(jpg)
+                rows.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     hashlib.md5(arr.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pixel_md5"])
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+# decoded raster = each text byte as a constant 8x8 gray block, 4 blocks
+# wide, RGB-tripled: char -> x24 (8 px * 3 ch), then each 96-byte
+# scanline -> x8 rows
+ORACLE_MM_IMAGE_DECODE_JPEG = r"""
+SELECT doc_id,
+       CAST(32 AS INT) AS width,
+       CAST(8 * (length(text) // 4) AS INT) AS height,
+       md5(regexp_replace(
+           regexp_replace(substr(text, 1, CAST((length(text) // 4) * 4 AS INT)),
+                          '(.)', '\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1', 'g'),
+           '(.{96})', '\1\1\1\1\1\1\1\1', 'g')) AS pixel_md5
+FROM documents
+"""
+
+QUERIES["mm_image_decode_jpeg"] = mm_image_decode_jpeg
+ORACLES["mm_image_decode_jpeg"] = ORACLE_MM_IMAGE_DECODE_JPEG

@@ -1,0 +1,191 @@
+"""Baseline JPEG codec (operators/jpeg.py): coefficient-domain exact
+decode through the full entropy layer, analytic DC-only cases, pixel
+roundtrip bounds, subsampling, restarts, and the honest refusals."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geo_db_spark.operators.jpeg import (
+    _IDCT_M,
+    _ZZ_COLS,
+    _ZZ_ROWS,
+    decode_jpeg,
+    make_jpeg,
+    make_jpeg_gray_from_blocks,
+)
+
+
+def _ref_idct(zz_block, quant=None):
+    """Reference reconstruction written independently of the decoder's
+    code path: dezigzag, dequant, float64 IDCT, +128, round, clamp."""
+    q = np.ones((8, 8)) if quant is None else np.asarray(quant, np.float64)
+    coef = np.zeros((8, 8))
+    coef[_ZZ_ROWS, _ZZ_COLS] = zz_block
+    px = _IDCT_M.T @ (coef * q) @ _IDCT_M + 128.0
+    return np.clip(np.floor(px + 0.5), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_dc_only_is_analytically_exact():
+    """IDCT of a DC-only block is the constant DC/8: with quant=1 and
+    DC = 8*(v-128) every sample decodes to exactly v — the property the
+    workload oracle is built on."""
+    vals = [0, 1, 77, 128, 200, 255]
+    zz = np.zeros((len(vals), 64), np.int64)
+    for i, v in enumerate(vals):
+        zz[i, 0] = 8 * (v - 128)
+    img = decode_jpeg(make_jpeg_gray_from_blocks(zz, blocks_x=3, blocks_y=2))
+    assert img.shape == (16, 24, 3)
+    for i, v in enumerate(vals):
+        by, bx = divmod(i, 3)
+        assert (img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] == v).all()
+
+
+def test_jpeg_single_ac_matches_cosine_formula():
+    """One AC coefficient F(0,1)=a: samples are
+    128 + a/4 * C(1)/... — assert against the closed-form cosine, not
+    the decoder's own matrix."""
+    import math
+
+    zz = np.zeros((1, 64), np.int64)
+    zz[0, 1] = 100  # zigzag index 1 == (row 0, col 1) == F(u=0 over x, ...)
+    img = decode_jpeg(make_jpeg_gray_from_blocks(zz, blocks_x=1, blocks_y=1))
+    for x in range(8):
+        want = 128.0 + 100 / 4.0 * math.sqrt(0.5) * math.cos(
+            (2 * x + 1) * 1 * math.pi / 16
+        )
+        want = max(0, min(255, math.floor(want + 0.5)))
+        assert img[:, x, 0].tolist() == [want] * 8, x
+
+
+def test_jpeg_random_coefficients_exact_through_entropy_layer():
+    """Random quantized blocks (positive/negative, runs, ZRL-forcing
+    sparsity) through encode->decode must equal the reference IDCT
+    bit-for-bit — pins Huffman categories, run-lengths, EOB, extend and
+    byte stuffing with no lossy roundtrip in the way."""
+    rng = np.random.RandomState(17)
+    n = 24
+    zz = np.zeros((n, 64), np.int64)
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:  # dense small values
+            zz[i] = rng.randint(-30, 31, 64)
+        elif kind == 1:  # sparse: forces long zero runs + ZRL
+            pos = rng.choice(64, 3, replace=False)
+            zz[i, pos] = rng.randint(-500, 501, 3)
+        else:  # only DC
+            zz[i, 0] = rng.randint(-1000, 1001)
+    img = decode_jpeg(make_jpeg_gray_from_blocks(zz, blocks_x=6, blocks_y=4))
+    for i in range(n):
+        by, bx = divmod(i, 6)
+        got = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+        assert (got == _ref_idct(zz[i])).all(), i
+
+
+def test_jpeg_quant_table_applied():
+    q = np.full((8, 8), 3, np.int64)
+    q[0, 0] = 16
+    zz = np.zeros((1, 64), np.int64)
+    zz[0, 0] = 40
+    zz[0, 5] = -7
+    img = decode_jpeg(make_jpeg_gray_from_blocks(zz, 1, 1, quant=q))
+    assert (img[:, :, 0] == _ref_idct(zz[0], q)).all()
+
+
+def test_jpeg_restart_markers_reset_dc_prediction():
+    rng = np.random.RandomState(5)
+    zz = rng.randint(-40, 40, (12, 64)).astype(np.int64)
+    plain = decode_jpeg(make_jpeg_gray_from_blocks(zz, 4, 3))
+    restarted = decode_jpeg(
+        make_jpeg_gray_from_blocks(zz, 4, 3, restart_interval=5)
+    )
+    assert (plain == restarted).all()
+
+
+def test_jpeg_pixel_roundtrip_bounds():
+    """The pixel-domain encoder is lossy; with quant=1 the error budget
+    is coefficient rounding + color transform only. Flat color must be
+    within 1 count; high-entropy noise within a small bound."""
+    rgb = bytes([10, 200, 60] * 256)
+    arr = np.frombuffer(rgb, np.uint8).reshape(16, 16, 3).astype(int)
+    out = decode_jpeg(make_jpeg(16, 16, rgb)).astype(int)
+    assert np.abs(out - arr).max() <= 1
+    rng = np.random.RandomState(9)
+    noisy = rng.randint(0, 256, (24, 17, 3), dtype=np.uint8)
+    out2 = decode_jpeg(make_jpeg(17, 24, noisy.tobytes())).astype(int)
+    assert out2.shape == (24, 17, 3)
+    assert np.abs(out2 - noisy.astype(int)).max() <= 4
+
+
+def test_jpeg_420_subsampling_flat_color_exact():
+    """2x2 chroma averaging of a FLAT image loses nothing: the 4:2:0
+    roundtrip must match 4:4:4 within the same 1-count budget, and
+    odd dims must crop correctly."""
+    rgb = bytes([200, 30, 90] * (13 * 11))
+    arr = np.frombuffer(rgb, np.uint8).reshape(11, 13, 3).astype(int)
+    out = decode_jpeg(make_jpeg(13, 11, rgb, subsample=True)).astype(int)
+    assert out.shape == (11, 13, 3)
+    assert np.abs(out - arr).max() <= 1
+
+
+def test_jpeg_grayscale_through_dispatcher():
+    from geo_db_spark.operators.multimodal import decode_image
+
+    zz = np.zeros((2, 64), np.int64)
+    zz[0, 0], zz[1, 0] = 8 * (50 - 128), 8 * (220 - 128)
+    img = decode_image(make_jpeg_gray_from_blocks(zz, 2, 1))
+    assert img.shape == (8, 16, 3)
+    assert (img[:, :8] == 50).all() and (img[:, 8:] == 220).all()
+
+
+def test_jpeg_refusals():
+    import struct
+
+    # progressive (SOF2)
+    zz = np.zeros((1, 64), np.int64)
+    good = make_jpeg_gray_from_blocks(zz, 1, 1)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(prog)
+    # 12-bit precision
+    i = good.index(b"\xff\xc0")
+    twelve = good[: i + 4] + struct.pack("B", 12) + good[i + 5 :]
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(twelve)
+    # not a JPEG / truncated garbage after SOI
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01")
+    with pytest.raises((ValueError, IndexError, NotImplementedError)):
+        decode_jpeg(b"\xff\xd8\xff\xe0 jpeg")
+    # scanless stream
+    with pytest.raises(ValueError, match="no scan"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_coefficient_fuzz():
+    """Hypothesis: arbitrary bounded coefficient blocks stay exact
+    through the entropy layer (KwKwK-style edge: values at category
+    boundaries +-1, +-2^k)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    boundary = [0, 1, -1, 2, -2, 3, -3, 255, -255, 256, -256, 1023, -1023]
+
+    @settings(max_examples=25, deadline=None)
+    @given(data=st.data())
+    def fuzz(data):
+        # baseline categories: AC <= 10 (|v| <= 1023), DC <= 11
+        vals = data.draw(
+            st.lists(
+                st.one_of(st.sampled_from(boundary), st.integers(-1023, 1023)),
+                min_size=64,
+                max_size=64,
+            ),
+            label="block",
+        )
+        zz = np.array([vals], np.int64)
+        img = decode_jpeg(make_jpeg_gray_from_blocks(zz, 1, 1))
+        assert (img[:, :, 0] == _ref_idct(zz[0])).all()
+
+    fuzz()
