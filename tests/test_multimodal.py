@@ -89,10 +89,14 @@ def test_mm_feature_extract_digest_is_canonical(spark):
 
 
 def test_decode_compressed_formats_still_stubbed():
-    """Only the codec-library boundary remains stubbed: JPEG/PNG magic
-    (and unknown bytes) raise; uncompressed formats decode for real."""
-    with pytest.raises(NotImplementedError):
+    """Only the codec-library boundary remains stubbed: WebP and
+    unknown bytes raise NotImplementedError; a JPEG-magic payload with
+    garbage after SOI is MALFORMED now that baseline JPEG decodes
+    (ValueError, not a stub)."""
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF0000WEBP")
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
     assert fake_decode_meta(b"abc") == (4, 4, "fake")
