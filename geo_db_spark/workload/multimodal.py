@@ -695,7 +695,18 @@ def mm_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded pixels are EXACTLY the text bytes expanded 8x8 and tripled
     to RGB — which is what makes the value-hash oracle expressible in
     SQL (two regex expansions); the lossy general path is pinned in
-    test_jpeg against an independent IDCT instead."""
+    test_jpeg against an independent IDCT instead. The raster is capped
+    at the leading 256 text bytes (64 block rows, restart every 7) —
+    the cap is part of the query's declared semantics and mirrored in
+    the oracle, bounding per-doc entropy-decode cost at any SF.
+
+    The input is repartitioned to the session's default parallelism
+    before the decode map: the documents scan is a single small file at
+    test SFs, and without the (skinny, text-only) exchange the whole
+    entropy-decode CPU lands on ONE task — measured 42 s -> ~2 s at
+    sf0.1. At 100 TB the scan has thousands of splits and the exchange
+    is a no-op in spirit, but per-core decode balance is exactly what a
+    production image pipeline needs from the plan."""
     from collections.abc import Iterator
 
     from pyspark.sql import types as T
@@ -704,7 +715,11 @@ def mm_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_db_spark.operators.multimodal import decode_image
 
     tune(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -730,7 +745,7 @@ def mm_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"non-ASCII text in doc {doc_id} breaks the "
                         "byte==char raster/oracle arithmetic"
                     )
-                nb = len(raw) // BLOCKS_X
+                nb = min(len(raw), 256) // BLOCKS_X
                 if nb == 0:
                     rows.append((doc_id, BLOCKS_X * 8, 0,
                                  hashlib.md5(b"").hexdigest()))
@@ -757,9 +772,9 @@ def mm_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_MM_IMAGE_DECODE_JPEG = r"""
 SELECT doc_id,
        CAST(32 AS INT) AS width,
-       CAST(8 * (length(text) // 4) AS INT) AS height,
+       CAST(8 * (least(length(text), 256) // 4) AS INT) AS height,
        md5(regexp_replace(
-           regexp_replace(substr(text, 1, CAST((length(text) // 4) * 4 AS INT)),
+           regexp_replace(substr(text, 1, CAST((least(length(text), 256) // 4) * 4 AS INT)),
                           '(.)', '\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1\1', 'g'),
            '(.{96})', '\1\1\1\1\1\1\1\1', 'g')) AS pixel_md5
 FROM documents
