@@ -112,6 +112,7 @@ TIER2 = [
     "g20_sssp_part_graph",
     "ann_ivf_pq_residual_topk",
     "mm_image_decode_jpeg",
+    "mm_audio_decode_flac",
 ]
 
 

@@ -557,17 +557,22 @@ def decode_audio(payload: bytes):
     """Decode an audio payload to ``(samples, sample_rate)`` where
     ``samples`` is an (n_frames, n_channels) int16 ndarray.
 
-    Pure-stdlib decoder for the one mainstream audio container that
-    needs no codec library: RIFF/WAVE with integer PCM (format tag 1,
-    16-bit). MP3/FLAC/OGG/AAC raise NotImplementedError — entropy-coded
+    Pure-stdlib decoders: RIFF/WAVE with integer PCM (format tag 1,
+    16-bit) and — since r8 — FLAC (operators/flac.py: Rice residuals,
+    fixed/LPC predictors, stereo decorrelations, CRC-checked frames).
+    MP3/OGG/AAC raise NotImplementedError — perceptual entropy-coded
     audio genuinely needs a codec library this container lacks; swap the
     fallthrough for soundfile/pydub when available. Mirrors
     ``decode_image``'s honest-boundary contract."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from geo_db_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
-        "only RIFF/WAVE integer PCM decodes without a codec library; "
-        "MP3/FLAC/OGG need soundfile/pydub, not present in this "
+        "only RIFF/WAVE integer PCM and FLAC decode without a codec "
+        "library; MP3/OGG need soundfile/pydub, not present in this "
         "environment"
     )
 

@@ -1,13 +1,14 @@
 """Multimodal-column workload entries over `documents`.
 
 The binary-payload corpus is derived deterministically from document
-text. The decode path is REAL for codec-free formats — PPM, BMP, and
-(since r6) zlib-deflated PNG, all decoded by operators/multimodal.py's
-pure stdlib+NumPy decoders inside Arrow-batched mapInPandas; only
-JPEG/WebP remain the documented codec-library boundary. Every query
-here carries a FULL DuckDB value oracle (the corpus is ASCII, so
-byte == codepoint and DuckDB can reproduce raster bytes and chunk sums
-from the text).
+text. The decode path is REAL — PPM, BMP (incl. RLE8), PNG (incl.
+Adam7), GIF (incl. interlaced), baseline JPEG, WAV and FLAC, all
+decoded by pure stdlib+NumPy decoders (operators/multimodal.py,
+operators/jpeg.py, operators/flac.py) inside Arrow-batched
+mapInPandas; progressive JPEG, WebP and MP3/OGG remain the documented
+codec-library boundary. Every query here carries a FULL DuckDB value
+oracle (the corpus is ASCII, so byte == codepoint and DuckDB can
+reproduce raster bytes and chunk sums from the text).
 """
 
 from __future__ import annotations
@@ -782,3 +783,86 @@ FROM documents
 
 QUERIES["mm_image_decode_jpeg"] = mm_image_decode_jpeg
 ORACLES["mm_image_decode_jpeg"] = ORACLE_MM_IMAGE_DECODE_JPEG
+
+
+def mm_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC end-to-end (r8): the SAME stereo PCM derivation as the WAV
+    query — char at byte i maps to sample (ascii - 96) * 257, even
+    bytes left / odd right, 8000 Hz — but compressed through the real
+    FLAC encoder (fixed predictors, Rice/escape residuals, CRC-8/16)
+    and decoded back by operators/flac.py, with the stereo
+    decorrelation chosen by doc parity (doc_id % 3: independent /
+    left-side / mid-side) so all three reconstruction paths run on
+    real data. FLAC is lossless, so the oracle is the identical
+    text-byte arithmetic as the WAV query — any prediction, Rice,
+    decorrelation or CRC bug flips the exact int64 sums."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.flac import make_flac
+    from geo_db_spark.operators.multimodal import decode_audio
+
+    tune(spark)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("sum_left", T.LongType()),
+            T.StructField("sum_right", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+    MODES = ("independent", "left_side", "mid_side")
+
+    def fn(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant (ADVICE r6)
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char sample/oracle arithmetic"
+                    )
+                samples = (
+                    np.frombuffer(raw, np.uint8).astype(np.int16) - 96
+                ) * 257
+                n_frames = len(samples) // 2
+                pcm = samples[: 2 * n_frames].astype("<i2").tobytes()
+                flac = make_flac(
+                    8000, 2, pcm, block_size=256,
+                    stereo_mode=MODES[int(doc_id) % 3],
+                )
+                arr, rate = decode_audio(flac)
+                a = arr.astype(np.int64)
+                rows.append(
+                    (doc_id, arr.shape[0], rate, arr.shape[1],
+                     int(a[:, 0].sum()), int(a[:, 1].sum()),
+                     int((a * a).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "sample_rate", "n_channels",
+                         "sum_left", "sum_right", "energy"],
+            )
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+# lossless: decode(encode(pcm)) is the identity, so the oracle is the
+# same text-byte arithmetic as the WAV query
+ORACLE_MM_AUDIO_DECODE_FLAC = ORACLE_MM_AUDIO_DECODE
+
+QUERIES["mm_audio_decode_flac"] = mm_audio_decode_flac
+ORACLES["mm_audio_decode_flac"] = ORACLE_MM_AUDIO_DECODE_FLAC
