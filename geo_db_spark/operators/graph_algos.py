@@ -183,26 +183,29 @@ def sssp_bellman_ford(
     relaxations over an UNDIRECTED weighted graph (edges are
     symmetrized here). Returns (node, dist) for every reached node.
 
-    ``rounds=None`` (r7 verdict #4) relaxes TO THE FIXPOINT: after each
-    round a bounded driver scalar — (|dist|, sum(dist)) — is compared
-    with the previous round's, and the loop stops when it is stable.
-    The check is exact, not heuristic: dist rows only ever ACCUMULATE
-    (the union keeps every known node) and each node's dist only ever
-    DECREASES (min-aggregate over integer weights), so an unchanged
-    (count, sum) pair is impossible unless NO relaxation fired — the
-    true shortest-path fixpoint, guaranteed within |V| rounds on
-    positive weights. A fixed ``rounds=K`` keeps the old plan-static
-    behavior (the chained-CTE-oracle convention); with K < the graph's
-    weighted-hop radius that result is a round-bounded approximation,
-    NOT the shortest path.
+    ``rounds=None`` (r7 verdict #4) relaxes TO THE FIXPOINT: the loop
+    stops when a round improves NO node — exact by monotonicity (each
+    node's dist only ever decreases under min over integer weights),
+    guaranteed within |V| rounds on positive weights. A fixed
+    ``rounds=K`` keeps the old semantics (the chained-CTE-oracle
+    convention); with K < the graph's weighted-hop radius that result
+    is a round-bounded approximation, NOT the shortest path.
 
-    Scale shape: each round is one join of the frontier-bearing dist
-    table with the edge list (both partitioned by node key) plus one
-    min-aggregate — the textbook iterative-join SSSP; dist is
-    localCheckpoint'ed per round so lineage stays O(1) and the
-    convergence scalar never re-runs prior rounds (the components.py/
-    ids.py materialized-exchange rule). Integer weights and min() make
-    every round's result exact and order-independent."""
+    Scale shape (r8: FRONTIER relaxation, delta Bellman-Ford): only
+    nodes improved in the previous round can improve a neighbor, so
+    each round joins the shrinking frontier — not the whole dist table
+    — against the edge list (both partitioned by node key), takes a
+    min-aggregate, and anti-join-merges the improvements back. Late
+    rounds touch a handful of nodes instead of the full reachable set
+    (sf0.1 part graph, warm: 7.8 -> 6.0 s — modest locally because the
+    graph's radius is ~4 so the frontier only collapses on the last
+    round; the win is structural at scale, where a dense round moves
+    the entire reachable set every time). Every intermediate
+    is localCheckpoint'ed so lineage stays O(1) and the emptiness probe
+    never re-runs prior rounds (the components.py/ids.py rule). Integer
+    weights and min() keep every round exact and order-independent;
+    fixed-round results are identical to the dense form because
+    non-improved sources can never re-improve a neighbor."""
     sym = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v"), F.col(weight_col).alias("w")
     ).unionByName(
@@ -214,29 +217,43 @@ def sssp_bellman_ford(
         [(int(source), 0)], "node long, dist long"
     )
     converge = rounds is None
-    prev_sig = (1, 0) if converge else None
+    # frontier relaxation (delta Bellman-Ford): only nodes whose dist
+    # IMPROVED last round can improve a neighbor this round, so each
+    # round joins the (shrinking) frontier against the edges, not the
+    # whole dist table — late rounds touch a handful of nodes instead
+    # of the full reachable set. Convergence = empty frontier (exact:
+    # no improvement anywhere means the fixpoint, and a fixed round
+    # count relaxes identically to the dense form because min() over
+    # candidates never re-improves from non-improved sources).
+    frontier = dist
     r = 0
     while True:
         if not converge and r >= rounds:
             break
         r += 1
-        relaxed = dist.join(sym, dist["node"] == sym["u"]).select(
-            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        relaxed = frontier.join(sym, frontier["node"] == sym["u"]).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("cand")
         )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+        best = relaxed.groupBy("node").agg(F.min("cand").alias("cand"))
+        improved = (
+            best.join(dist.withColumnsRenamed({"dist": "old", "node": "onode"}),
+                      best["node"] == F.col("onode"), "left")
+            .filter(F.col("old").isNull() | (F.col("cand") < F.col("old")))
+            .select("node", F.col("cand").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        if converge:
-            row = dist.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
-            ).collect()[0]
-            sig = (row["n"], row["s"] or 0)
-            if sig == prev_sig:
-                break
-            prev_sig = sig
+        if converge and improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select(F.col("node").alias("inode")),
+                      dist["node"] == F.col("inode"), "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+        if not converge and improved.isEmpty():
+            # fixed-round form: remaining rounds are identity
+            break
     return dist
 
 
