@@ -279,7 +279,7 @@ def containment_join(
     # forbid; a plain left_semi lets AQE pick (and can still broadcast
     # if the measured size is genuinely small).
     prefix_tokens = probe.select("token").distinct()
-    index = sh.join(prefix_tokens.hint("merge"), "token", "left_semi")
+    index = sh.join(prefix_tokens, "token", "left_semi")
     nsz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     index = index.join(nsz, "id")
 
