@@ -113,6 +113,7 @@ TIER2 = [
     "ann_ivf_pq_residual_topk",
     "mm_image_decode_jpeg",
     "mm_audio_decode_flac",
+    "mm_corpus_pipeline",
 ]
 
 

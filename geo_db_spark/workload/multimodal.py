@@ -866,3 +866,123 @@ ORACLE_MM_AUDIO_DECODE_FLAC = ORACLE_MM_AUDIO_DECODE
 
 QUERIES["mm_audio_decode_flac"] = mm_audio_decode_flac
 ORACLES["mm_audio_decode_flac"] = ORACLE_MM_AUDIO_DECODE_FLAC
+
+
+def mm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal corpus-build capstone (r8) — the image analog of
+    corpus_build_pipeline: ONE scan of `documents` feeds a single
+    Arrow-batched decode map (real PPM decode of the text-derived
+    raster, emitting doc_id, block height, pixel md5 and the exact
+    int64 pixel sum), and everything downstream — brightness quality
+    gate (mean pixel in [40, 120) and at least 2 raster rows), exact
+    near-dup removal on the pixel digest (min-doc_id survivor), the
+    md5-banded 96/2/2 train/val/test split — runs on those SKINNY
+    scalars; payloads and pixels never shuffle. Output is the per-split
+    (n_docs, total_px) rollup under one end-to-end oracle, so a bug in
+    the decoder, the gate arithmetic, the dedup survivorship or the
+    split banding flips the value hash.
+
+    100 TB shape: decode cost is the scan (repartitioned for per-core
+    balance, as mm_image_decode_jpeg); the only exchanges carry
+    (doc_id, md5, two ints) — dedup groupBy, survivor semi-join, final
+    3-row aggregate."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_image
+    from geo_db_spark.operators.packing import split_assign
+
+    tune(spark)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("h", T.LongType()),
+            T.StructField("pixel_md5", T.StringType()),
+            T.StructField("sum_px", T.LongType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant (ADVICE r6)
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char raster/oracle arithmetic"
+                    )
+                h = len(raw) // (PPM_W * 3)
+                raster = raw[: h * PPM_W * 3]
+                if h == 0:
+                    rows.append((doc_id, 0, hashlib.md5(b"").hexdigest(), 0))
+                    continue
+                ppm = b"P6\n%d %d\n255\n" % (PPM_W, h) + raster
+                arr = decode_image(ppm)  # REAL decode, not byte math
+                rows.append(
+                    (doc_id, h, hashlib.md5(arr.tobytes()).hexdigest(),
+                     int(arr.astype(np.int64).sum()))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "h", "pixel_md5", "sum_px"])
+
+    decoded = docs.mapInPandas(fn, schema=out_schema)
+    gated = decoded.filter(
+        (F.col("h") >= 2)
+        & (F.col("sum_px") >= 40 * PPM_W * 3 * F.col("h"))
+        & (F.col("sum_px") < 120 * PPM_W * 3 * F.col("h"))
+    )
+    survivors = gated.groupBy("pixel_md5").agg(F.min("doc_id").alias("doc_id"))
+    curated = gated.join(survivors, ["pixel_md5", "doc_id"], "left_semi")
+    return (
+        curated.withColumn("split", split_assign("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sum_px").alias("total_px"),
+        )
+    )
+
+
+ORACLE_MM_CORPUS_PIPELINE = """
+WITH b AS (
+  SELECT doc_id, substr(text, 1, CAST(12 * (length(text) // 12) AS INT)) AS raster,
+         length(text) // 12 AS h
+  FROM documents
+),
+m AS (
+  SELECT doc_id, h,
+         COALESCE(CAST(list_sum(list_transform(range(CAST(12 * h AS BIGINT)),
+             i -> ascii(substr(raster, CAST(i + 1 AS INT), 1)))) AS BIGINT), 0) AS sum_px,
+         md5(raster) AS pm
+  FROM b
+),
+q AS (
+  SELECT * FROM m
+  WHERE h >= 2 AND sum_px >= 40 * 12 * h AND sum_px < 120 * 12 * h
+),
+d AS (SELECT pm, MIN(doc_id) AS keep FROM q GROUP BY pm),
+s AS (
+  SELECT q.doc_id, q.sum_px,
+         CASE WHEN ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 96 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM q JOIN d ON q.pm = d.pm AND q.doc_id = d.keep
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(sum_px) AS BIGINT) AS total_px
+FROM s GROUP BY split
+"""
+
+QUERIES["mm_corpus_pipeline"] = mm_corpus_pipeline
+ORACLES["mm_corpus_pipeline"] = ORACLE_MM_CORPUS_PIPELINE
