@@ -941,7 +941,11 @@ def mm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") >= 2)
         & (F.col("sum_px") >= 40 * PPM_W * 3 * F.col("h"))
         & (F.col("sum_px") < 120 * PPM_W * 3 * F.col("h"))
-    )
+    ).localCheckpoint(eager=True)
+    # the checkpoint is the dedup self-join's materialization point: the
+    # survivor groupBy and the semi-join probe BOTH read `gated`, and
+    # without it each branch re-runs the scan + decode map (plan-audited:
+    # 2 scans / 2 Python nodes -> 1 / 1; the ids.py double-compute rule)
     survivors = gated.groupBy("pixel_md5").agg(F.min("doc_id").alias("doc_id"))
     curated = gated.join(survivors, ["pixel_md5", "doc_id"], "left_semi")
     return (
