@@ -114,6 +114,7 @@ TIER2 = [
     "mm_image_decode_jpeg",
     "mm_audio_decode_flac",
     "mm_corpus_pipeline",
+    "mm_image_decode_jpeg_prog",
 ]
 
 

@@ -1,12 +1,16 @@
-"""Baseline JPEG (ITU-T T.81, public spec) — pure stdlib+NumPy codec.
+"""JPEG (ITU-T T.81, public spec) — pure stdlib+NumPy codec.
 
 Closes the r7 "codec surface" boundary for the single most common image
 format a real training-data corpus contains. Scope: baseline sequential
-DCT (SOF0), 8-bit precision, grayscale or 3-component YCbCr with
-sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0), restart markers,
-byte stuffing. Progressive (SOF2), arithmetic coding, 12-bit and
-hierarchical modes raise NotImplementedError — honest boundaries, the
-same convention as the PNG/GIF/BMP/WAV decoders in multimodal.py.
+DCT (SOF0) — 8-bit precision, grayscale or 3-component YCbCr with
+sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0) — AND progressive
+(SOF2, r8): spectral selection + successive approximation with all four
+scan kinds (DC initial/refinement, AC initial with EOBn runs, AC
+refinement with newly-significant insertions and correction bits),
+unsubsampled. Restart markers and byte stuffing everywhere. Arithmetic
+coding, 12-bit, hierarchical and subsampled-progressive modes raise
+NotImplementedError — honest boundaries, the same convention as the
+PNG/GIF/BMP/WAV decoders in multimodal.py.
 
 Exactness contract: entropy decode, dequantization and dezigzag are
 integer-exact; the IDCT is the spec's real-valued transform evaluated
@@ -159,8 +163,8 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (H, W, 3) uint8 RGB (grayscale
-    replicated), matching the other decoders' contract."""
+    """Decode a baseline or progressive JPEG to (H, W, 3) uint8 RGB
+    (grayscale replicated), matching the other decoders' contract."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -200,7 +204,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = seg[i + 17 : i + 17 + n]
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, symbols)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -208,30 +212,219 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps, "prog": marker == 0xC2}
+            if frame["prog"]:
+                if any(c["h"] != 1 or c["v"] != 1 for c in comps):
+                    raise NotImplementedError(
+                        "subsampled progressive JPEG not supported"
+                    )
+                bw_ = -(-w // 8)
+                bh_ = -(-h // 8)
+                prog_coefs = [
+                    [[0] * 64 for _ in range(bw_ * bh_)] for _ in comps
+                ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0) supported, got SOF "
-                f"marker 0xFF{marker:02X}"
+                f"only baseline (SOF0) and progressive (SOF2) JPEG "
+                f"supported, got SOF marker 0xFF{marker:02X}"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan = {}
+            scan_order = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tdta >> 4, tdta & 15)
-            return _decode_scan(
-                payload, pos + ln, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+                scan_order.append(cs)
+            if not frame["prog"]:
+                return _decode_scan(
+                    payload, pos + ln, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            _prog_scan(
+                payload, pos + ln, frame, scan, scan_order, ss, se,
+                ahal >> 4, ahal & 15, huff_dc, huff_ac, restart_interval,
+                prog_coefs,
             )
+            pos = _entropy_end(payload, pos + ln)
+            continue
         # APPn / COM / others: skip
         pos += ln
+    if frame is not None and frame.get("prog"):
+        return _prog_finish(frame, prog_coefs, qt)
     raise ValueError("JPEG has no scan data")
+
+
+def _entropy_end(buf: bytes, start: int) -> int:
+    """Byte offset of the first REAL marker (not byte-stuffing, not a
+    restart) after ``start`` — where the next segment begins."""
+    i = start
+    n = len(buf)
+    while i + 1 < n:
+        if buf[i] == 0xFF:
+            nxt = buf[i + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return i
+            i += 2
+        else:
+            i += 1
+    return n
+
+
+def _prog_scan(buf, pos, frame, scan, scan_order, ss, se, ah, al,
+               huff_dc, huff_ac, restart_interval, prog_coefs):
+    """One progressive scan (T.81 G.2): accumulate coefficient bits
+    into ``prog_coefs`` (zigzag order, one list per block). Four scan
+    kinds — DC initial (diff-coded, shifted by Al), DC refinement (one
+    bit per block), AC initial (run/size with EOBn runs), AC refinement
+    (newly-significant +-1<<Al insertions plus correction bits for
+    already-significant coefficients, EOB runs carrying corrections).
+    Sampling factors are all 1 (enforced at SOF2), so non-interleaved
+    block order == MCU raster order."""
+    comps = frame["comps"]
+    ci_of = {c["id"]: i for i, c in enumerate(comps)}
+    scan_cis = [ci_of[cs] for cs in scan_order]
+    bw_ = -(-frame["w"] // 8)
+    bh_ = -(-frame["h"] // 8)
+    nblocks = bw_ * bh_
+    rd = _BitReader(buf, pos)
+    if ss == 0:  # DC scan: interleaved over the scan's components
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        pred = {ci: 0 for ci in scan_cis}
+        rst_n = 0
+        for b in range(nblocks):
+            if restart_interval and b and b % restart_interval == 0:
+                rd.align_and_expect_rst(rst_n)
+                rst_n = (rst_n + 1) & 7
+                pred = {ci: 0 for ci in scan_cis}
+            for ci in scan_cis:
+                coef = prog_coefs[ci][b]
+                if ah == 0:
+                    td = scan[comps[ci]["id"]][0]
+                    s = rd.huff(huff_dc[td])
+                    diff = _extend(rd.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    coef[0] = pred[ci] << al
+                else:  # DC refinement: one bit
+                    if rd.bits(1):
+                        coef[0] |= 1 << al
+        return
+    # AC scan: exactly one component (spec G.2)
+    if len(scan_cis) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci = scan_cis[0]
+    ta = scan[comps[ci]["id"]][1]
+    ac_lut = huff_ac[ta]
+    eobrun = 0
+    rst_n = 0
+    for b in range(nblocks):
+        if restart_interval and b and b % restart_interval == 0:
+            rd.align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) & 7
+            eobrun = 0
+        coef = prog_coefs[ci][b]
+        if ah == 0:  # AC initial
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = rd.huff(ac_lut)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                coef[k] = _extend(rd.bits(s), s) << al
+                k += 1
+        else:  # AC refinement
+            eobrun = _ac_refine_block(rd, ac_lut, coef, ss, se, al, eobrun)
+
+
+def _ac_refine_block(rd, ac_lut, coef, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (T.81
+    G.1.2.3 / the libjpeg decode_mcu_AC_refine logic): returns the
+    updated EOB run."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(ac_lut)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                # ZRL: pass 16 zero-history positions (with corrections)
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude != 1")
+                newval = p1 if rd.bits(1) else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if rd.bits(1) and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0 and (coef[k] & p1) == 0:
+                if rd.bits(1):
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_finish(frame, prog_coefs, qt):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble RGB — the same vectorized tail as the baseline path."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w == 0 or h == 0:
+        raise ValueError("zero-sized JPEG frame")
+    bw_ = -(-w // 8)
+    bh_ = -(-h // 8)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError(f"quant table {c['tq']} undefined")
+        q = qt[c["tq"]].astype(np.float64)
+        arr = np.array(prog_coefs[ci], np.float64)
+        coefs = np.zeros((arr.shape[0], 8, 8), np.float64)
+        coefs[:, _ZZ_ROWS, _ZZ_COLS] = arr
+        px = np.einsum("ux,nuv,vy->nxy", _IDCT_M, coefs * q, _IDCT_M) + 128.0
+        px = np.clip(np.floor(px + 0.5), 0, 255).astype(np.uint8)
+        plane = np.zeros((bh_ * 8, bw_ * 8), np.uint8)
+        for i in range(px.shape[0]):
+            y0, x0 = (i // bw_) * 8, (i % bw_) * 8
+            plane[y0 : y0 + 8, x0 : x0 + 8] = px[i]
+        planes.append(plane)
+    return _planes_to_rgb(comps, planes, w, h, 1, 1)
 
 
 def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
@@ -305,7 +498,13 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         plane = planes[ci]
         for i, (y0, x0) in enumerate(blk_xy[ci]):
             plane[y0 : y0 + 8, x0 : x0 + 8] = px[i]
-    # upsample to full resolution (sample replication) and crop
+    return _planes_to_rgb(comps, planes, w, h, hmax, vmax)
+
+
+def _planes_to_rgb(comps, planes, w, h, hmax, vmax):
+    """Upsample component planes to full resolution (sample
+    replication), crop, and convert to (H, W, 3) uint8 RGB — shared by
+    the baseline and progressive paths."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -327,12 +526,15 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
 # ------------------------------------------------------- fixture encoder
 
 # compact custom Huffman tables (NOT Annex K — smaller, same decoder
-# path): DC = 12 symbols at length 4; AC = all 162 (run,size) symbols at
-# length 8. Canonical codes never reach all-ones of their length + 1.
+# path): DC = 12 symbols at length 4; AC = all 162 baseline (run,size)
+# symbols PLUS the 14 progressive EOBn symbols (r=1..14, s=0) at length
+# 8. Canonical codes never reach all-ones of their length + 1.
 _ENC_DC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
 _ENC_DC_SYMS = bytes(range(12))
 _AC_SYMBOLS = bytes(
-    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    [0x00, 0xF0]
+    + [(r << 4) for r in range(1, 15)]  # EOBn (progressive)
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
 )
 _ENC_AC_BITS = bytes([0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS)] + [0] * 8)
 
@@ -551,5 +753,173 @@ def make_jpeg(
     out += _seg(0xC4, bytes([0x10]) + _ENC_AC_BITS + _AC_SYMBOLS)
     out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+_PROG_SCRIPT = (
+    (0, 0, 0, 1),   # DC initial at Al=1
+    (1, 5, 0, 1),   # AC band 1-5 initial
+    (6, 63, 0, 1),  # AC band 6-63 initial
+    (0, 0, 1, 0),   # DC refinement
+    (1, 5, 1, 0),   # AC band 1-5 refinement
+    (6, 63, 1, 0),  # AC band 6-63 refinement
+)
+
+
+def _emit_eobn(bw: _BitWriter, ac_code: dict, eobrun: int) -> int:
+    """Flush an accumulated EOB run as one EOBn symbol (r = floor(log2),
+    r extension bits). Returns 0."""
+    if eobrun <= 0:
+        return 0
+    r = eobrun.bit_length() - 1
+    if r > 14:
+        raise ValueError("EOB run exceeds EOB14 range")
+    ln, code = ac_code[r << 4]
+    bw.write(code, ln)
+    if r:
+        bw.write(eobrun - (1 << r), r)
+    return 0
+
+
+def make_jpeg_gray_progressive_from_blocks(
+    blocks_zz: np.ndarray,
+    blocks_x: int,
+    blocks_y: int,
+    quant: "np.ndarray | None" = None,
+    scans: "tuple | None" = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Assemble a grayscale PROGRESSIVE (SOF2) JPEG from quantized
+    zigzag coefficient blocks — the coefficient-domain fixture for the
+    progressive decode path. Default scan script: DC at Al=1, two AC
+    spectral bands at Al=1, then the three successive-approximation
+    refinement scans down to Al=0, so every decoder scan kind (DC
+    initial/refine, AC initial with EOBn runs and ZRL, AC refine with
+    newly-significant insertions + correction bits + EOB corrections)
+    runs on encoder output. Reconstruction is coefficient-EXACT: the
+    scans partition the bits of each coefficient, so decode equals the
+    reference IDCT of exactly these blocks."""
+    q = np.ones((8, 8), np.int64) if quant is None else np.asarray(quant, np.int64)
+    script = _PROG_SCRIPT if scans is None else scans
+    dc_code = _enc_codes(_ENC_DC_BITS, _ENC_DC_SYMS)
+    ac_code = _enc_codes(_ENC_AC_BITS, _AC_SYMBOLS)
+    nblocks = blocks_y * blocks_x
+    zz = [[int(v) for v in blocks_zz[i]] for i in range(nblocks)]
+
+    out = bytearray(b"\xff\xd8")
+    qzz = bytes([0]) + bytes(int(q[r, c]) for r, c in _ZIGZAG)
+    out += _seg(0xDB, qzz)
+    out += _seg(0xC2, struct.pack(">BHHB", 8, blocks_y * 8, blocks_x * 8, 1)
+                + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + _ENC_DC_BITS + _ENC_DC_SYMS)
+    out += _seg(0xC4, bytes([0x10]) + _ENC_AC_BITS + _AC_SYMBOLS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    for ss, se, ah, al in script:
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        bw = _BitWriter()
+        rst_n = 0
+
+        def _rst(bw):
+            nonlocal rst_n
+            bw.pad()
+            bw.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+            rst_n += 1
+
+        if ss == 0 and ah == 0:  # DC initial
+            pred = 0
+            for b in range(nblocks):
+                if restart_interval and b and b % restart_interval == 0:
+                    _rst(bw)
+                    pred = 0
+                v = zz[b][0] >> al  # arithmetic shift (T.81 G.1.2.1)
+                diff = v - pred
+                pred = v
+                s = _mag(diff)
+                ln, code = dc_code[s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        elif ss == 0:  # DC refinement: one bit per block
+            for b in range(nblocks):
+                if restart_interval and b and b % restart_interval == 0:
+                    _rst(bw)
+                bw.write((zz[b][0] >> al) & 1, 1)
+        elif ah == 0:  # AC initial with cross-block EOB runs
+            eobrun = 0
+            for b in range(nblocks):
+                if restart_interval and b and b % restart_interval == 0:
+                    eobrun = _emit_eobn(bw, ac_code, eobrun)
+                    _rst(bw)
+                band = zz[b][ss : se + 1]
+                vals = [
+                    (v // (1 << al)) if v >= 0 else -((-v) >> al) for v in band
+                ]
+                last_nz = max((i for i, v in enumerate(vals) if v), default=-1)
+                if last_nz < 0:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        eobrun = _emit_eobn(bw, ac_code, eobrun)
+                    continue
+                eobrun = _emit_eobn(bw, ac_code, eobrun)
+                r = 0
+                for i in range(last_nz + 1):
+                    v = vals[i]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        ln, code = ac_code[0xF0]
+                        bw.write(code, ln)
+                        r -= 16
+                    s = _mag(v)
+                    if s > 10:
+                        raise ValueError(f"AC coefficient {v} exceeds category 10")
+                    ln, code = ac_code[(r << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if last_nz < se - ss:
+                    eobrun += 1
+        else:  # AC refinement: per-block EOB flush (valid, uncompressed-er)
+            for b in range(nblocks):
+                if restart_interval and b and b % restart_interval == 0:
+                    _rst(bw)
+                band = zz[b][ss : se + 1]
+                r = 0
+                br: list[int] = []
+                for v in band:
+                    t = abs(v) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    if t > 1:  # already significant: correction bit
+                        br.append(t & 1)
+                        continue
+                    while r > 15:
+                        ln, code = ac_code[0xF0]
+                        bw.write(code, ln)
+                        for bit in br:
+                            bw.write(bit, 1)
+                        br = []
+                        r -= 16
+                    ln, code = ac_code[(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)
+                    for bit in br:
+                        bw.write(bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    ln, code = ac_code[0x00]  # EOB (run 1)
+                    bw.write(code, ln)
+                    for bit in br:
+                        bw.write(bit, 1)
+        if ss > 0 and ah == 0:
+            eobrun = _emit_eobn(bw, ac_code, eobrun)
+        bw.pad()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -5,10 +5,10 @@ text. The decode path is REAL — PPM, BMP (incl. RLE8), PNG (incl.
 Adam7), GIF (incl. interlaced), baseline JPEG, WAV and FLAC, all
 decoded by pure stdlib+NumPy decoders (operators/multimodal.py,
 operators/jpeg.py, operators/flac.py) inside Arrow-batched
-mapInPandas; progressive JPEG, WebP and MP3/OGG remain the documented
-codec-library boundary. Every query here carries a FULL DuckDB value
-oracle (the corpus is ASCII, so byte == codepoint and DuckDB can
-reproduce raster bytes and chunk sums from the text).
+mapInPandas; WebP and MP3/OGG remain the documented codec-library
+boundary. Every query here carries a FULL DuckDB value oracle (the
+corpus is ASCII, so byte == codepoint and DuckDB can reproduce raster
+bytes and chunk sums from the text).
 """
 
 from __future__ import annotations
@@ -990,3 +990,79 @@ FROM s GROUP BY split
 
 QUERIES["mm_corpus_pipeline"] = mm_corpus_pipeline
 ORACLES["mm_corpus_pipeline"] = ORACLE_MM_CORPUS_PIPELINE
+
+
+def mm_image_decode_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG end-to-end (r8): the same DC-only raster
+    construction as mm_image_decode_jpeg, but encoded as an SOF2 stream
+    under the default 6-scan script (DC at Al=1, two AC spectral bands,
+    then the three successive-approximation refinements) — so the DC
+    initial + DC refinement scan kinds and the all-EOB-run AC scans run
+    on real data, with restart markers every 7 blocks. Successive
+    approximation partitions coefficient bits exactly, so decoded
+    pixels are identical to the baseline query's and the ORACLE IS THE
+    SAME text-byte expansion."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.jpeg import make_jpeg_gray_progressive_from_blocks
+    from geo_db_spark.operators.multimodal import decode_image
+
+    tune(spark)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_md5", T.StringType()),
+        ]
+    )
+    BLOCKS_X = 4
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant (ADVICE r6)
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char raster/oracle arithmetic"
+                    )
+                nb = min(len(raw), 256) // BLOCKS_X
+                if nb == 0:
+                    rows.append((doc_id, BLOCKS_X * 8, 0,
+                                 hashlib.md5(b"").hexdigest()))
+                    continue
+                used = raw[: nb * BLOCKS_X]
+                zz = np.zeros((nb * BLOCKS_X, 64), np.int64)
+                zz[:, 0] = 8 * (np.frombuffer(used, np.uint8).astype(np.int64) - 128)
+                jpg = make_jpeg_gray_progressive_from_blocks(
+                    zz, blocks_x=BLOCKS_X, blocks_y=nb, restart_interval=7
+                )
+                arr = decode_image(jpg)
+                rows.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     hashlib.md5(arr.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pixel_md5"])
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+# bit-identical to the baseline JPEG query by construction
+ORACLE_MM_IMAGE_DECODE_JPEG_PROG = ORACLE_MM_IMAGE_DECODE_JPEG
+
+QUERIES["mm_image_decode_jpeg_prog"] = mm_image_decode_jpeg_prog
+ORACLES["mm_image_decode_jpeg_prog"] = ORACLE_MM_IMAGE_DECODE_JPEG_PROG

@@ -142,12 +142,16 @@ def test_jpeg_grayscale_through_dispatcher():
 def test_jpeg_refusals():
     import struct
 
-    # progressive (SOF2)
+    # SOF2 DECODES since r8; a baseline stream merely RELABELED SOF2 is
+    # malformed (its scan header says Ss=0, Se=63 — not a DC scan)
     zz = np.zeros((1, 64), np.int64)
     good = make_jpeg_gray_from_blocks(zz, 1, 1)
-    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="baseline"):
-        decode_jpeg(prog)
+    relabeled = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="DC scan"):
+        decode_jpeg(relabeled)
+    # lossless (SOF3) refuses
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
     # 12-bit precision
     i = good.index(b"\xff\xc0")
     twelve = good[: i + 4] + struct.pack("B", 12) + good[i + 5 :]
@@ -189,3 +193,114 @@ def test_jpeg_coefficient_fuzz():
         assert (img[:, :, 0] == _ref_idct(zz[0])).all()
 
     fuzz()
+
+
+def _prog(zz, bx, by, **kw):
+    from geo_db_spark.operators.jpeg import make_jpeg_gray_progressive_from_blocks
+
+    return make_jpeg_gray_progressive_from_blocks(zz, bx, by, **kw)
+
+
+def test_jpeg_progressive_exact_and_equals_baseline():
+    """Progressive scans partition each coefficient's bits, so decode
+    must reconstruct the EXACT coefficients: compare against the
+    reference IDCT and against the baseline encoding of the same
+    blocks. Block mix forces EOBn runs (empty blocks), ZRL, DC-only
+    and dense cases."""
+    rng = np.random.RandomState(11)
+    n = 24
+    zz = np.zeros((n, 64), np.int64)
+    for i in range(n):
+        kind = i % 4
+        if kind == 0:
+            zz[i] = rng.randint(-30, 31, 64)
+        elif kind == 1:
+            pos = rng.choice(64, 3, replace=False)
+            zz[i, pos] = rng.randint(-500, 501, 3)
+        elif kind == 2:
+            zz[i, 0] = rng.randint(-1000, 1001)
+        # kind 3: all-zero blocks -> cross-block EOB runs
+    img = decode_jpeg(_prog(zz, 6, 4))
+    for i in range(n):
+        by, bx = divmod(i, 6)
+        got = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+        assert (got == _ref_idct(zz[i])).all(), i
+    base = decode_jpeg(make_jpeg_gray_from_blocks(zz, 6, 4))
+    assert (img == base).all()
+
+
+def test_jpeg_progressive_restarts_and_quant():
+    rng = np.random.RandomState(13)
+    zz = rng.randint(-40, 41, (12, 64)).astype(np.int64)
+    q = np.full((8, 8), 2, np.int64)
+    plain = decode_jpeg(_prog(zz, 4, 3, quant=q))
+    restarted = decode_jpeg(_prog(zz, 4, 3, quant=q, restart_interval=5))
+    assert (plain == restarted).all()
+    base = decode_jpeg(make_jpeg_gray_from_blocks(zz, 4, 3, quant=q))
+    assert (plain == base).all()
+
+
+def test_jpeg_progressive_deep_successive_approximation():
+    """A 3-level script (Al=2 -> 1 -> 0) chains DC and AC refinement
+    scans — each AC refinement must insert newly-significant coeffs AND
+    correct previously-sent ones."""
+    scans = (
+        (0, 0, 0, 2), (1, 63, 0, 2),
+        (0, 0, 2, 1), (1, 63, 2, 1),
+        (0, 0, 1, 0), (1, 63, 1, 0),
+    )
+    rng = np.random.RandomState(7)
+    zz = rng.randint(-100, 101, (9, 64)).astype(np.int64)
+    zz[4] = 0  # an all-zero block inside the grid
+    img = decode_jpeg(_prog(zz, 3, 3, scans=scans))
+    base = decode_jpeg(make_jpeg_gray_from_blocks(zz, 3, 3))
+    assert (img == base).all()
+
+
+def test_jpeg_progressive_fuzz():
+    """Hypothesis over block contents incl. category boundaries: the
+    progressive decode must equal the baseline decode of the same
+    blocks (both coefficient-exact paths)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    boundary = [0, 1, -1, 2, -2, 3, -3, 255, -255, 256, -256, 1023, -1023]
+
+    @settings(max_examples=15, deadline=None)
+    @given(data=st.data())
+    def fuzz(data):
+        blocks = []
+        for _ in range(4):
+            blocks.append(
+                data.draw(
+                    st.lists(
+                        st.one_of(
+                            st.sampled_from(boundary), st.integers(-1023, 1023)
+                        ),
+                        min_size=64,
+                        max_size=64,
+                    )
+                )
+            )
+        zz = np.array(blocks, np.int64)
+        img = decode_jpeg(_prog(zz, 2, 2))
+        base = decode_jpeg(make_jpeg_gray_from_blocks(zz, 2, 2))
+        assert (img == base).all()
+
+    fuzz()
+
+
+def test_jpeg_progressive_refusals():
+    # subsampled progressive is an explicit boundary
+    import struct
+
+    from geo_db_spark.operators.jpeg import _seg
+
+    zz = np.zeros((1, 64), np.int64)
+    good = _prog(zz, 1, 1)
+    i = good.index(b"\xff\xc2")
+    # patch the single component's sampling factors to 2x2
+    patched = bytearray(good)
+    patched[i + 4 + 6 + 1] = 0x22  # len(2)+prec(1)+h(2)+w(2)+nc(1), comp id, hv
+    with pytest.raises(NotImplementedError, match="subsampled progressive"):
+        decode_jpeg(bytes(patched))

@@ -39,6 +39,7 @@ BUDGETS = {
     "corpus_build_pipeline": (8, 0, 0),
     # r8 codecs: one decode-parallelism exchange, ONE Python node each
     "mm_image_decode_jpeg": (1, 0, 1),
+    "mm_image_decode_jpeg_prog": (1, 0, 1),
     "mm_audio_decode_flac": (1, 0, 1),
     # r8 multimodal capstone: decode runs ONCE inside the checkpoint
     # (plan shows no scan/python nodes past it); downstream = dedup agg
