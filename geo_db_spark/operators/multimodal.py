@@ -348,7 +348,11 @@ def _decode_png(payload: bytes):
     Adam7-interlaced (method 1): the 7 passes are independently
     unfiltered sub-images (filter state resets per pass, empty passes
     contribute no bytes) scattered into place with strided numpy
-    assignment. 16-bit PNGs raise NotImplementedError."""
+    assignment. Since r8 ALSO 16-bit depth: the per-scanline filters
+    operate on raw BYTES regardless of depth (spec: bpp is the byte
+    offset), so the same unfilter runs with a 2x pixel stride and the
+    big-endian high byte becomes the 8-bit channel (the standard
+    16->8 downconversion). 1/2/4-bit depths stay boundaries."""
     import struct
     import zlib
 
@@ -375,11 +379,13 @@ def _decode_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG supported (bit depth {depth})")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"only 8/16-bit PNG supported (bit depth {depth})")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     if color == 3:
+        if depth != 8:
+            raise ValueError("palette PNG must be 8-bit")
         if plte is None or len(plte) % 3 != 0 or not plte:
             raise ValueError("palette PNG missing/malformed PLTE chunk")
         ch = 1  # one palette index per pixel; unfilter as 1-channel
@@ -387,29 +393,35 @@ def _decode_png(payload: bytes):
         ch = _PNG_CHANNELS.get(color)
         if ch is None:
             raise NotImplementedError(f"unknown PNG color type {color}")
+    # the spec's filters address raw BYTES: the left-neighbor offset is
+    # bpp = channels * bytes-per-sample, whatever the depth
+    bpp = ch * (depth // 8)
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        stride = w * ch
+        stride = w * bpp
         if len(raw) != h * (stride + 1):
             raise ValueError(
                 f"PNG scanline data truncated: {len(raw)} != {h * (stride + 1)}"
             )
-        out, _ = _png_unfilter(raw, 0, h, stride, ch)
-        px = out.reshape(h, w, ch)
+        out, _ = _png_unfilter(raw, 0, h, stride, bpp)
+        px = out.reshape(h, w, bpp)
     else:
-        px = np.zeros((h, w, ch), dtype=np.uint8)
+        px = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub, off = _png_unfilter(raw, off, ph, pw * ch, ch)
-            px[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+            sub, off = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+            px[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
         if off != len(raw):
             raise ValueError(
                 f"PNG interlaced data length mismatch: {len(raw)} != {off}"
             )
+    if depth == 16:
+        # big-endian samples: the high byte is the 8-bit downconversion
+        px = px.reshape(h, w, ch, 2)[:, :, :, 0]
     if color == 3:
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         idx = px[:, :, 0]
@@ -474,6 +486,7 @@ def make_png(
     row_filters: "list[int] | None" = None,
     palette: "bytes | None" = None,
     interlace: int = 0,
+    depth: int = 8,
 ) -> bytes:
     """Assemble a real PNG payload (correct CRCs, zlib-deflated IDAT) —
     the fixture generator for the PNG decode path. ``row_filters`` picks
@@ -489,13 +502,18 @@ def make_png(
 
     import numpy as np
 
+    if depth not in (8, 16):
+        raise ValueError(f"depth must be 8 or 16, got {depth}")
     if color_type == 3:
+        if depth != 8:
+            raise ValueError("palette PNG must be 8-bit")
         if palette is None or len(palette) % 3 != 0 or not palette:
             raise ValueError("color_type 3 needs an RGB palette (3n bytes)")
         ch = 1  # pixel_bytes are palette indices
     else:
         ch = _PNG_CHANNELS[color_type]
-    stride = width * ch
+    bpp = ch * (depth // 8)  # the filters' byte-offset unit
+    stride = width * bpp
     if len(pixel_bytes) != height * stride:
         raise ValueError(f"need {height * stride} bytes, got {len(pixel_bytes)}")
     px = np.frombuffer(pixel_bytes, np.uint8).reshape(height, stride).astype(np.int64)
@@ -503,14 +521,14 @@ def make_png(
         filters = row_filters if row_filters is not None else [1] * height
         if len(filters) != height:
             raise ValueError("row_filters must have one entry per scanline")
-        lines = _png_filter(px, ch, filters)
+        lines = _png_filter(px, bpp, filters)
     elif interlace == 1:
-        px3 = px.reshape(height, width, ch)
+        px3 = px.reshape(height, width, bpp)
         passes = []
         for x0, y0, dx, dy in _ADAM7:
             sub = px3[y0::dy, x0::dx, :]
             if sub.size:
-                passes.append(sub.reshape(sub.shape[0], sub.shape[1] * ch))
+                passes.append(sub.reshape(sub.shape[0], sub.shape[1] * bpp))
         n_rows = sum(p.shape[0] for p in passes)
         filters = row_filters if row_filters is not None else [1] * n_rows
         if len(filters) != n_rows:
@@ -520,7 +538,7 @@ def make_png(
         lines = bytearray()
         at = 0
         for p in passes:
-            lines.extend(_png_filter(p, ch, filters[at : at + p.shape[0]]))
+            lines.extend(_png_filter(p, bpp, filters[at : at + p.shape[0]]))
             at += p.shape[0]
     else:
         raise ValueError(f"invalid interlace method {interlace}")
@@ -533,7 +551,7 @@ def make_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, interlace)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, interlace)
     plte = chunk(b"PLTE", palette) if color_type == 3 else b""
     return (
         PNG_MAGIC
@@ -581,9 +599,11 @@ def _decode_wav(payload: bytes):
     """RIFF chunk walk (public RIFF/WAVE spec): read ``fmt `` and
     ``data``; every other chunk id (LIST, fact, cue, …) is skipped by
     its declared size, honoring the spec's word alignment (odd-sized
-    chunk bodies are followed by one pad byte). Requires format tag 1
-    (integer PCM) and 16-bit samples; anything else — float PCM,
-    ADPCM, a-law — raises NotImplementedError."""
+    chunk bodies are followed by one pad byte). Format tag 1 (integer
+    PCM) at 8 (unsigned, rescaled to signed 16), 16, 24 or 32 bits —
+    everything returns int16-range frames like the 16-bit path (24/32
+    keep the high 16 bits, the standard downconversion); float PCM,
+    ADPCM, a-law raise NotImplementedError."""
     import struct
 
     import numpy as np
@@ -604,18 +624,31 @@ def _decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _byte_rate, block_align, bits = fmt
-    if audio_fmt != 1 or bits != 16:
+    if audio_fmt != 1 or bits not in (8, 16, 24, 32):
         raise NotImplementedError(
-            f"only 16-bit integer PCM WAV supported (format={audio_fmt}, "
-            f"bits={bits})"
+            f"only 8/16/24/32-bit integer PCM WAV supported "
+            f"(format={audio_fmt}, bits={bits})"
         )
-    if n_ch < 1 or block_align != 2 * n_ch:
+    bstep = bits // 8
+    if n_ch < 1 or block_align != bstep * n_ch:
         raise ValueError(f"inconsistent WAV fmt: channels={n_ch}, block_align={block_align}")
     n_frames = len(data) // block_align  # trailing partial frame dropped
-    samples = np.frombuffer(
-        data, dtype="<i2", count=n_frames * n_ch
-    ).reshape(n_frames, n_ch)
-    return samples, rate
+    n = n_frames * n_ch
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=n).astype(np.int16)
+    elif bits == 8:
+        # 8-bit WAV is UNSIGNED (spec); center and widen to int16 range
+        samples = (
+            np.frombuffer(data, np.uint8, count=n).astype(np.int16) - 128
+        ) << 8
+    elif bits == 32:
+        samples = (np.frombuffer(data, dtype="<i4", count=n) >> 16).astype(np.int16)
+    else:  # 24-bit: little-endian 3-byte frames, keep the high 16 bits
+        b = np.frombuffer(data, np.uint8, count=3 * n).reshape(n, 3)
+        samples = (
+            (b[:, 2].astype(np.int32) << 8) | b[:, 1].astype(np.int32)
+        ).astype(np.uint16).view(np.int16)
+    return samples.reshape(n_frames, n_ch), rate
 
 
 def make_wav(

@@ -194,8 +194,12 @@ def test_decode_png_golden_and_refusals():
         idat = zlib.compress(b"\x00\x01\x02\x03")
         return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
-    with pytest.raises(NotImplementedError):  # 16-bit
+    # 16-bit DECODES since r8; this fixture's 4-byte scanline data is
+    # TRUNCATED for a 16-bit 1x1 RGB (needs 7) — malformed, not a stub
+    with pytest.raises(ValueError, match="truncated"):
         decode_image(png_with_ihdr(depth=16))
+    with pytest.raises(NotImplementedError):  # 4-bit stays a boundary
+        decode_image(png_with_ihdr(depth=4))
     # Adam7 DECODES since r8 (1x1: only pass 1 is non-empty — one
     # filter byte + 3 channel bytes, exactly the sequential stream)
     assert decode_image(png_with_ihdr(interlace=1)).tolist() == [[[1, 2, 3]]]
@@ -792,3 +796,66 @@ def test_decode_gif_interlaced_roundtrip_fuzz():
         assert np.array_equal(got, want)
 
     roundtrip()
+
+
+def test_png_16bit_roundtrip_all_color_types():
+    """16-bit PNG (r8): the per-scanline filters address raw BYTES (the
+    spec's bpp offset), so the same unfilter runs at a 2x pixel stride;
+    the big-endian high byte becomes the 8-bit channel. Every color
+    type, mixed filters, sequential AND Adam7."""
+    import numpy as np
+
+    from geo_db_spark.operators.multimodal import _PNG_CHANNELS, decode_image, make_png
+
+    rng = np.random.RandomState(4)
+    for ct, ch in sorted(_PNG_CHANNELS.items()):
+        w, h = 5, 4
+        samples = rng.randint(0, 65536, (h, w, ch)).astype(">u2")
+        hi = (samples >> 8).astype(np.uint8)
+        if ch in (1, 2):
+            want = np.repeat(hi[:, :, :1], 3, 2)
+        else:
+            want = hi[:, :, :3]
+        png = make_png(w, h, samples.tobytes(), color_type=ct, depth=16,
+                       row_filters=[y % 5 for y in range(h)])
+        assert (decode_image(png) == want).all(), ct
+        png_i = make_png(w, h, samples.tobytes(), color_type=ct, depth=16,
+                         interlace=1)
+        assert (decode_image(png_i) == want).all(), ("adam7", ct)
+    # palette + 16-bit is malformed per spec
+    import pytest
+
+    with pytest.raises(ValueError, match="palette"):
+        make_png(1, 1, b"\x00\x00", color_type=3, depth=16, palette=bytes(3))
+
+
+def test_wav_8_24_32_bit_depths():
+    """WAV PCM beyond 16-bit (r8): 8-bit is unsigned (centered and
+    widened), 24/32-bit keep the high 16 bits — all returning
+    int16-range frames like the 16-bit path."""
+    import struct
+
+    import numpy as np
+
+    from geo_db_spark.operators.multimodal import decode_audio
+
+    def wav(bits, n_ch, rate, data):
+        ba = bits // 8 * n_ch
+        fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * ba, ba, bits)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    arr, r = decode_audio(wav(8, 1, 8000, bytes([128, 0, 255])))
+    assert r == 8000 and arr[:, 0].tolist() == [0, -32768, 32512]
+
+    vals = [0x123456, 0xFFFFFF, 0x800000, 0x7FFFFF]
+    arr, _ = decode_audio(
+        wav(24, 1, 44100, b"".join(v.to_bytes(3, "little") for v in vals))
+    )
+    assert arr[:, 0].tolist() == [0x1234, -1, -32768, 32767]
+
+    v32 = np.array([0x12345678, -0x12345678, 0, -1], "<i4")
+    arr, _ = decode_audio(wav(32, 2, 48000, v32.tobytes()))
+    assert arr.shape == (2, 2)
+    assert arr.reshape(-1).tolist() == [v >> 16 for v in v32.tolist()]
