@@ -2,11 +2,14 @@
 typed metadata, processed by Arrow-batched Pandas iterators (mapInPandas).
 
 The Spark-side plumbing — schema, partitioning, UDF signatures, batch
-shapes — is real and tested; the actual media decode is STUBBED because
-the image/audio libraries are not available in this container:
-``decode_image`` raises NotImplementedError, and ``fake_decode_meta``
-provides a deterministic stand-in so the pipeline shape can be exercised
-end-to-end.
+shapes — is real and tested, and so is the decode layer: pure
+stdlib+NumPy decoders for PPM (8/16-bit), BMP (8-bit palette, 24/32-bit,
+BI_RLE8), PNG (8/16-bit, palette, Adam7), GIF (LZW, interlaced), JPEG
+(baseline + progressive, operators/jpeg.py), WAV PCM (8/16/24/32-bit)
+and FLAC (operators/flac.py). Only perceptual codecs that genuinely
+need a native library remain NotImplementedError boundaries (WebP,
+MP3/OGG, arithmetic/12-bit JPEG); ``fake_decode_meta`` survives as a
+deterministic stand-in for pipeline-shape tests.
 
 At 100 TB the rules are: keep payloads in BINARY columns (never strings),
 never collect them, let mapInPandas stream Arrow batches
@@ -58,12 +61,11 @@ def decode_image(payload: bytes):
     """Decode an image payload to an (H, W, 3) uint8 RGB ndarray.
 
     Pure-stdlib decoders for the formats that need no codec library:
-    binary PPM (``P6``), uncompressed 24/32-bit BMP (``BM``, BI_RGB),
-    8-bit PNG (since r6; Adam7 since r8), GIF (interlaced since r8) and
-    — since r8 — baseline sequential JPEG (operators/jpeg.py: Huffman
-    entropy decode, dequant, float64 IDCT, 4:2:0 upsample, YCbCr->RGB).
-    Progressive JPEG / WebP still raise NotImplementedError; swap this
-    dispatcher's fallthrough for a ``PIL.Image.open`` when available."""
+    binary PPM (``P6``, 8/16-bit), BMP (``BM``: 8-bit palette, 24/32-bit
+    BI_RGB, BI_RLE8), PNG (8/16-bit, palette, Adam7), GIF (interlaced
+    included) and JPEG — baseline AND progressive (operators/jpeg.py).
+    WebP still raises NotImplementedError; swap this dispatcher's
+    fallthrough for a ``PIL.Image.open`` when available."""
     if payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if payload[:2] == b"BM":
@@ -85,8 +87,9 @@ def decode_image(payload: bytes):
 
 def _decode_ppm_p6(payload: bytes):
     """Binary PPM: ``P6 <w> <h> <maxval>\\n`` header (tokens separated by
-    whitespace, ``#`` comments allowed) followed by h*w*3 raw RGB bytes.
-    maxval must fit one byte (16-bit PPMs raise)."""
+    whitespace, ``#`` comments allowed) followed by h*w*3 raw RGB
+    samples — one byte each for maxval <= 255, two big-endian bytes
+    (r8) for 16-bit maxval, downconverted via the high byte."""
     import numpy as np
 
     pos = 2  # past the b"P6" magic
@@ -106,12 +109,17 @@ def _decode_ppm_p6(payload: bytes):
         tokens.append(int(payload[start:pos]))
     pos += 1  # exactly ONE whitespace byte separates maxval from raster
     w, h, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM (maxval > 255) not supported")
-    need = w * h * 3
+    if not (0 < maxval < 65536):
+        raise ValueError(f"invalid PPM maxval {maxval}")
+    bps = 2 if maxval > 255 else 1
+    need = w * h * 3 * bps
     raster = payload[pos : pos + need]
     if len(raster) < need:
         raise ValueError(f"PPM raster truncated: {len(raster)} < {need} bytes")
+    if bps == 2:  # big-endian 16-bit samples: high byte = 8-bit value
+        return np.ascontiguousarray(
+            np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3, 2)[:, :, :, 0]
+        )
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
@@ -129,9 +137,9 @@ def _decode_bmp(payload: bytes):
     compression = struct.unpack_from("<I", payload, 30)[0]
     if compression == 1 and bpp == 8:
         return _decode_bmp_rle8(payload)
-    if compression != 0 or bpp not in (24, 32):
+    if compression != 0 or bpp not in (8, 24, 32):
         raise NotImplementedError(
-            f"only BI_RGB 24/32-bit and BI_RLE8 8-bit BMP supported "
+            f"only BI_RGB 8/24/32-bit and BI_RLE8 8-bit BMP supported "
             f"(bpp={bpp}, compression={compression})"
         )
     h = abs(h_raw)
@@ -140,6 +148,19 @@ def _decode_bmp(payload: bytes):
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=h * stride, offset=data_offset
     ).reshape(h, stride)[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    if bpp == 8:  # uncompressed palette-indexed (r8): BGRA quad table
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        pal = np.frombuffer(
+            payload, np.uint8, count=4 * n_colors, offset=14 + hdr_size
+        ).reshape(n_colors, 4)
+        idx = rows[:, :, 0]
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("8-bit BMP index out of palette range")
+        rgb = pal[idx][:, :, 2::-1]  # BGRX quads -> RGB
+        if h_raw > 0:
+            rgb = rgb[::-1]
+        return np.ascontiguousarray(rgb)
     rgb = rows[:, :, 2::-1]  # BGR(A) -> RGB, alpha dropped
     if h_raw > 0:
         rgb = rgb[::-1]  # bottom-up storage -> top-down

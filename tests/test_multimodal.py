@@ -115,10 +115,13 @@ def test_decode_ppm_golden():
     # whitespace/comment-tolerant header, exactly as the spec allows
     commented = b"P6\n# a comment\n 3 2\n# more\n255\n" + rgb
     assert decode_image(commented).tobytes() == rgb
-    with pytest.raises(NotImplementedError):  # 16-bit maxval
-        decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    # 16-bit maxval DECODES since r8 (big-endian high byte)
+    arr16 = decode_image(b"P6\n1 1\n65535\n\x12\x34\x56\x78\x9a\xbc")
+    assert arr16.tolist() == [[[0x12, 0x56, 0x9A]]]
     with pytest.raises(ValueError):  # truncated raster
         decode_image(b"P6\n3 2\n255\n\x01\x02")
+    with pytest.raises(ValueError):  # maxval 0 is malformed
+        decode_image(b"P6\n1 1\n0\n\x00\x00\x00")
 
 
 def test_decode_bmp_24bit_bottom_up():
@@ -859,3 +862,34 @@ def test_wav_8_24_32_bit_depths():
     arr, _ = decode_audio(wav(32, 2, 48000, v32.tobytes()))
     assert arr.shape == (2, 2)
     assert arr.reshape(-1).tolist() == [v >> 16 for v in v32.tolist()]
+
+
+def test_decode_bmp_8bit_palette_uncompressed():
+    """Uncompressed 8-bit palette BMP (r8): BGRX quad table indirection,
+    4-byte row alignment, bottom-up flip, out-of-range index guard."""
+    import struct
+
+    from geo_db_spark.operators.multimodal import decode_image
+
+    pal = b"".join(bytes((i, 255 - i, i ^ 7, 0)) for i in range(256))
+    rows = [bytes([1, 2, 3, 0]), bytes([4, 5, 6, 0])]  # stride 4 for w=3
+    off = 14 + 40 + len(pal)
+    data = rows[0] + rows[1]
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, len(data), 0, 0, 256, 0)
+    arr = decode_image(hdr + dib + pal + data)
+    assert arr.shape == (2, 3, 3)
+    for x, i in enumerate([4, 5, 6]):  # bottom-up: stored row 1 is the top
+        assert tuple(arr[0, x]) == (i ^ 7, 255 - i, i)
+    for x, i in enumerate([1, 2, 3]):
+        assert tuple(arr[1, x]) == (i ^ 7, 255 - i, i)
+    # truncated palette (8 colors) + an index beyond it must refuse
+    import pytest
+
+    pal8 = pal[: 8 * 4]
+    off8 = 14 + 40 + len(pal8)
+    hdr8 = struct.pack("<2sIHHI", b"BM", off8 + len(data), 0, 0, off8)
+    dib8 = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, len(data), 0, 0, 8, 0)
+    data_bad = bytes([1, 2, 9, 0]) + rows[1]  # index 9 >= 8 colors
+    with pytest.raises(ValueError, match="palette range"):
+        decode_image(hdr8 + dib8 + pal8 + data_bad)
