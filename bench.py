@@ -115,6 +115,7 @@ TIER2 = [
     "mm_audio_decode_flac",
     "mm_corpus_pipeline",
     "mm_image_decode_jpeg_prog",
+    "text_bpe_merges",
 ]
 
 

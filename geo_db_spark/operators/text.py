@@ -178,3 +178,65 @@ def nfc_normalize_clean(
             )
 
     return df.select(id_col, text_col).mapInPandas(fn, out_schema)
+
+
+def bpe_train_merges(
+    vocab: DataFrame,
+    rounds: int,
+    word_col: str = "word",
+    count_col: str = "n",
+) -> list[tuple[str, str, str, int]]:
+    """Distributed BPE merge training (Sennrich, Haddow & Birch, ACL
+    2016 "Neural Machine Translation of Rare Words with Subword Units"
+    — the public algorithm): from a (word, count) vocabulary, run
+    ``rounds`` merge steps — count adjacent symbol pairs weighted by
+    word frequency, pick the most frequent pair (deterministic
+    tiebreak: count DESC, left ASC, right ASC), fuse it everywhere —
+    and return the ordered merge table [(left, right, merged, count)].
+
+    Representation is the ORACLE trick that makes this replayable in
+    SQL: each word's symbol sequence is one string with every symbol
+    wrapped as ``<sym>`` (words are pre-filtered to ``[a-z]+`` so the
+    brackets can't collide). Applying a merge is then a plain
+    ``replace(encoded, '<a><b>', '<ab>')`` — string replace scans left
+    to right without overlap in BOTH engines, which is exactly BPE's
+    within-word merge rule ("aaa" + (a,a) -> "<aa><a>", the new token
+    never immediately re-merges with its own right context).
+
+    Scale shape: the state is the VOCABULARY (distinct words + counts,
+    editjoin's distinct-first discipline — corpus size only affects
+    the initial word count), checkpointed once; each round is one
+    split/zip/explode pair count (codegen) + one TakeOrdered(1) (the
+    bounded 1-row driver scalar, the sssp-source convention) + one
+    replace projection. No Python UDFs, no driver-side corpus.
+    """
+    from geo_db_spark.session import tune
+
+    tune(vocab.sparkSession)
+    enc = vocab.select(
+        F.regexp_replace(F.col(word_col), r"(.)", r"<$1>").alias("e"),
+        F.col(count_col).cast("long").alias("cnt"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, str, int]] = []
+    for _ in range(rounds):
+        syms = F.split(F.regexp_replace(F.col("e"), r"^<|>$", ""), "><")
+        pairs = enc.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(syms, 1, F.size(syms) - 1).alias("a"),
+                    F.slice(syms, 2, F.size(syms) - 1).alias("b"),
+                )
+            ).alias("p"),
+            "cnt",
+        ).groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+            F.sum("cnt").alias("c")
+        )
+        top = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break  # every word is a single symbol: nothing left to merge
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((a, b, a + b, c))
+        enc = enc.select(
+            F.expr(f"replace(e, '<{a}><{b}>', '<{a}{b}>')").alias("e"), "cnt"
+        ).localCheckpoint(eager=True)
+    return merges

@@ -937,3 +937,78 @@ FROM s
 
 QUERIES["text_nfc_normalize"] = text_nfc_normalize
 ORACLES["text_nfc_normalize"] = ORACLE_NFC
+
+
+BPE_ROUNDS = 8
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich ACL'16) over the
+    document corpus: lowercase [a-z]+ word vocabulary with counts, then
+    8 merge rounds — each one pair-count shuffle over the VOCABULARY
+    (never the corpus), one TakeOrdered(1) scalar, one replace
+    projection (operators/text.bpe_train_merges). Returns the ordered
+    merge table (rank, left, right, merged, cnt) — the artifact a
+    tokenizer build actually ships. The oracle replays all 8 rounds as
+    chained CTEs: the <sym>-wrapped string representation makes 'apply
+    a merge' a plain replace() with identical left-to-right
+    non-overlap semantics in both engines, so a tie-break, counting or
+    merge-application bug anywhere flips the value hash."""
+    tune(spark)
+    from geo_db_spark.operators.text import bpe_train_merges
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = bpe_train_merges(vocab, rounds=BPE_ROUNDS)
+    rows = [
+        (i + 1, a, b, m, c) for i, (a, b, m, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, cnt long"
+    )
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    split = "string_split(trim(e, '<>'), '><')"
+    sql = r"""
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  GROUP BY 1
+),
+e0 AS (SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS e, n FROM words)"""
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        sql += f""",
+p{r} AS (
+  SELECT pr[1] AS a, pr[2] AS b, SUM(n) AS c
+  FROM {prev},
+       UNNEST(list_zip(
+           list_slice({split}, 1, len({split}) - 1),
+           list_slice({split}, 2, len({split})))) AS t(pr)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+e{r} AS (
+  SELECT replace({prev}.e, '<' || b{r}.a || '><' || b{r}.b || '>',
+                 '<' || b{r}.a || b{r}.b || '>') AS e, n
+  FROM {prev}, b{r}
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, a AS \"left\", b AS \"right\", a || b AS merged, "
+        f"CAST(c AS BIGINT) AS cnt FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return sql + "\n" + union
+
+
+QUERIES["text_bpe_merges"] = text_bpe_merges
+ORACLES["text_bpe_merges"] = _bpe_oracle()
