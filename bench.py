@@ -116,6 +116,7 @@ TIER2 = [
     "mm_corpus_pipeline",
     "mm_image_decode_jpeg_prog",
     "text_bpe_merges",
+    "text_bpe_vocab_top",
 ]
 
 

@@ -976,7 +976,11 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+def _bpe_prefix(rounds: int = BPE_ROUNDS) -> str:
+    """Chained-CTE BPE training replay: words -> e0 -> (p{r}, b{r},
+    e{r}) per round. b{r} holds round r's winning pair, e{rounds} the
+    fully-merged vocabulary — shared by the merge-table and the
+    vocab-stats oracles."""
     split = "string_split(trim(e, '<>'), '><')"
     sql = r"""
 WITH words AS (
@@ -1002,13 +1006,68 @@ e{r} AS (
                  '<' || b{r}.a || b{r}.b || '>') AS e, n
   FROM {prev}, b{r}
 )"""
+    return sql
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {r} AS rank, a AS \"left\", b AS \"right\", a || b AS merged, "
         f"CAST(c AS BIGINT) AS cnt FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    return sql + "\n" + union
+    return _bpe_prefix(rounds) + "\n" + union
 
 
 QUERIES["text_bpe_merges"] = text_bpe_merges
 ORACLES["text_bpe_merges"] = _bpe_oracle()
+
+
+def text_bpe_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoding half of BPE: apply the 8 trained merges to the
+    whole vocabulary (the same replace chain, in rank order) and emit
+    the corpus's top-20 subword tokens by occurrence count — the vocab
+    statistic a tokenizer build reports. Shares the training run with
+    text_bpe_merges; everything stays vocabulary-bound, the final
+    aggregate is one explode + groupBy + TakeOrdered(20). The oracle
+    replays training AND application in one chained-CTE chain."""
+    tune(spark)
+    from geo_db_spark.operators.text import bpe_train_merges
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    merges = bpe_train_merges(vocab, rounds=BPE_ROUNDS)
+    enc = F.regexp_replace(F.col("word"), r"(.)", r"<$1>")
+    for a, b, m, _c in merges:
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{m}>"))
+    syms = F.split(F.regexp_replace(enc, r"^<|>$", ""), "><")
+    return (
+        vocab.select(F.explode(syms).alias("token"), "n")
+        .groupBy("token")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+def _bpe_vocab_oracle(rounds: int = BPE_ROUNDS) -> str:
+    split = "string_split(trim(e, '<>'), '><')"
+    return _bpe_prefix(rounds) + f"""
+SELECT token, CAST(SUM(n) AS BIGINT) AS cnt
+FROM e{rounds}, UNNEST({split}) AS t(token)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+
+QUERIES["text_bpe_vocab_top"] = text_bpe_vocab_top
+ORACLES["text_bpe_vocab_top"] = _bpe_vocab_oracle()
