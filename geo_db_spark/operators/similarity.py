@@ -744,7 +744,13 @@ def ivf_pq_topk(
     assigned, cent = kmeans_fixed_rounds(
         corpus, k=coarse_k, rounds=coarse_rounds, id_col=id_col, vec_col=vec_col
     )
-    cells = assigned.select(F.col("id").alias("c_id"), "cell")
+    # the assignment feeds THREE branches below (codes join, query
+    # cells, and the residual transform) — without materialization each
+    # branch re-runs the K-way scoring window over the corpus (the
+    # ids.py double-compute rule)
+    cells = assigned.select(F.col("id").alias("c_id"), "cell").localCheckpoint(
+        eager=True
+    )
     if residual:
         cq = with_quantized(corpus, vec_col).select(
             F.col(id_col).alias("c_id"), "q"
@@ -757,6 +763,9 @@ def ivf_pq_topk(
                 F.col("c_id").alias(id_col),
                 F.zip_with("q", "__cc", lambda x, y: x - y).alias(vec_col),
             )
+            # consumed by BOTH the codebook training input and the
+            # query-residual semi-join: materialize once
+            .localCheckpoint(eager=True)
         )
         rq = resid.join(
             queries.select(F.col(id_col).alias(id_col)), id_col, "left_semi"
