@@ -319,3 +319,19 @@ def test_incremental_sum_count_null_group(spark):
     }
     assert got == want
     assert len(out) == 2  # exactly one maintained row for the NULL group
+
+
+def test_cdc_table_changes_plan_is_distributed(spark):
+    """r7 verdict #5 'done' assert: the change feed must be a plain
+    distributed read of the versioned table — no driver-side
+    materialization anywhere in the query path. The r7 form collected
+    the feed and re-created it (plan = LocalTableScan); the r8 plan
+    must read parquet and contain no local relation."""
+    from geo_db_spark.workload.cdc_wl import cdc_table_changes
+    from tests.conftest import SF_SMOKE
+
+    df = cdc_table_changes(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan and "Scan ExistingRDD" not in plan
+    assert "parquet" in plan
+    assert df.count() > 0

@@ -86,22 +86,35 @@ def test_editjoin_bruteforce_fuzz(spark):
 
 
 def test_editjoin_depth2_bruteforce_fuzz(spark):
-    """Depth-2 zero-false-negative fuzz: tight alphabet, lengths 0-6,
-    FastSS(max_dist=2) == quadratic levenshtein <= 2."""
-    import random
+    """Depth-2 zero-false-negative HYPOTHESIS fuzz (r7 verdict #3):
+    tight alphabets maximize deletion-variant collisions; for every
+    drawn corpus FastSS(max_dist=2) == quadratic levenshtein <= 2."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
 
-    rng = random.Random(4321)
-    rows = [
-        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 6))))
-        for i in range(90)
-    ]
-    df = spark.createDataFrame(rows, "id long, s string")
-    got = sorted(
-        map(tuple, edit_distance_join(df, "id", "s", max_dist=2).collect())
+    @settings(max_examples=8, deadline=None)
+    @given(
+        alphabet=st.sampled_from(["ab", "abc"]),
+        data=st.data(),
     )
-    want = sorted(map(tuple, _brute(spark, df, max_dist=2).collect()))
-    assert got == want
-    assert len(got) > 100  # the 2-radius over a 2-letter alphabet is dense
+    def fuzz(alphabet, data):
+        words = data.draw(
+            st.lists(
+                st.text(alphabet=alphabet, min_size=0, max_size=6),
+                min_size=20,
+                max_size=60,
+            ),
+            label="corpus",
+        )
+        rows = list(enumerate(words))
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = sorted(
+            map(tuple, edit_distance_join(df, "id", "s", max_dist=2).collect())
+        )
+        want = sorted(map(tuple, _brute(spark, df, max_dist=2).collect()))
+        assert got == want
+
+    fuzz()
 
 
 def test_deletion_variants_shape(spark):
