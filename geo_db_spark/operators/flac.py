@@ -278,8 +278,8 @@ def decode_flac(payload: bytes):
             c1 = _decode_subframe(bits, n, b1)
             if ch_code == 8:  # left/side: right = left - side
                 sub = [c0, c0 - c1]
-            elif ch_code == 9:  # right/side: left = right + side
-                sub = [c1 + c0, c0]
+            elif ch_code == 9:  # right/side: ch0 = SIDE, ch1 = right
+                sub = [c0 + c1, c1]  # left = side + right
             else:  # mid/side
                 side = c1
                 mid = (c0 << 1) | (side & 1)
@@ -403,8 +403,8 @@ def make_flac(
     int16 PCM — STREAMINFO, fixed-predictor subframes with Rice (or
     escape) residuals, real CRC-8/CRC-16. ``stereo_mode`` picks the
     channel decorrelation for 2-channel input: 'independent',
-    'left_side' or 'mid_side' (all lossless, so decode output is
-    identical — the workload exercises them by doc parity)."""
+    'left_side', 'right_side' or 'mid_side' (all lossless, so decode
+    output is identical — the workload exercises them by doc parity)."""
     if len(pcm_int16) % (2 * n_channels):
         raise ValueError("PCM length not a multiple of the frame size")
     samples = np.frombuffer(pcm_int16, "<i2").astype(np.int64)
@@ -438,6 +438,8 @@ def make_flac(
         hdr.write(0, 4)  # sample rate: from STREAMINFO
         if n_channels == 2 and stereo_mode == "left_side":
             hdr.write(8, 4)
+        elif n_channels == 2 and stereo_mode == "right_side":
+            hdr.write(9, 4)
         elif n_channels == 2 and stereo_mode == "mid_side":
             hdr.write(10, 4)
         else:
@@ -453,6 +455,10 @@ def make_flac(
             left, right = blk[:, 0], blk[:, 1]
             _write_subframe(bw, left, bps)
             _write_subframe(bw, left - right, bps + 1)
+        elif n_channels == 2 and stereo_mode == "right_side":
+            left, right = blk[:, 0], blk[:, 1]
+            _write_subframe(bw, left - right, bps + 1)  # ch0 = side
+            _write_subframe(bw, right, bps)
         elif n_channels == 2 and stereo_mode == "mid_side":
             left, right = blk[:, 0], blk[:, 1]
             side = left - right

@@ -151,6 +151,10 @@ def _build_huff(bits: bytes, symbols: bytes) -> list:
             sym = symbols[k]
             base = code << (16 - length)
             span = 1 << (16 - length)
+            if base + span > 65536:
+                # over-subscribed DHT: slice assignment past the end
+                # would silently GROW the list into a corrupt table
+                raise ValueError("malformed DHT: over-subscribed Huffman code")
             lut[base : base + span] = [(sym << 5) | length] * span
             code += 1
             k += 1

@@ -79,9 +79,10 @@ def decode_image(payload: bytes):
 
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM (P6), uncompressed BMP (BI_RGB), 8-bit PNG, GIF and "
-        "baseline JPEG decode without a codec library; progressive "
-        "JPEG/WebP need PIL/opencv, not present in this environment"
+        "only PPM (8/16-bit), BMP (8-bit palette / 24/32-bit / RLE8), "
+        "PNG (8/16-bit, Adam7), GIF (incl. interlaced) and JPEG "
+        "(baseline + progressive) decode without a codec library; WebP "
+        "needs PIL/opencv, not present in this environment"
     )
 
 

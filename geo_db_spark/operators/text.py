@@ -213,8 +213,21 @@ def bpe_train_merges(
     from geo_db_spark.session import tune
 
     tune(vocab.sparkSession)
+    # the <sym> framing (and the replace-based merge) is only sound for
+    # bracket-free symbols: enforce the [a-z]+ precondition LOUDLY
+    # instead of silently corrupting symbol boundaries
+    guarded = F.when(
+        F.col(word_col).rlike("^[a-z]+$"), F.col(word_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("bpe_train_merges requires [a-z]+ words, got: "),
+                F.col(word_col),
+            )
+        )
+    )
     enc = vocab.select(
-        F.regexp_replace(F.col(word_col), r"(.)", r"<$1>").alias("e"),
+        F.regexp_replace(guarded, r"(.)", r"<$1>").alias("e"),
         F.col(count_col).cast("long").alias("cnt"),
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, str, int]] = []
@@ -236,7 +249,11 @@ def bpe_train_merges(
             break  # every word is a single symbol: nothing left to merge
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
         merges.append((a, b, a + b, c))
+        # F.replace with literals, never SQL-string interpolation
         enc = enc.select(
-            F.expr(f"replace(e, '<{a}><{b}>', '<{a}{b}>')").alias("e"), "cnt"
+            F.replace(
+                F.col("e"), F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>")
+            ).alias("e"),
+            "cnt",
         ).localCheckpoint(eager=True)
     return merges

@@ -143,7 +143,19 @@ def cdc_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     tdir = _cdf_table_dir(spark, sf_dir)
-    if len(_committed_versions(tdir)) < 2:
+    committed = _committed_versions(tdir)
+    if len(committed) < 2:
+        if committed:
+            # half-written table from an interrupted earlier call: a
+            # surviving v0 would make the rewrite land as v1/v2 and the
+            # v0->v1 feed would diff two identical snapshots — wipe and
+            # rebuild from scratch instead (review r8 finding)
+            import shutil
+
+            shutil.rmtree(tdir, ignore_errors=True)
+            import os
+
+            os.makedirs(tdir, exist_ok=True)
         cust = load(spark, sf_dir, "customer").select(
             "c_custkey", "c_acctbal", "c_mktsegment"
         )

@@ -791,11 +791,11 @@ def mm_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes left / odd right, 8000 Hz — but compressed through the real
     FLAC encoder (fixed predictors, Rice/escape residuals, CRC-8/16)
     and decoded back by operators/flac.py, with the stereo
-    decorrelation chosen by doc parity (doc_id % 3: independent /
-    left-side / mid-side) so all three reconstruction paths run on
-    real data. FLAC is lossless, so the oracle is the identical
-    text-byte arithmetic as the WAV query — any prediction, Rice,
-    decorrelation or CRC bug flips the exact int64 sums."""
+    decorrelation chosen by doc parity (doc_id % 4: independent /
+    left-side / mid-side / right-side) so all four reconstruction
+    paths run on real data. FLAC is lossless, so the oracle is the
+    identical text-byte arithmetic as the WAV query — any prediction,
+    Rice, decorrelation or CRC bug flips the exact int64 sums."""
     from collections.abc import Iterator
 
     from pyspark.sql import types as T
@@ -820,7 +820,7 @@ def mm_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("energy", T.LongType()),
         ]
     )
-    MODES = ("independent", "left_side", "mid_side")
+    MODES = ("independent", "left_side", "mid_side", "right_side")
 
     def fn(batches: Iterator) -> Iterator:
         import numpy as np
@@ -842,7 +842,7 @@ def mm_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pcm = samples[: 2 * n_frames].astype("<i2").tobytes()
                 flac = make_flac(
                     8000, 2, pcm, block_size=256,
-                    stereo_mode=MODES[int(doc_id) % 3],
+                    stereo_mode=MODES[int(doc_id) % 4],
                 )
                 arr, rate = decode_audio(flac)
                 a = arr.astype(np.int64)

@@ -1002,9 +1002,14 @@ p{r} AS (
 ),
 b{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
 e{r} AS (
-  SELECT replace({prev}.e, '<' || b{r}.a || '><' || b{r}.b || '>',
-                 '<' || b{r}.a || b{r}.b || '>') AS e, n
-  FROM {prev}, b{r}
+  -- LEFT JOIN so a DRY round (no pairs anywhere: b{{r}} empty) leaves
+  -- the vocabulary UNCHANGED instead of emptying it — mirroring the
+  -- Spark trainer's early break (review r8 finding); '<><>' never
+  -- matches a framed symbol, so the coalesced no-op is safe
+  SELECT replace({prev}.e,
+                 '<' || COALESCE(b{r}.a, '') || '><' || COALESCE(b{r}.b, '') || '>',
+                 '<' || COALESCE(b{r}.a, '') || COALESCE(b{r}.b, '') || '>') AS e, n
+  FROM {prev} LEFT JOIN b{r} ON TRUE
 )"""
     return sql
 

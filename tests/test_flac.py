@@ -24,7 +24,7 @@ from geo_db_spark.operators.flac import (
 def test_flac_roundtrip_all_stereo_modes():
     rng = np.random.RandomState(2)
     pcm = rng.randint(-32768, 32768, (1000, 2)).astype("<i2")
-    for mode in ("independent", "left_side", "mid_side"):
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
         out, rate = decode_flac(
             make_flac(8000, 2, pcm.tobytes(), block_size=256, stereo_mode=mode)
         )
@@ -53,7 +53,9 @@ def test_flac_roundtrip_fuzz():
     @settings(max_examples=25, deadline=None)
     @given(
         nch=st.sampled_from([1, 2, 3]),
-        mode=st.sampled_from(["independent", "left_side", "mid_side"]),
+        mode=st.sampled_from(
+            ["independent", "left_side", "right_side", "mid_side"]
+        ),
         bs=st.sampled_from([16, 100, 256]),
         data=st.data(),
     )
@@ -217,15 +219,7 @@ def test_flac_refusals_and_dispatcher():
     good = make_flac(8000, 1, pcm.tobytes())
     out, rate = decode_audio(good)  # dispatches on fLaC magic
     assert rate == 8000 and out[:, 0].tolist() == list(range(16))
-    # 24-bit STREAMINFO refuses
-    def w24(bw):
-        pass
-    frame = _hand_frame(4, 8000, lambda bw: None)
-    b = bytearray(frame)
-    # STREAMINFO bps-1 field: byte 8+4+12 = offset 12 into body... easier:
-    # rebuild via make_flac then patch the bps-1 five bits (body byte 17:
-    # bits rate(20)+ch(3)+bps(5) end at bit 144-36-... ) — patch via
-    # reconstruction instead:
+    # 24-bit STREAMINFO refuses (hand-built header with bps-1 = 23)
     si = _BitW()
     si.write(16, 16); si.write(16, 16); si.write(0, 24); si.write(0, 24)
     si.write(8000, 20); si.write(0, 3); si.write(23, 5)  # 24-bit
@@ -234,3 +228,18 @@ def test_flac_refusals_and_dispatcher():
     stream = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
     with pytest.raises(NotImplementedError, match="24-bit"):
         decode_flac(stream)
+
+
+def test_flac_right_side_asymmetric_channels_regression():
+    """r8 review finding (runtime-confirmed bug): right/side frames
+    carry SIDE in channel 0 and RIGHT in channel 1 — the first decode
+    emitted the side signal as the right channel. Pin with strongly
+    asymmetric channels where any channel swap is unmissable."""
+    left = np.array([100, 200, 300, 400], "<i2")
+    right = np.array([10, 20, 30, 40], "<i2")
+    pcm = np.stack([left, right], axis=1).astype("<i2")
+    out, _ = decode_flac(
+        make_flac(8000, 2, pcm.tobytes(), stereo_mode="right_side")
+    )
+    assert out[:, 0].tolist() == left.tolist()
+    assert out[:, 1].tolist() == right.tolist()

@@ -304,3 +304,29 @@ def test_jpeg_progressive_refusals():
     patched[i + 4 + 6 + 1] = 0x22  # len(2)+prec(1)+h(2)+w(2)+nc(1), comp id, hv
     with pytest.raises(NotImplementedError, match="subsampled progressive"):
         decode_jpeg(bytes(patched))
+
+
+def test_jpeg_oversubscribed_dht_refuses():
+    """r8 review finding: an over-subscribed DHT (more codes than fit
+    16 bits) must raise — Python slice assignment past the LUT end
+    would otherwise silently grow the table into garbage mappings."""
+    import struct
+
+    zz = np.zeros((1, 64), np.int64)
+    good = make_jpeg_gray_from_blocks(zz, 1, 1)
+    i = good.index(b"\xff\xc4")  # first DHT (the DC table)
+    ln = struct.unpack_from(">H", good, i + 2)[0]
+    body = bytearray(good[i + 4 : i + 2 + ln])
+    body[1:17] = bytes([255] * 16)  # bits counts: absurdly over-subscribed
+    body += bytes(range(256)) * 16  # enough symbol bytes to index into
+    patched = (
+        good[: i + 2]
+        + struct.pack(">H", len(body) + 2)
+        + bytes(body)
+        + good[i + 2 + ln :]
+    )
+    from geo_db_spark.operators.jpeg import _build_huff
+
+    _build_huff.cache_clear()  # same-session cache must not mask the guard
+    with pytest.raises(ValueError, match="over-subscribed"):
+        decode_jpeg(patched)

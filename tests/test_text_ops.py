@@ -34,3 +34,41 @@ def test_bpe_merge_application_is_left_to_right_nonoverlapping(spark):
     # after merge: <aa><aa> -> round 2 merges (aa,aa); round 3 dry
     assert m[1] == ("aa", "aa", "aaaa", 1)
     assert len(m) == 2
+
+
+def test_bpe_rejects_non_lowercase_words(spark):
+    """r8 review finding: the <sym> framing is only sound for
+    bracket-free [a-z]+ words — violations must raise loudly, not
+    corrupt symbol boundaries or blow up inside SQL interpolation."""
+    import pytest
+
+    from geo_db_spark.operators.text import bpe_train_merges
+
+    vocab = spark.createDataFrame(
+        [("ok", 1), ("o'brien", 2)], "word string, n long"
+    )
+    with pytest.raises(Exception, match=r"requires \[a-z\]\+ words"):
+        bpe_train_merges(vocab, rounds=1)
+
+
+def test_bpe_oracle_dry_round_matches_spark(spark):
+    """r8 review finding: the chained-CTE oracle's per-round join must
+    LEFT-join the (possibly empty) winning pair, or a corpus that runs
+    dry before the scheduled rounds empties the vocabulary. Check the
+    degenerate corpus end-to-end against DuckDB."""
+    import duckdb
+
+    from geo_db_spark.operators.text import bpe_train_merges
+    from geo_db_spark.workload.text import _bpe_oracle
+
+    # every word merges to ONE symbol within 2 rounds; rounds=4 runs dry
+    vocab = spark.createDataFrame(
+        [("ab", 3), ("abab", 0)], "word string, n long"
+    ).filter("n > 0")
+    m = bpe_train_merges(vocab, rounds=4)
+    assert [x[2] for x in m] == ["ab"]  # one merge, then dry
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 'ab ab ab' AS text")
+    got = con.execute(_bpe_oracle(rounds=4)).fetchall()
+    assert got == [(1, "a", "b", "ab", 3)]  # dry rounds emit nothing
