@@ -227,6 +227,13 @@ def decode_flac(payload: bytes):
         raise ValueError("FLAC missing STREAMINFO")
     if info["bps"] != 16:
         raise NotImplementedError(f"{info['bps']}-bit FLAC not supported")
+    if info["total"] == 0 and pos < len(payload):
+        # total_samples=0 is legal FLAC for "unknown length" (streamed
+        # encodes); the sample-count-driven frame loop below would
+        # silently decode ZERO samples despite frames being present —
+        # fail loudly instead. total=0 with NO bytes after the metadata
+        # is a genuinely empty stream and decodes to zero samples.
+        raise NotImplementedError("FLAC with unknown total_samples (STREAMINFO total=0)")
     bps, nch = info["bps"], info["nch"]
     chans = [[] for _ in range(nch)]
     got = 0

@@ -27,13 +27,31 @@ def pagerank_fixedpoint(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
-    iterations: int = 5,
+    iterations: int | None = 5,
     damping_pct: int = 85,
+    max_iterations: int = 400,
 ) -> DataFrame:
     """(id, rank_fp) after ``iterations`` rounds; rank_fp is the rank
-    scaled by PR_SCALE. Fixed iteration count (not convergence-tested)
-    keeps the plan static and the oracle expressible as K chained CTEs.
+    scaled by PR_SCALE. A fixed iteration count keeps the plan static
+    and the oracle expressible as K chained CTEs — that form stays the
+    g13 contract (both engines run the same fixed-round algorithm, so
+    parity is exact regardless of convergence).
+
+    ``iterations=None`` (r8 verdict next #4, the house fixpoint pattern
+    from k-core/SSSP) iterates until a round changes NO node's rank —
+    an EXACT fixpoint, which integer arithmetic makes well-defined:
+    once every per-node update lands on the same BIGINT, all later
+    rounds are the identity. The probe is one bounded driver scalar per
+    round (count of changed (id, rank) pairs — the emptiness probe on a
+    checkpointed frame, so nothing re-runs prior rounds). Deltas shrink
+    ~0.85x per round, so the fixpoint lands around
+    log(base)/log(1/0.85) ≈ 110-170 rounds at PR_SCALE=1e12 — use it
+    for correctness-critical ranks, not for the 5-round demo wall;
+    ``max_iterations`` raises rather than spin if the integer dynamics
+    ever enter a >1-cycle instead of a fixpoint.
     """
+    if iterations is None and max_iterations < 1:
+        raise ValueError(f"need max_iterations >= 1: got {max_iterations}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -51,7 +69,15 @@ def pagerank_fixedpoint(
     teleport = (base * (100 - damping_pct)) // 100
 
     ranks = nodes.withColumn("r", F.lit(base).cast("long"))
-    for _ in range(iterations):
+    converge = iterations is None
+    r_no = 0
+    while converge or r_no < iterations:
+        r_no += 1
+        if converge and r_no > max_iterations:
+            raise ValueError(
+                f"PageRank not at a fixpoint after {max_iterations} rounds "
+                "— raise max_iterations or use a fixed iteration count"
+            )
         contrib = (
             ed.join(ranks, ed["src"] == ranks["id"])
             .select("dst", F.expr("r div d").alias("c"))
@@ -59,7 +85,7 @@ def pagerank_fixedpoint(
         in_sum = contrib.groupBy(F.col("dst").alias("nid")).agg(
             F.sum("c").alias("s")
         )
-        ranks = (
+        new_ranks = (
             nodes.join(in_sum, nodes["id"] == F.col("nid"), "left")
             .select(
                 "id",
@@ -70,6 +96,16 @@ def pagerank_fixedpoint(
             )
             .localCheckpoint(eager=True)
         )
+        if converge:
+            changed = (
+                new_ranks.withColumnsRenamed({"id": "nid2", "r": "r2"})
+                .join(ranks, F.col("nid2") == ranks["id"])
+                .filter(F.col("r2") != F.col("r"))
+                .count()
+            )
+            if changed == 0:
+                break
+        ranks = new_ranks
     return ranks.select("id", F.col("r").alias("rank_fp"))
 
 
@@ -178,6 +214,7 @@ def sssp_bellman_ford(
     dst_col: str = "b",
     weight_col: str = "w",
     rounds: int | None = 6,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """Single-source shortest paths by synchronous Bellman-Ford
     relaxations over an UNDIRECTED weighted graph (edges are
@@ -190,6 +227,12 @@ def sssp_bellman_ford(
     ``rounds=K`` keeps the old semantics (the chained-CTE-oracle
     convention); with K < the graph's weighted-hop radius that result
     is a round-bounded approximation, NOT the shortest path.
+
+    ``max_rounds`` (converge mode only) raises if any round BEYOND it
+    still improves a node — for callers whose correctness oracle is a
+    fixed chained-CTE relaxation of that depth: a graph whose radius
+    outgrows the oracle then fails LOUDLY at run time instead of
+    surfacing as a silent value mismatch (r8 ADVICE #3).
 
     Scale shape (r8: FRONTIER relaxation, delta Bellman-Ford): only
     nodes improved in the previous round can improve a neighbor, so
@@ -244,6 +287,12 @@ def sssp_bellman_ford(
         )
         if converge and improved.isEmpty():
             break
+        if converge and max_rounds is not None and r > max_rounds:
+            raise ValueError(
+                f"SSSP still improving at round {r} but the caller's "
+                f"fixed-depth oracle only relaxes {max_rounds} rounds — "
+                "deepen the oracle (the weighted-hop radius outgrew it)"
+            )
         dist = (
             dist.join(improved.select(F.col("node").alias("inode")),
                       dist["node"] == F.col("inode"), "left_anti")

@@ -100,7 +100,12 @@ class _BitReader:
         if self.n - k < self.n_phantom:
             raise ValueError("ran past end of entropy-coded data")
         self.n -= k
-        return (self.acc >> self.n) & ((1 << k) - 1)
+        out = (self.acc >> self.n) & ((1 << k) - 1)
+        # truncate the consumed high bits: without this the accumulator
+        # grows ~8 bits per entropy byte and the big-int shifts make a
+        # long no-restart scan O(N^2)
+        self.acc &= (1 << self.n) - 1
+        return out
 
     def bits(self, k: int) -> int:
         while self.n < k:

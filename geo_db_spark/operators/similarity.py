@@ -65,9 +65,12 @@ def cosine_topk_bruteforce(
     """Exact top-k cosine neighbors for each query vector.
 
     Plan shape at scale: queries (small) are broadcast; the corpus is
-    scanned once, cosine computed per (query, row) inside codegen, and the
-    per-query top-k is one window on q_id — shuffle size = |corpus| * |Q|
-    rows of 3 scalar columns, never the vectors themselves.
+    scanned once, cosine computed per (query, row) inside codegen, the
+    batch-local pre-cut keeps only each scan batch's top-k per query
+    (batch_local_topm — without it the q_id window funnels each query's
+    O(|corpus|) scores through ONE un-splittable task), and the global
+    top-k window runs over the reduced O(batches * k * |Q|) stream —
+    skinny (q_id, id, score) rows, never the vectors themselves.
     """
     c = with_quantized(corpus, vec_col).select(
         F.col(id_col).alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n")
@@ -82,6 +85,7 @@ def cosine_topk_bruteforce(
         F.col("c_id").alias("neighbor_id"),
         cosine_from_quantized(dot, F.col("q_n"), F.col("c_n")).alias("cosine"),
     )
+    scored = batch_local_topm(scored, k, "cosine", ascending=False, id_col="neighbor_id")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -767,6 +771,21 @@ def ivf_pq_topk(
             # query-residual semi-join: materialize once
             .localCheckpoint(eager=True)
         )
+        # queries must be corpus members for their residuals to exist —
+        # a query id outside the corpus would otherwise silently yield
+        # EMPTY ADC tables and zero results (r8 ADVICE #5). Bounded
+        # driver scalar: an anti-join count over the (small-by-contract)
+        # query set.
+        uncovered = (
+            queries.select(F.col(id_col).alias(id_col))
+            .join(resid.select(id_col), id_col, "left_anti")
+            .count()
+        )
+        if uncovered:
+            raise ValueError(
+                f"ivf_pq_topk(residual=True): {uncovered} query id(s) are "
+                "not in the corpus — residual queries must be corpus members"
+            )
         rq = resid.join(
             queries.select(F.col(id_col).alias(id_col)), id_col, "left_semi"
         )

@@ -205,7 +205,10 @@ def g20_sssp_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-bounded approximation. The oracle stays a chained-CTE
     relaxation, sized ABOVE the measured fixpoint (3 effective rounds
     at sf0.01; 8 chained here) — rounds past the fixpoint are identity,
-    so the oracle equals the converged result."""
+    so the oracle equals the converged result. max_rounds=8 (r9,
+    ADVICE #3) makes that sizing a CHECKED assumption: at an SF whose
+    weighted-hop radius exceeds 8, the query raises instead of letting
+    the harness report a silent value mismatch."""
     tune(spark)
     from geo_db_spark.operators.graph_algos import sssp_bellman_ford
 
@@ -219,7 +222,7 @@ def g20_sssp_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w", F.lit(1) + (F.col("a") + F.col("b")) % 5)
     )
     source = pairs.agg(F.min("a")).collect()[0][0]  # bounded driver scalar
-    out = sssp_bellman_ford(pairs, source, rounds=None)
+    out = sssp_bellman_ford(pairs, source, rounds=None, max_rounds=8)
     return out.select("node", F.col("dist").cast("long").alias("dist"))
 
 

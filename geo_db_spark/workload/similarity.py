@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from geo_db_spark.io import load
 from geo_db_spark.operators.similarity import (
     QUANT,
+    batch_local_topm,
     cosine_from_quantized,
     cosine_topk_bruteforce,
     int_dot,
@@ -230,10 +231,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = c.join(F.broadcast(qs), "bucket").filter(F.col("c_id") != F.col("q_id"))
     cos = cosine_from_quantized(int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n"))
+    scored = pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
+    # bucket-bounded is still ~|corpus|/2^bits per query — a linear
+    # fraction through one window task; batch-local pre-cut first
+    scored = batch_local_topm(scored, 3, "cosine", ascending=False, id_col="neighbor_id")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
@@ -295,10 +299,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = c.join(F.broadcast(qs), "cell").filter(F.col("c_id") != F.col("q_id"))
     cos = cosine_from_quantized(int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n"))
+    scored = pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
+    # cell-bounded is still ~|corpus|/IVF_C per query through one window
+    # task; batch-local pre-cut first (r8 verdict #1)
+    scored = batch_local_topm(scored, 3, "cosine", ascending=False, id_col="neighbor_id")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
@@ -884,10 +891,15 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = c.join(F.broadcast(qs), "cell").filter(F.col("c_id") != F.col("q_id"))
     cos = cosine_from_quantized(int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n"))
+    scored = pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
+    # NPROBE cells are still ~NPROBE*|corpus|/IVF_C rows per query
+    # through one window task; batch-local pre-cut first. Safe: each
+    # corpus vector lives in ONE cell, so (q_id, c_id) is unique across
+    # batches and the global top-3 is a subset of the batch-local unions.
+    scored = batch_local_topm(scored, 3, "cosine", ascending=False, id_col="neighbor_id")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
@@ -992,10 +1004,14 @@ def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = emb.select(F.col("vec_id").alias("c_id"), F.col("q").alias("c_q"), F.col("qnorm").alias("c_n"))
     pairs = cand.join(F.broadcast(qv), "q_id").join(cv, "c_id")
     cos = cosine_from_quantized(int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n"))
+    scored = pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
+    # the union of L buckets is still a linear corpus fraction per query
+    # through one window task; batch-local pre-cut first. Safe: cand is
+    # distinct'd, so (q_id, c_id) is unique across batches.
+    scored = batch_local_topm(scored, 3, "cosine", ascending=False, id_col="neighbor_id")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
@@ -1161,20 +1177,34 @@ def ann_mrl_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("q").alias("q_q"),
         F.col("qnorm").alias("q_n"), F.col("p").alias("q_p"), F.col("pn").alias("q_pn"),
     )
+    # skinny (q_id, c_id, pre_cos) only — carrying the full c_q/q_q
+    # vectors through the candidate exchange violated the family's
+    # "never the vectors themselves" rule (r8 verdict #1); the full
+    # vectors re-join AFTER the 30-per-query cut, like ann_sq8_topk's
+    # rescore stage
     pre = c.join(F.broadcast(qs), F.col("c_id") != F.col("q_id")).select(
-        "q_id", "c_id", "c_q", "c_n", "q_q", "q_n",
+        "q_id", "c_id",
         cosine_from_quantized(
             int_dot(F.col("c_p"), F.col("q_p")), F.col("q_pn"), F.col("c_pn")
         ).alias("pre_cos"),
     )
+    pre = batch_local_topm(pre, 30, "pre_cos", ascending=False)
     w_cand = Window.partitionBy("q_id").orderBy(F.col("pre_cos").desc(), F.col("c_id"))
-    cand = pre.withColumn("__r", F.row_number().over(w_cand)).filter(F.col("__r") <= 30)
-    rescored = cand.select(
-        "q_id",
-        F.col("c_id").alias("neighbor_id"),
-        cosine_from_quantized(
-            int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n")
-        ).alias("cosine"),
+    cand = (
+        pre.withColumn("__r", F.row_number().over(w_cand))
+        .filter(F.col("__r") <= 30)
+        .select("q_id", "c_id")
+    )
+    rescored = (
+        cand.join(c.select("c_id", "c_q", "c_n"), "c_id")
+        .join(F.broadcast(qs.select("q_id", "q_q", "q_n")), "q_id")
+        .select(
+            "q_id",
+            F.col("c_id").alias("neighbor_id"),
+            cosine_from_quantized(
+                int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -1254,6 +1284,9 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n")
         ).alias("cosine"),
     ).filter(F.col("cosine") < F.lit(SEMDEDUP_TAU))
+    # the band filter removes only near-dups — still ~|corpus| rows per
+    # anchor through one window task; batch-local pre-cut first
+    scored = batch_local_topm(scored, 5, "cosine", ascending=False, id_col="neg_id")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neg_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1394,10 +1427,13 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine_from_quantized(
         int_dot(F.col("c_q"), F.col("q_q")), F.col("q_n"), F.col("c_n")
     )
+    scored = pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
+    # trained cells are better BALANCED but still ~|corpus|/K rows per
+    # query through one window task; batch-local pre-cut first
+    scored = batch_local_topm(scored, 3, "cosine", ascending=False, id_col="neighbor_id")
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        pairs.select("q_id", F.col("c_id").alias("neighbor_id"), cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
@@ -1457,7 +1493,7 @@ s{m}n AS (
          CAST(list_sum(list_transform(list_slice(q, {lo}, {hi}), x -> x * x)) AS BIGINT) AS qn
   FROM {src}
 ),
-s{m}c0 AS (SELECT vec_id AS cent_id, q AS c FROM s{m}n WHERE vec_id < {k}),
+s{m}c0 AS (SELECT vec_id AS cent_id, q AS c FROM s{m}n ORDER BY vec_id LIMIT {k}),
 s{m}a1 AS (
   SELECT id, cell FROM (
     SELECT v.vec_id AS id, c.cent_id AS cell,
@@ -1556,7 +1592,7 @@ def _coarse_block(k: int = 16, rounds: int = 2, dim: int = 64) -> str:
     sql = f""",
 gnv AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qn FROM qall),
 gdims AS (SELECT CAST(unnest(range({dim})) AS INT) AS d),
-gc0 AS (SELECT vec_id AS cent_id, q AS c FROM qall WHERE vec_id < {k})"""
+gc0 AS (SELECT vec_id AS cent_id, q AS c FROM qall ORDER BY vec_id LIMIT {k})"""
     prev = "gc0"
     for r in range(1, rounds + 1):
         sql += f""",

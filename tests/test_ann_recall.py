@@ -472,3 +472,22 @@ def test_ivf_pq_residual_beats_raw_on_clustered_corpus(spark):
         resid = recall(True, rescore_m)
         assert resid > raw + 0.10, (rescore_m, raw, resid)
         assert raw <= raw_ceil and resid >= resid_floor, (rescore_m, raw, resid)
+
+
+def test_ivf_pq_residual_rejects_noncorpus_queries(spark):
+    """r8 ADVICE #5: residual=True builds query residuals by corpus
+    membership — a query id absent from the corpus must raise, not
+    silently produce empty ADC tables and zero results."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.io import load
+    from geo_db_spark.operators.similarity import ivf_pq_topk
+    from tests.conftest import SF_SMOKE
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    ghost = emb.filter(F.col("vec_id") < 2).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    with pytest.raises(ValueError, match="not in the corpus"):
+        ivf_pq_topk(emb, ghost, k=3, rescore_m=10, residual=True)

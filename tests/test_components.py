@@ -111,3 +111,91 @@ def test_kcore_converged_empty_core(spark):
         [(1, 2), (2, 3), (3, 4)], "a long, b long"  # a path has no 2-core
     )
     assert kcore_peel(edges, k=2, rounds=None).count() == 0
+
+
+def _pagerank_sim(edge_list, iterations=None, damping_pct=85):
+    """Pure-Python twin of pagerank_fixedpoint's integer arithmetic
+    (independent of Spark — the converged form's correctness pin)."""
+    from geo_db_spark.operators.graph_algos import PR_SCALE
+
+    nodes = sorted({a for a, _ in edge_list} | {b for _, b in edge_list})
+    deg = {}
+    for a, _ in edge_list:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(nodes)
+    base = PR_SCALE // n
+    teleport = (base * (100 - damping_pct)) // 100
+    r = {i: base for i in nodes}
+    it = 0
+    while True:
+        it += 1
+        s = {i: 0 for i in nodes}
+        for a, b in edge_list:
+            s[b] += r[a] // deg[a]
+        new = {i: teleport + (damping_pct * s[i]) // 100 for i in nodes}
+        if new == r or it == iterations:
+            return new
+        r = new
+        assert it < 10_000, "simulation not converging"
+
+
+def test_pagerank_converged_exact_where_5_rounds_insufficient(spark):
+    """r8 verdict next #4: iterations=None must iterate to the EXACT
+    integer fixpoint. On a 12-node directed chain, rank mass takes one
+    round per hop to reach the tail, so the 5-round form provably
+    differs at depth >5; the converged form must equal an independent
+    pure-Python fixpoint simulation of the same integer arithmetic."""
+    from geo_db_spark.operators.graph_algos import pagerank_fixedpoint
+
+    chain = [(i, i + 1) for i in range(1, 12)]
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    # damping 10%: per-round deltas decay 0.1x, so the exact integer
+    # fixpoint lands in ~12 rounds (at the default 85% it takes ~140 —
+    # same dynamics, just a slow unit test)
+    want_fix = _pagerank_sim(chain, damping_pct=10)
+    want_5 = _pagerank_sim(chain, iterations=5, damping_pct=10)
+    assert want_5 != want_fix  # the deep chain makes 5 rounds insufficient
+    got_5 = {
+        r.id: r.rank_fp
+        for r in pagerank_fixedpoint(edges, iterations=5, damping_pct=10).collect()
+    }
+    assert got_5 == want_5
+    got_fix = {
+        r.id: r.rank_fp
+        for r in pagerank_fixedpoint(edges, iterations=None, damping_pct=10).collect()
+    }
+    assert got_fix == want_fix
+
+
+def test_pagerank_converged_max_iterations_guard(spark):
+    """The fixpoint loop must raise, not spin, if the cap is hit."""
+    import pytest
+
+    from geo_db_spark.operators.graph_algos import pagerank_fixedpoint
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="not at a fixpoint"):
+        pagerank_fixedpoint(edges, iterations=None, max_iterations=2)
+
+
+def test_sssp_max_rounds_guard_raises_when_radius_exceeds_oracle(spark):
+    """r8 ADVICE #3: a caller pinning its fixed-depth oracle via
+    max_rounds must get a LOUD error when the graph's weighted-hop
+    radius outgrows it (not a silent harness mismatch)."""
+    import pytest
+
+    from geo_db_spark.operators.graph_algos import sssp_bellman_ford
+
+    path = [(i, i + 1, 1) for i in range(1, 10)]
+    edges = spark.createDataFrame(path, "a long, b long, w long")
+    # radius 9 > max_rounds=4 -> raise
+    with pytest.raises(ValueError, match="fixed-depth oracle"):
+        sssp_bellman_ford(edges, 1, rounds=None, max_rounds=4).collect()
+    # radius 9 <= max_rounds=9 -> clean convergence
+    got = {
+        r.node: r.dist
+        for r in sssp_bellman_ford(edges, 1, rounds=None, max_rounds=9).collect()
+    }
+    assert got == {i: i - 1 for i in range(1, 11)}

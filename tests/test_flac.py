@@ -228,6 +228,20 @@ def test_flac_refusals_and_dispatcher():
     stream = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
     with pytest.raises(NotImplementedError, match="24-bit"):
         decode_flac(stream)
+    # total_samples=0 is legal FLAC for "unknown length"; the
+    # sample-count-driven frame loop would silently decode ZERO samples
+    # — must refuse loudly instead (r8 ADVICE #4)
+    si0 = _BitW()
+    si0.write(16, 16); si0.write(16, 16); si0.write(0, 24); si0.write(0, 24)
+    si0.write(8000, 20); si0.write(0, 3); si0.write(15, 5)  # 16-bit
+    si0.write(0, 36)  # unknown total
+    body0 = bytes(si0.out) + b"\x00" * 16
+    stream0 = (
+        b"fLaC" + bytes([0x80]) + len(body0).to_bytes(3, "big") + body0
+        + b"\xff\xf8"  # a frame sync follows -> length is "unknown", not zero
+    )
+    with pytest.raises(NotImplementedError, match="unknown total_samples"):
+        decode_flac(stream0)
 
 
 def test_flac_right_side_asymmetric_channels_regression():

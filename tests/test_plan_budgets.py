@@ -72,20 +72,41 @@ def test_python_nodes_only_where_declared(spark, qs):
         assert got["python_nodes"] == 0, (name, got)
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["ann_sq8_topk", "ann_pq_topk", "ann_ivf_pq_topk", "ann_ivf_pq_residual_topk"],
-)
+# Every ANN query whose candidate stream is not O(k*|Q|) by
+# construction — bucket/cell-bounded still means a linear corpus
+# FRACTION per query — must carry the batch-local pre-cut.
+# name -> expected python nodes (multiprobe also has the Arrow cell
+# assigner; both its MapInPandas nodes sit below the q_id windows)
+ANN_PRECUT = {
+    "ann_sq8_topk": 1,
+    "ann_pq_topk": 1,
+    "ann_ivf_pq_topk": 1,
+    "ann_ivf_pq_residual_topk": 1,
+    # r8 verdict #1: the remaining eight, propagated in r9
+    "ann_cosine_topk": 1,
+    "ann_lsh_topk": 1,
+    "ann_ivf_topk": 1,
+    "ann_ivf_multiprobe_topk": 2,
+    "ann_lsh_multitable_topk": 1,
+    "ann_mrl_prefix_topk": 1,
+    "emb_hard_negative_mining": 1,
+    "ann_ivf_kmeans_topk": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ANN_PRECUT))
 def test_scan_ann_window_never_consumes_unreduced_scan(spark, qs, name):
-    """r7 verdict #1: the scan-ANN family must batch-local pre-cut
-    candidates (batch_local_topm, a MapInPandas inside the scan stage)
-    BEFORE any per-q_id window — a bare Window.partitionBy(q_id) over
-    the full candidate stream funnels each query's O(|corpus|) scores
-    through one un-splittable task. Pin: exactly one Python node, and
-    it sits BELOW every Window in the tree (physical plans print
-    parents before children, so its line index must be greater)."""
+    """r7 verdict #1 (extended to the whole family by r8 verdict #1):
+    every ANN query must batch-local pre-cut candidates
+    (batch_local_topm, a MapInPandas inside the scan stage) BEFORE any
+    per-q_id window — a bare Window.partitionBy(q_id) over the
+    candidate stream funnels each query's O(|corpus|)-or-linear-fraction
+    scores through one un-splittable task. Pin: the declared Python
+    node count, and every MapInPandas sits BELOW every q_id Window in
+    the tree (physical plans print parents before children, so its line
+    index must be greater)."""
     df = qs[name](spark, SF_SMOKE)
-    assert plan_stats(df)["python_nodes"] == 1, name
+    assert plan_stats(df)["python_nodes"] == ANN_PRECUT[name], name
     plan = df._jdf.queryExecution().executedPlan().toString()
     lines = plan.splitlines()
     # only the per-QUERY windows are the hazard: PQ's k-means encoding
