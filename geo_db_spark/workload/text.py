@@ -1076,3 +1076,116 @@ LIMIT 20
 
 QUERIES["text_bpe_vocab_top"] = text_bpe_vocab_top
 ORACLES["text_bpe_vocab_top"] = _bpe_vocab_oracle()
+
+
+# Batched BPE (r8 verdict next #2): up to BPE_BATCH_M symbol-disjoint
+# merges per round from a BPE_BATCH_K-candidate window — ~m x fewer
+# driver round-trips / vocabulary re-materializations per merge than
+# the sequential trainer, the step toward production merge counts.
+BPE_BATCH_M = 8
+BPE_BATCH_K = 32
+
+
+def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training: 8 rounds x up to 8 pairwise-disjoint
+    merges per round (operators/text.bpe_train_merges batch_m=8) —
+    up to 64 merges for the SAME per-round job count as the 8-merge
+    sequential trainer (one pair-count shuffle, one bounded 32-row
+    collect, one replace-chain projection per round). Disjointness
+    (no shared left/right/merged symbol with any higher-ranked
+    candidate) makes each batch order-independent and count-invariant,
+    so the oracle can replay the selection rule exactly: rank top-32
+    by (count DESC, left, right), anti-join away candidates
+    conflicting with a higher-ranked one, keep the first 8 survivors.
+    Returns the ordered merge table (rank, left, right, merged, cnt)."""
+    tune(spark)
+    from geo_db_spark.operators.text import bpe_train_merges
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = bpe_train_merges(
+        vocab, rounds=BPE_ROUNDS, batch_m=BPE_BATCH_M, cand_k=BPE_BATCH_K
+    )
+    rows = [(i + 1, a, b, m, c) for i, (a, b, m, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, cnt long"
+    )
+
+
+def _bpe_batched_oracle(
+    rounds: int = BPE_ROUNDS, m: int = BPE_BATCH_M, k: int = BPE_BATCH_K
+) -> str:
+    """Chained-CTE replay of the BATCHED trainer: per round, candidate
+    ranking -> conservative disjoint filter (NOT EXISTS against
+    higher-ranked candidates) -> first m survivors -> one nested
+    replace chain (scalar subqueries per survivor slot, COALESCE'd to
+    the never-matching '<><>' no-op when a slot is empty)."""
+    split = "string_split(trim(e, '<>'), '><')"
+    sql = r"""
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+  GROUP BY 1
+),
+e0 AS (SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS e, n FROM words)"""
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        tri = "(x.a, x.b, x.a || x.b)"
+        repl = f"{prev}.e"
+        for i in range(1, m + 1):
+            src = (
+                f"COALESCE((SELECT '<' || a || '><' || b || '>' "
+                f"FROM k{r} WHERE srk = {i}), '<><>')"
+            )
+            dst = (
+                f"COALESCE((SELECT '<' || a || b || '>' "
+                f"FROM k{r} WHERE srk = {i}), '')"
+            )
+            repl = f"replace({repl},\n       {src},\n       {dst})"
+        sql += f""",
+p{r} AS (
+  SELECT pr[1] AS a, pr[2] AS b, SUM(n) AS c
+  FROM {prev},
+       UNNEST(list_zip(
+           list_slice({split}, 1, len({split}) - 1),
+           list_slice({split}, 2, len({split})))) AS t(pr)
+  GROUP BY 1, 2
+),
+c{r} AS MATERIALIZED (
+  SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+  FROM p{r} ORDER BY c DESC, a, b LIMIT {k}
+),
+s{r} AS (
+  SELECT x.a, x.b, x.c, row_number() OVER (ORDER BY x.rk) AS srk
+  FROM c{r} x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM c{r} y
+    WHERE y.rk < x.rk AND (
+      y.a IN {tri} OR y.b IN {tri} OR (y.a || y.b) IN {tri}))
+),
+k{r} AS MATERIALIZED (SELECT a, b, c, srk FROM s{r} WHERE srk <= {m}),
+e{r} AS MATERIALIZED (
+  SELECT {repl} AS e, n
+  FROM {prev}
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, srk, a, b, c FROM k{r}"
+        for r in range(1, rounds + 1)
+    )
+    return sql + f"""
+SELECT CAST(row_number() OVER (ORDER BY round, srk) AS INT) AS rank,
+       a AS "left", b AS "right", a || b AS merged, CAST(c AS BIGINT) AS cnt
+FROM ({union})
+"""
+
+
+QUERIES["text_bpe_merges_batched"] = text_bpe_merges_batched
+ORACLES["text_bpe_merges_batched"] = _bpe_batched_oracle()
