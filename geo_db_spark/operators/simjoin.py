@@ -210,37 +210,18 @@ def set_similarity_join(
     )
 
 
-def containment_join(
+def _containment_candidates(
     docs: DataFrame,
-    threshold_num: int = 3,
-    threshold_den: int = 5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int = 3,
-) -> DataFrame:
-    """EXACT asymmetric-containment join: all ORDERED pairs (a, b),
-    a != b, with |A∩B| / |A| >= t — "A's shingles are mostly inside B",
-    the doc-quotes-doc / subset-duplicate case symmetric Jaccard
-    misses (a short quote of a long document has tiny Jaccard but
-    containment ~1).
-
-    Prefix filter, containment form (Bayardo WWW'07 §5 extension to
-    asymmetric measures): if |A∩B| >= ceil(t·|A|) then A's first
-    |A| - ceil(t·|A|) + 1 tokens under the global rarest-first order
-    must hit B — the probe prefix lives on A only; B has no prefix
-    (any of B's tokens can witness). The index side is therefore ALL
-    of B's tokens, which would make stop-shingles join keys — so it is
-    semi-joined down to tokens that occur in SOME probe prefix first:
-    prefixes hold each doc's RAREST ~(1-t) fraction, so hot tokens are
-    pruned from the index before any pair forms (exactness kept: a
-    candidate must share a PREFIX token by the filter above, and every
-    prefix token survives the semi-join by construction).
-
-    Filters in pure integer arithmetic like set_similarity_join:
-    size |B| >= ceil(t·|A|); positional |A| - pos_a + 1 >= ceil(t·|A|).
-    Verification counts the intersection over skinny (id, token) joins
-    (never array payloads). Returns (id_a, id_b, inter, n_a,
-    containment) for the qualifying ordered pairs."""
+    threshold_num: int,
+    threshold_den: int,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The candidate-generation half of ``containment_join``, shared
+    with the candidate-profile observability query so both see the
+    SAME stream: returns (sh = (id, token) shingle rows, nsz = (id, n)
+    sizes, cand = distinct (id_a, id_b) prefix-filter survivors)."""
     num, den = threshold_num, threshold_den
     if not (0 < num <= den):
         raise ValueError(f"threshold must be in (0, 1]: got {num}/{den}")
@@ -298,6 +279,44 @@ def containment_join(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return sh, nsz, cand
+
+
+def containment_join(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT asymmetric-containment join: all ORDERED pairs (a, b),
+    a != b, with |A∩B| / |A| >= t — "A's shingles are mostly inside B",
+    the doc-quotes-doc / subset-duplicate case symmetric Jaccard
+    misses (a short quote of a long document has tiny Jaccard but
+    containment ~1).
+
+    Prefix filter, containment form (Bayardo WWW'07 §5 extension to
+    asymmetric measures): if |A∩B| >= ceil(t·|A|) then A's first
+    |A| - ceil(t·|A|) + 1 tokens under the global rarest-first order
+    must hit B — the probe prefix lives on A only; B has no prefix
+    (any of B's tokens can witness). The index side is therefore ALL
+    of B's tokens, which would make stop-shingles join keys — so it is
+    semi-joined down to tokens that occur in SOME probe prefix first:
+    prefixes hold each doc's RAREST ~(1-t) fraction, so hot tokens are
+    pruned from the index before any pair forms (exactness kept: a
+    candidate must share a PREFIX token by the filter above, and every
+    prefix token survives the semi-join by construction).
+
+    Filters in pure integer arithmetic like set_similarity_join:
+    size |B| >= ceil(t·|A|); positional |A| - pos_a + 1 >= ceil(t·|A|).
+    Verification counts the intersection over skinny (id, token) joins
+    (never array payloads). Returns (id_a, id_b, inter, n_a,
+    containment) for the qualifying ordered pairs."""
+    num, den = threshold_num, threshold_den
+    sh, nsz, cand = _containment_candidates(
+        docs, threshold_num, threshold_den, text_col, id_col, shingle_n
+    )
     a_tok = sh.select(F.col("id").alias("id_a"), "token")
     b_tok = sh.select(F.col("id").alias("id_b"), "token")
     inter = (
@@ -315,5 +334,79 @@ def containment_join(
             "inter",
             "n_a",
             (F.col("inter").cast("double") / F.col("n_a")).alias("containment"),
+        )
+    )
+
+
+# integer-exact floor(log2(n)) as a CASE chain usable VERBATIM in both
+# Spark SQL and DuckDB (float log2 flaps at exact powers of two; a
+# global ntile-style decile would need a single-task rank window)
+FLOORLOG2_SQL = (
+    "CASE "
+    + " ".join(f"WHEN {{col}} >= {1 << k} THEN {k}" for k in range(40, 0, -1))
+    + " ELSE 0 END"
+)
+
+
+def containment_candidate_profile(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Observability companion to ``containment_join`` (r8 verdict next
+    #6): per probe-SIZE-CLASS (floor(log2 |A|) — per-row and
+    integer-exact, unlike a decile, which would need a global
+    single-task rank window), the number of documents, prefix-filter
+    CANDIDATE pairs, and final qualifying pairs. cand_pairs/hit_pairs
+    per class is what makes a superlinear bench envelope attributable:
+    if candidates dominate in the large-|A| classes, Xiao's suffix
+    filter is the next lever; if candidates track hits, the cost is
+    inherent verification of an exact algorithm.
+
+    Shares ``_containment_candidates`` with the join itself, so the
+    profiled stream IS the production stream; the candidate frame is
+    localCheckpoint'ed because both the per-class count and the
+    verification branch consume it (the ids.py double-compute rule)."""
+    num, den = threshold_num, threshold_den
+    sh, nsz, cand = _containment_candidates(
+        docs, threshold_num, threshold_den, text_col, id_col, shingle_n
+    )
+    cand = cand.localCheckpoint(eager=True)
+    a_tok = sh.select(F.col("id").alias("id_a"), "token")
+    b_tok = sh.select(F.col("id").alias("id_b"), "token")
+    hits = (
+        cand.join(a_tok, "id_a")
+        .join(b_tok, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(nsz.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .filter(F.col("inter") * den >= F.col("n_a") * num)
+        .select("id_a")
+    )
+    cls = nsz.select(
+        "id", F.expr(FLOORLOG2_SQL.format(col="n")).cast("int").alias("size_class")
+    )
+    dagg = cls.groupBy("size_class").agg(F.count(F.lit(1)).alias("docs"))
+    cagg = (
+        cand.join(cls.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .groupBy("size_class")
+        .agg(F.count(F.lit(1)).alias("cand_pairs"))
+    )
+    hagg = (
+        hits.join(cls.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .groupBy("size_class")
+        .agg(F.count(F.lit(1)).alias("hit_pairs"))
+    )
+    return (
+        dagg.join(cagg, "size_class", "left")
+        .join(hagg, "size_class", "left")
+        .select(
+            "size_class",
+            "docs",
+            F.coalesce("cand_pairs", F.lit(0)).alias("cand_pairs"),
+            F.coalesce("hit_pairs", F.lit(0)).alias("hit_pairs"),
         )
     )

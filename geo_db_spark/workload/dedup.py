@@ -503,3 +503,88 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 
 QUERIES["dedup_editdist2_customer_names"] = dedup_editdist2_customer_names
 ORACLES["dedup_editdist2_customer_names"] = ORACLE_EDITDIST2
+
+
+def dedup_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-count observability for the containment join (r8
+    verdict next #6): documents, prefix-filter CANDIDATE pairs, and
+    qualifying pairs per probe-size class (floor(log2 |A|), per-row and
+    integer-exact — a decile would need a global single-task rank
+    window). Attributes the bench envelope: candidate growth
+    concentrated in large-|A| classes points at Xiao's suffix filter;
+    candidates tracking hits means the cost is inherent verification.
+    Shares the join's own candidate generator, so the profiled stream
+    IS the production stream; the oracle replays the prefix-filter
+    candidate rule (rarest-first (tdf, token) order, probe prefix
+    |A| - ceil(t|A|) + 1, size filter |B| >= ceil(t|A|)) against
+    brute-force hits."""
+    tune(spark)
+    from geo_db_spark.operators.simjoin import containment_candidate_profile
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_candidate_profile(docs, threshold_num=3, threshold_den=5)
+
+
+def _containment_profile_oracle() -> str:
+    from geo_db_spark.operators.simjoin import FLOORLOG2_SQL
+
+    log2n = FLOORLOG2_SQL.format(col="n")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT id, list_distinct(list_filter(list_transform(list_zip(t, t[2:], t[3:]),
+      p -> CASE WHEN p[3] IS NULL THEN NULL ELSE p[1]||' '||p[2]||' '||p[3] END),
+      x -> x IS NOT NULL)) AS sh
+  FROM toks
+),
+nz AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+ex AS (SELECT id, unnest(sh) AS token FROM nz),
+tdf AS (SELECT token, COUNT(*) AS tdf FROM ex GROUP BY token),
+szs AS (SELECT id, CAST(len(sh) AS BIGINT) AS n FROM nz),
+ordd AS (
+  SELECT ex.id, ex.token,
+         row_number() OVER (PARTITION BY ex.id ORDER BY t.tdf, ex.token) AS pos
+  FROM ex JOIN tdf t USING (token)
+),
+pref AS (
+  SELECT o.id, o.token, s.n
+  FROM ordd o JOIN szs s ON s.id = o.id
+  WHERE o.pos <= s.n - ((s.n * 3 + 4) // 5) + 1
+),
+cand AS (
+  SELECT DISTINCT p.id AS id_a, e.id AS id_b
+  FROM pref p
+  JOIN ex e ON e.token = p.token AND e.id <> p.id
+  JOIN szs sb ON sb.id = e.id
+  WHERE sb.n >= (p.n * 3 + 4) // 5
+),
+hits AS (
+  SELECT a.id AS id_a
+  FROM nz a JOIN nz b ON a.id <> b.id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 5 >= len(a.sh) * 3
+),
+cls AS (SELECT id, CAST({log2n} AS INT) AS size_class FROM szs),
+dagg AS (SELECT size_class, CAST(COUNT(*) AS BIGINT) AS docs FROM cls GROUP BY 1),
+cagg AS (
+  SELECT cls.size_class, CAST(COUNT(*) AS BIGINT) AS cand_pairs
+  FROM cand JOIN cls ON cls.id = cand.id_a GROUP BY 1
+),
+hagg AS (
+  SELECT cls.size_class, CAST(COUNT(*) AS BIGINT) AS hit_pairs
+  FROM hits JOIN cls ON cls.id = hits.id_a GROUP BY 1
+)
+SELECT dagg.size_class, dagg.docs,
+       COALESCE(cand_pairs, 0) AS cand_pairs,
+       COALESCE(hit_pairs, 0) AS hit_pairs
+FROM dagg
+LEFT JOIN cagg USING (size_class)
+LEFT JOIN hagg USING (size_class)
+"""
+
+
+QUERIES["dedup_containment_profile"] = dedup_containment_profile
+ORACLES["dedup_containment_profile"] = _containment_profile_oracle()
