@@ -117,6 +117,10 @@ TIER2 = [
     "mm_image_decode_jpeg_prog",
     "text_bpe_merges",
     "text_bpe_vocab_top",
+    # r9 additions
+    "ann_opq_topk",
+    "text_bpe_merges_batched",
+    "dedup_containment_profile",
 ]
 
 

@@ -843,3 +843,206 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def opq_dim_allocation(
+    corpus: DataFrame,
+    m_sub: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """OPQ dimension allocation restricted to the NATURAL basis (Ge,
+    He, Ke & Sun CVPR'13 "Optimized Product Quantization" §4's
+    eigenvalue-allocation idea as a coordinate PERMUTATION): rank
+    dimensions by total corpus energy (sum of squared quantized values
+    — integer-exact, so the DuckDB oracle replays the ranking
+    bit-identically), then deal them to the m_sub subspaces in SNAKE
+    order (0,1,..,m-1,m-1,..,1,0,...) — the closed-form balanced
+    allocation, unlike greedy-min-bucket which would need a
+    64-step recursion to replay in SQL. A permutation is orthogonal,
+    so cosine/L2 are preserved exactly and the rescore stage needs no
+    change. Returns the permuted dimension order (group-major).
+
+    Per-element energies are pre-shrunk by div 2^16 before the sum so
+    the int64 total cannot overflow below ~5e11 vectors (quantized
+    values are <= ~2^20, squares <= 2^40). The 64-row energy table is
+    a bounded driver collect (the centroid-seed convention).
+    """
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    wq = with_quantized(corpus, vec_col)
+    en = (
+        wq.select(F.posexplode("q").alias("d", "v"))
+        .groupBy("d")
+        .agg(F.sum(F.expr("(v * v) div 65536")).alias("en"))
+        .collect()
+    )
+    energy = {int(r["d"]): int(r["en"]) for r in en}
+    ranked = sorted(range(dim), key=lambda d: (-energy.get(d, 0), d))
+    groups: list[list[int]] = [[] for _ in range(m_sub)]
+    for rk, d in enumerate(ranked):
+        block, off = divmod(rk, m_sub)
+        g = off if block % 2 == 0 else m_sub - 1 - off
+        groups[g].append(d)  # within-group order = rank order
+    return [d for g in groups for d in g]
+
+
+def cosine_topk_opq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rescore_m: int = 20,
+    m_sub: int = 4,
+    k_cent: int = 8,
+    train_rounds: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ with OPQ dimension allocation (Ge CVPR'13 §4, natural-basis
+    permutation form): the corpus-energy-balanced permutation from
+    opq_dim_allocation is applied as one codegen projection, then the
+    UNCHANGED PQ machinery (grouped Lloyd training, encoding, ADC,
+    exact rescore) runs on the permuted vectors. Because the
+    permutation is orthogonal, every cosine — candidate and rescore —
+    is identical to computing on the original vectors; only the
+    SUBSPACE BOUNDARIES move, which is the whole point: a contiguous
+    split concentrates high-variance dimensions in few subspaces and
+    starves the rest's codebooks, balanced allocation spreads the
+    energy so each 8-centroid codebook quantizes a comparable signal.
+    The full LEARNED-rotation OPQ (alternating Procrustes/Lloyd) is
+    opq_train_rotation — test-gated, since an SVD cannot be replayed
+    in the SQL oracle; this permutation form is the oracle-gated
+    member of the family."""
+    perm = opq_dim_allocation(corpus, m_sub, dim, vec_col)
+
+    def permuted(df: DataFrame) -> DataFrame:
+        pv = F.array(*[F.get(F.col(vec_col), F.lit(int(d))) for d in perm])
+        return df.select(F.col(id_col), pv.alias(vec_col))
+
+    return cosine_topk_pq(
+        permuted(corpus), permuted(queries), k, rescore_m, m_sub, k_cent,
+        train_rounds, dim, id_col, vec_col,
+    )
+
+
+def _lloyd_np(x, k: int, rounds: int = 10):
+    """Plain-numpy Lloyd for the driver-side OPQ sample: seeds = first
+    k rows (the sample is already in smallest-id order, mirroring the
+    distributed trainer's TakeOrdered seed rule), argmin ties go to the
+    lowest centroid index, empty cells keep their previous centroid."""
+    import numpy as np
+
+    cb = x[:k].copy()
+    for _ in range(rounds):
+        d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+        code = d2.argmin(1)
+        for j in range(k):
+            pts = x[code == j]
+            if len(pts):
+                cb[j] = pts.mean(0)
+    return cb
+
+
+def opq_train_rotation(
+    corpus: DataFrame,
+    m_sub: int = 4,
+    k_cent: int = 8,
+    iters: int = 5,
+    sample_n: int = 2048,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Full OPQ rotation training (Ge CVPR'13 §5, the non-parametric
+    alternation): repeat { rotate the sample, train per-subspace
+    codebooks, quantize, solve the orthogonal Procrustes problem
+    R = U V^T from SVD(X^T X_quantized) } — each step monotonically
+    lowers ||X R - X̂||^2, the PQ distortion the recall gap comes from.
+
+    Trained DRIVER-SIDE on a bounded deterministic sample (the
+    ``sample_n`` smallest ids): an SVD is neither expressible as
+    DataFrame ops nor replayable in the DuckDB oracle, so this
+    operator is TEST-gated (recall measurement on the clustered-corpus
+    rig) while its permutation sibling cosine_topk_opq is the
+    oracle-gated family member. Rotation APPLICATION is distributed
+    (one Arrow-batch matmul — see cosine_topk_opq_rotated). Returns
+    the (dim, dim) orthogonal numpy matrix.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    )
+    if len(rows) < k_cent:
+        raise ValueError(f"OPQ needs >= {k_cent} sample vectors, got {len(rows)}")
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    sub_w = dim // m_sub
+    r_mat = np.eye(dim)
+    for _ in range(iters):
+        z = x @ r_mat
+        zq = np.empty_like(z)
+        for m in range(m_sub):
+            sl = slice(m * sub_w, (m + 1) * sub_w)
+            cb = _lloyd_np(z[:, sl], k_cent)
+            d2 = ((z[:, sl][:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            zq[:, sl] = cb[d2.argmin(1)]
+        u, _s, vt = np.linalg.svd(x.T @ zq)
+        r_mat = u @ vt
+    return r_mat
+
+
+def cosine_topk_opq_rotated(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rescore_m: int = 20,
+    m_sub: int = 4,
+    k_cent: int = 8,
+    train_rounds: int = 1,
+    iters: int = 5,
+    sample_n: int = 2048,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search under the full learned OPQ rotation: train R on a
+    bounded sample (opq_train_rotation), apply it distributively (one
+    float64 matmul per Arrow batch — the rotation is dim x dim,
+    broadcast by closure), then run the unchanged PQ machinery on the
+    rotated vectors. Orthogonality preserves cosine, so candidate and
+    rescore semantics are identical; only the subspace decomposition
+    — and therefore codebook quality — changes. Test-gated (see
+    opq_train_rotation)."""
+    import numpy as np
+
+    r_mat = opq_train_rotation(
+        corpus, m_sub, k_cent, iters, sample_n, dim, id_col, vec_col
+    )
+
+    def rotated(df: DataFrame) -> DataFrame:
+        src = df.select(F.col(id_col), F.col(vec_col))
+
+        def rot(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                out = v @ r_mat
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], vec_col: list(out)}
+                )
+
+        # PQ consumes its corpus in several branches (training slices,
+        # encoding, rescore fetch): materialize so the Python rotation
+        # stage runs ONCE (the ids.py double-compute rule)
+        return src.mapInPandas(
+            rot, f"{id_col} long, {vec_col} array<double>"
+        ).localCheckpoint(eager=True)
+
+    return cosine_topk_pq(
+        rotated(corpus), rotated(queries), k, rescore_m, m_sub, k_cent,
+        train_rounds, dim, id_col, vec_col,
+    )

@@ -1752,3 +1752,87 @@ QUALIFY rank <= {k}
 
 QUERIES["ann_ivf_pq_residual_topk"] = ann_ivf_pq_residual_topk
 ORACLES["ann_ivf_pq_residual_topk"] = _ivf_pq_residual_oracle()
+
+
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with OPQ dimension allocation (r8 verdict next #3; Ge CVPR'13
+    §4's eigenvalue-allocation idea as an integer-exact coordinate
+    permutation — the oracle-gated member of the OPQ family; the full
+    learned rotation is test-gated, see opq_train_rotation): rank dims
+    by corpus energy, snake-deal them across the 4 subspaces, then the
+    unchanged PQ train/encode/ADC/rescore on the permuted vectors.
+    Same k/rescore as ann_pq_topk so the two are recall-comparable.
+    Honest caveat (SCALE.md r9 table): on THIS repo's flat synthetic
+    embeddings the per-dim energies are near-uniform, so the
+    allocation ties plain PQ — the measured wins are on steep
+    axis-aligned spectra (0.12 -> 0.34 recall@5/rescore-20), pinned by
+    test_opq_allocation_beats_pq_on_axis_aligned_spectrum. The oracle
+    replays the energy ranking, snake allocation, permutation and the
+    full PQ chain."""
+    tune(spark)
+    from geo_db_spark.operators.similarity import cosine_topk_opq
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_opq(emb, queries, k=5, rescore_m=50)
+
+
+def _opq_oracle(m_sub: int = 4, sub_w: int = 16, k_cent: int = 8,
+                n_q: int = 10, rescore_m: int = 50, k: int = 5) -> str:
+    sql = f"""
+WITH qall0 AS (SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings),
+dims64 AS (SELECT CAST(unnest(range(64)) AS INT) AS d),
+energy AS (
+  SELECT d, SUM((q[d + 1] * q[d + 1]) // 65536) AS en
+  FROM qall0, dims64 GROUP BY d
+),
+rkd AS (SELECT d, row_number() OVER (ORDER BY en DESC, d) - 1 AS rk FROM energy),
+alloc AS (
+  SELECT d, rk,
+         CASE WHEN (rk // {m_sub}) % 2 = 0 THEN rk % {m_sub}
+              ELSE {m_sub} - 1 - (rk % {m_sub}) END AS grp
+  FROM rkd
+),
+qall AS (
+  SELECT vec_id, list(q[d + 1] ORDER BY grp, rk) AS q
+  FROM qall0, alloc GROUP BY vec_id
+),
+dims AS (SELECT CAST(unnest(range({sub_w})) AS INT) AS d)"""
+    for m in range(m_sub):
+        sql += _pq_sub_block(m, sub_w, k_cent, n_q)
+    joins = "s0af c0 " + " ".join(
+        f"JOIN s{m}af c{m} ON c{m}.id = c0.id" for m in range(1, m_sub)
+    )
+    code_cols = ", ".join(f"c{m}.cell AS code{m}" for m in range(m_sub))
+    sql += f""",
+codes AS (SELECT c0.id, {code_cols} FROM {joins}),
+adc AS (
+  SELECT dt0.q_id, codes.id AS c_id,
+         {' + '.join(f'dt{m}.d' for m in range(m_sub))} AS adist
+  FROM codes
+  {' '.join(f'JOIN dt{m} ON codes.code{m} = dt{m}.cent_id' + ('' if m == 0 else f' AND dt{m}.q_id = dt0.q_id') for m in range(m_sub))}
+  WHERE codes.id <> dt0.q_id
+),
+cand AS (
+  SELECT q_id, c_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) <= {rescore_m}
+),
+normed AS (
+  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n FROM qall
+)
+SELECT cand.q_id, cand.c_id AS neighbor_id,
+       CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine,
+       CAST(row_number() OVER (
+           PARTITION BY cand.q_id
+           ORDER BY CAST({_DOT_SQL} AS DOUBLE) / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) DESC,
+                    cand.c_id) AS INT) AS rank
+FROM cand
+JOIN normed a ON a.vec_id = cand.q_id
+JOIN normed b ON b.vec_id = cand.c_id
+QUALIFY rank <= {k}
+"""
+    return sql
+
+
+QUERIES["ann_opq_topk"] = ann_opq_topk
+ORACLES["ann_opq_topk"] = _opq_oracle()

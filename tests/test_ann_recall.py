@@ -491,3 +491,88 @@ def test_ivf_pq_residual_rejects_noncorpus_queries(spark):
     )
     with pytest.raises(ValueError, match="not in the corpus"):
         ivf_pq_topk(emb, ghost, k=3, rescore_m=10, residual=True)
+
+
+def _recall_rig(spark, mat):
+    """Brute-force truth + recall closure over a numpy corpus."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {}
+    for r in cosine_topk_bruteforce(emb, queries, k=5).collect():
+        truth.setdefault(r.q_id, set()).add(r.neighbor_id)
+    n_truth = sum(len(t) for t in truth.values())
+
+    def recall(fn, rescore_m):
+        got = {}
+        for r in fn(emb, queries, k=5, rescore_m=rescore_m).collect():
+            got.setdefault(r.q_id, set()).add(r.neighbor_id)
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items()) / n_truth
+
+    return recall
+
+
+def test_opq_allocation_beats_pq_on_axis_aligned_spectrum(spark):
+    """r8 verdict next #3 (Ge CVPR'13): on a steep AXIS-ALIGNED
+    spectrum (sigma_d ~ 1/(1+d)), a contiguous split starves 3 of 4
+    codebooks, so energy-balanced permutation must win big. Measured:
+    PQ 0.12/0.22 -> OPQ-perm 0.34/0.52 at rescore 20/50; the full
+    rotation adds a little more (0.36/0.56). Pinned loosely."""
+    import numpy as np
+
+    from geo_db_spark.operators.similarity import (
+        cosine_topk_opq,
+        cosine_topk_opq_rotated,
+        cosine_topk_pq,
+    )
+
+    rng = np.random.RandomState(7)
+    spec = 1.0 / (1.0 + np.arange(64))
+    mat = rng.normal(0, 1, (2000, 64)) * spec
+    recall = _recall_rig(spark, mat)
+    for m, perm_floor in ((20, 0.25), (50, 0.40)):
+        pq = recall(cosine_topk_pq, m)
+        perm = recall(cosine_topk_opq, m)
+        rot = recall(cosine_topk_opq_rotated, m)
+        assert perm >= pq + 0.10, (m, pq, perm)
+        assert perm >= perm_floor, (m, perm)
+        assert rot >= perm - 0.05, (m, perm, rot)
+
+
+def test_opq_rotation_beats_allocation_on_rotated_latent(spark):
+    """The case only the LEARNED rotation can fix: the same steep
+    spectrum hidden behind a fixed random orthogonal map, so per-axis
+    energies are near-uniform and a permutation has nothing to
+    balance, while the Procrustes alternation re-aligns the basis.
+    Measured on THIS fixture at rescore 20: PQ 0.14, OPQ-perm 0.16,
+    OPQ-rot 0.34 (at 50: 0.36 / 0.24 / 0.42 — permutation can even
+    lose to PQ here, which is exactly why the rotation exists).
+    Pinned loosely."""
+    import numpy as np
+
+    from geo_db_spark.operators.similarity import (
+        cosine_topk_opq,
+        cosine_topk_opq_rotated,
+        cosine_topk_pq,
+    )
+
+    rng = np.random.RandomState(7)
+    spec = 1.0 / (1.0 + np.arange(64))
+    q_rot, _ = np.linalg.qr(rng.normal(0, 1, (64, 64)))
+    mat = (rng.normal(0, 1, (2000, 64)) * spec) @ q_rot
+    recall = _recall_rig(spark, mat)
+    for m, rot_floor in ((20, 0.25), (50, 0.35)):
+        pq = recall(cosine_topk_pq, m)
+        perm = recall(cosine_topk_opq, m)
+        rot = recall(cosine_topk_opq_rotated, m)
+        # margins: 0.14/0.16 -> 0.34 at rescore 20; 0.36/0.24 -> 0.42
+        # at 50 (the gap narrows as rescore absorbs quantization error)
+        margin = 0.08 if m == 20 else 0.04
+        assert rot >= max(pq, perm) + margin, (m, pq, perm, rot)
+        assert rot >= rot_floor, (m, rot)

@@ -91,6 +91,8 @@ ANN_PRECUT = {
     "ann_mrl_prefix_topk": 1,
     "emb_hard_negative_mining": 1,
     "ann_ivf_kmeans_topk": 1,
+    # r9: OPQ permutation rides cosine_topk_pq's cut unchanged
+    "ann_opq_topk": 1,
 }
 
 
