@@ -118,6 +118,7 @@ TIER2 = [
     "text_bpe_merges",
     "text_bpe_vocab_top",
     # r9 additions
+    "mm_image_decode_webp",
     "ann_opq_topk",
     "text_bpe_merges_batched",
     "dedup_containment_profile",

@@ -63,9 +63,9 @@ def decode_image(payload: bytes):
     Pure-stdlib decoders for the formats that need no codec library:
     binary PPM (``P6``, 8/16-bit), BMP (``BM``: 8-bit palette, 24/32-bit
     BI_RGB, BI_RLE8), PNG (8/16-bit, palette, Adam7), GIF (interlaced
-    included) and JPEG — baseline AND progressive (operators/jpeg.py).
-    WebP still raises NotImplementedError; swap this dispatcher's
-    fallthrough for a ``PIL.Image.open`` when available."""
+    included), JPEG — baseline AND progressive (operators/jpeg.py) —
+    and WebP-lossless VP8L (operators/vp8l.py, r9; lossy VP8 raises
+    NotImplementedError inside the VP8L module)."""
     if payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if payload[:2] == b"BM":
@@ -78,11 +78,16 @@ def decode_image(payload: bytes):
         from geo_db_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from geo_db_spark.operators.vp8l import decode_vp8l
+
+        return decode_vp8l(payload)
     raise NotImplementedError(
         "only PPM (8/16-bit), BMP (8-bit palette / 24/32-bit / RLE8), "
-        "PNG (8/16-bit, Adam7), GIF (incl. interlaced) and JPEG "
-        "(baseline + progressive) decode without a codec library; WebP "
-        "needs PIL/opencv, not present in this environment"
+        "PNG (8/16-bit, Adam7), GIF (incl. interlaced), JPEG (baseline "
+        "+ progressive) and WebP-lossless (VP8L) decode without a codec "
+        "library; lossy-VP8 WebP needs PIL/opencv, not present in this "
+        "environment"
     )
 
 

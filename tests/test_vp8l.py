@@ -1,0 +1,206 @@
+"""WebP-lossless (VP8L) codec tests: hand-derived spec-anchor stream,
+roundtrip fuzz over every decoder path the fixture encoder can reach
+(all 14 predictor modes, color transform, subtract-green, palette with
+every bundling width, LZ77, color cache, meta-Huffman), and the honest
+lossy-VP8 refusal. No reference decoder exists in this container, so
+the spec anchor below is the independent bit-order/header pin: its
+bytes are composed by hand in this test from the published spec,
+NOT by the module's own encoder."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from geo_db_spark.operators.vp8l import decode_vp8l, make_webp
+
+
+def _riff(vp8l_data: bytes) -> bytes:
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l_data)) + vp8l_data
+    if len(vp8l_data) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_hand_derived_1x1_stream_decodes():
+    """Independent bit-level pin: a 1x1 image with pixel RGB=(1,2,3),
+    every channel a 1-symbol simple Huffman code, composed here bit by
+    bit from the spec (LSB-first bit packing; 14+14+1+3 header bits;
+    transform/cache/meta flags; per code: simple=1, num_symbols-1=0,
+    first_8bits=1, then the 8-bit symbol; a 1-symbol code then costs
+    zero bits per pixel). If the module's reader had any bit-order or
+    field-order bug, this byte string would not decode."""
+    bits: list[int] = []
+
+    def put(v: int, n: int) -> None:
+        for i in range(n):
+            bits.append((v >> i) & 1)
+
+    put(0, 14)  # width - 1
+    put(0, 14)  # height - 1
+    put(0, 1)  # alpha hint
+    put(0, 3)  # version
+    put(0, 1)  # no transforms
+    put(0, 1)  # no color cache
+    put(0, 1)  # no meta-Huffman
+    for sym in (2, 1, 3, 255, 0):  # green, red, blue, alpha, distance
+        put(1, 1)  # simple code
+        put(0, 1)  # one symbol
+        put(1, 1)  # symbol in 8 bits
+        put(sym, 8)
+    data = bytearray(b"\x2f")
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << j
+        data.append(byte)
+    out = decode_vp8l(_riff(bytes(data)))
+    assert out.shape == (1, 1, 3)
+    assert out[0, 0].tolist() == [1, 2, 3]
+
+
+def test_roundtrip_basic_and_transform_combos():
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 1), (4, 3), (7, 5), (16, 2), (3, 9)]:
+        rgb = rng.randint(0, 256, w * h * 3).astype(np.uint8).tobytes()
+        for tf in [
+            (),
+            ("subtract_green",),
+            ("predictor_left",),
+            ("subtract_green", "predictor_left"),
+        ]:
+            out = decode_vp8l(make_webp(w, h, rgb, transforms=tf))
+            assert out.tobytes() == rgb, (w, h, tf)
+
+
+def test_roundtrip_every_predictor_mode():
+    rng = np.random.RandomState(12)
+    for mode in range(14):
+        rgb = rng.randint(0, 256, 9 * 9 * 3).astype(np.uint8).tobytes()
+        out = decode_vp8l(
+            make_webp(9, 9, rgb, transforms=("predictor",), predictor_modes=[mode] * 9)
+        )
+        assert out.tobytes() == rgb, mode
+
+
+def test_roundtrip_color_transform_and_combos():
+    rng = np.random.RandomState(13)
+    for _ in range(5):
+        w, h = int(rng.randint(2, 13)), int(rng.randint(2, 11))
+        mw, mh = (w + 3) // 4, (h + 3) // 4
+        rgb = rng.randint(0, 256, w * h * 3).astype(np.uint8).tobytes()
+        modes = [int(m) for m in rng.randint(0, 14, mw * mh)]
+        elems = [
+            (int(a), int(b), int(c)) for a, b, c in rng.randint(-16, 16, (mw * mh, 3))
+        ]
+        for kw in (
+            dict(transforms=("color",), color_elems=elems),
+            dict(transforms=("subtract_green", "color"), color_elems=elems),
+            dict(
+                transforms=("color", "predictor"),
+                predictor_modes=modes,
+                color_elems=elems,
+            ),
+        ):
+            out = decode_vp8l(make_webp(w, h, rgb, **kw))
+            assert out.tobytes() == rgb, (w, h, kw.get("transforms"))
+
+
+def test_roundtrip_palette_every_bundling_width():
+    rng = np.random.RandomState(14)
+    for ncol in (2, 3, 4, 9, 16, 17, 200):
+        for w, h in [(5, 4), (8, 3), (13, 2), (1, 6)]:
+            colors = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+            idx = rng.randint(0, ncol, w * h)
+            rgb = colors[idx].tobytes()
+            out = decode_vp8l(make_webp(w, h, rgb, transforms=("palette",)))
+            assert out.tobytes() == rgb, (ncol, w, h)
+
+
+def test_roundtrip_lz77_and_color_cache():
+    rng = np.random.RandomState(15)
+    for w, h in [(10, 6), (4, 4), (17, 3)]:
+        rgb = (rng.randint(0, 4, (h, w, 3)) * 50).astype(np.uint8).tobytes()
+        for lz, cb in [(True, 0), (False, 5), (True, 5), (False, 1), (False, 11)]:
+            out = decode_vp8l(make_webp(w, h, rgb, use_lz77=lz, cache_bits=cb))
+            assert out.tobytes() == rgb, (w, h, lz, cb)
+
+
+def test_roundtrip_meta_huffman():
+    rng = np.random.RandomState(16)
+    for w, h in [(9, 7), (3, 3), (12, 5)]:
+        rgb = rng.randint(0, 256, w * h * 3).astype(np.uint8).tobytes()
+        out = decode_vp8l(make_webp(w, h, rgb, meta_split=True))
+        assert out.tobytes() == rgb, (w, h)
+        out = decode_vp8l(
+            make_webp(w, h, rgb, transforms=("subtract_green",), meta_split=True)
+        )
+        assert out.tobytes() == rgb, (w, h, "sg")
+
+
+def test_roundtrip_fuzz():
+    rng = np.random.RandomState(17)
+    for _ in range(40):
+        w, h = int(rng.randint(1, 20)), int(rng.randint(1, 16))
+        # mix flat regions (runs, cache hits) with noise
+        base = rng.randint(0, 6, (h, w, 3)) * 40
+        noise_mask = rng.rand(h, w, 1) < 0.3
+        noisy = np.where(noise_mask, rng.randint(0, 256, (h, w, 3)), base)
+        rgb = noisy.astype(np.uint8).tobytes()
+        kind = rng.randint(0, 5)
+        if kind == 0:
+            kw = dict(use_lz77=True, cache_bits=int(rng.randint(1, 9)))
+        elif kind == 1:
+            kw = dict(transforms=("subtract_green", "predictor_left"), use_lz77=True)
+        elif kind == 2:
+            mw, mh = (w + 3) // 4, (h + 3) // 4
+            kw = dict(
+                transforms=("predictor",),
+                predictor_modes=[int(m) for m in rng.randint(0, 14, mw * mh)],
+            )
+        elif kind == 3:
+            kw = dict(meta_split=True)
+        else:
+            kw = dict()
+        out = decode_vp8l(make_webp(w, h, rgb, **kw))
+        assert out.tobytes() == rgb, (w, h, kind)
+
+
+def test_lossy_vp8_refuses_and_dispatcher_routes():
+    from geo_db_spark.operators.multimodal import decode_image
+
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
+        decode_vp8l(lossy)
+    # dispatcher recognizes the RIFF/WEBP magic and routes to VP8L
+    rgb = bytes(range(12))
+    arr = decode_image(make_webp(2, 2, rgb))
+    assert arr.tobytes() == rgb
+    # VP8X extended container wrapping a VP8L chunk still decodes:
+    # extract the VP8L chunk payload from the encoder's own container
+    inner = make_webp(2, 2, rgb)
+    assert inner[12:16] == b"VP8L"
+    (sz,) = struct.unpack("<I", inner[16:20])
+    payload = inner[20 : 20 + sz]
+    vp8x = b"VP8X" + struct.pack("<I", 10) + b"\x00" * 10
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        vp8l += b"\x00"
+    body = b"WEBP" + vp8x + vp8l
+    ext = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_vp8l(ext).tobytes() == rgb
+
+
+def test_make_webp_rejects_bad_args():
+    with pytest.raises(ValueError, match="does not match"):
+        make_webp(2, 2, b"\x00" * 11)
+    with pytest.raises(ValueError, match="composes with no other"):
+        make_webp(2, 2, b"\x00" * 12, transforms=("palette", "subtract_green"))
+    with pytest.raises(ValueError, match="needs predictor_modes"):
+        make_webp(2, 2, b"\x00" * 12, transforms=("predictor",))
