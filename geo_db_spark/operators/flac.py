@@ -7,13 +7,15 @@ losslessness is what makes it oracle-able — decode(encode(pcm)) is the
 IDENTITY, so the workload query's DuckDB oracle reproduces decoded
 sample sums straight from text bytes, exactly like the WAV path.
 
-Scope: 16-bit PCM, 1-8 independent channels plus the stereo
-left/side, right/side and mid/side decorrelations, CONSTANT / VERBATIM
-/ FIXED (orders 0-4) / LPC (any order) subframes, Rice residual methods
-0 and 1 with partitioning and escape codes, wasted bits, UTF-8 frame
-numbers, CRC-8 header and CRC-16 frame checks. Out of scope (explicit
-NotImplementedError): non-16-bit sample sizes and variable blocking
-strategy — honest boundaries per the repo convention.
+Scope: 8/16/24-bit PCM (r9 closed the non-16-bit boundary), 1-8
+independent channels plus the stereo left/side, right/side and
+mid/side decorrelations, CONSTANT / VERBATIM / FIXED (orders 0-4) /
+LPC (any order) subframes, Rice residual methods 0 and 1 with
+partitioning and escape codes, wasted bits, UTF-8 frame numbers, CRC-8
+header and CRC-16 frame checks. Out of scope (explicit
+NotImplementedError): 12/20/32-bit sample sizes, unknown-total
+streams and variable blocking strategy — honest boundaries per the
+repo convention.
 
 Performance note: the entropy layer is a Python bit reader (Rice codes
 are data-dependent, no batch kernel without a native library); the
@@ -225,8 +227,8 @@ def decode_flac(payload: bytes):
             break
     if info is None:
         raise ValueError("FLAC missing STREAMINFO")
-    if info["bps"] != 16:
-        raise NotImplementedError(f"{info['bps']}-bit FLAC not supported")
+    if info["bps"] not in (8, 16, 24):
+        raise NotImplementedError(f"{info['bps']}-bit FLAC not supported (8/16/24 decode)")
     if info["total"] == 0 and pos < len(payload):
         # total_samples=0 is legal FLAC for "unknown length" (streamed
         # encodes); the sample-count-driven frame loop below would
@@ -265,8 +267,12 @@ def decode_flac(payload: bytes):
             bits.read(16)
         elif sr_code == 15:
             raise ValueError("invalid sample rate code")
-        if ss_code not in (0, 0b100):
-            raise NotImplementedError("only 16-bit frames supported")
+        # sample-size code: 0 = from STREAMINFO, else must match it
+        # (8 -> 0b001, 16 -> 0b100, 24 -> 0b110)
+        if ss_code not in (0, {8: 0b001, 16: 0b100, 24: 0b110}[bps]):
+            raise NotImplementedError(
+                f"frame sample-size code {ss_code} != STREAMINFO {bps}-bit"
+            )
         crc_end = bits.bytepos()
         if _crc8(payload[pos : crc_end + 1]) != 0:
             # crc byte itself: crc8(header || crc) == 0 iff crc matches
@@ -405,19 +411,31 @@ def make_flac(
     pcm_int16: bytes,
     block_size: int = 256,
     stereo_mode: str = "independent",
+    bits: int = 16,
 ) -> bytes:
     """Assemble a real FLAC payload from interleaved little-endian
-    int16 PCM — STREAMINFO, fixed-predictor subframes with Rice (or
-    escape) residuals, real CRC-8/CRC-16. ``stereo_mode`` picks the
-    channel decorrelation for 2-channel input: 'independent',
-    'left_side', 'right_side' or 'mid_side' (all lossless, so decode
-    output is identical — the workload exercises them by doc parity)."""
-    if len(pcm_int16) % (2 * n_channels):
+    signed PCM (``bits`` = 8/16/24, r9) — STREAMINFO, fixed-predictor
+    subframes with Rice (or escape) residuals, real CRC-8/CRC-16.
+    ``stereo_mode`` picks the channel decorrelation for 2-channel
+    input: 'independent', 'left_side', 'right_side' or 'mid_side' (all
+    lossless, so decode output is identical — the workload exercises
+    them by doc parity)."""
+    if bits not in (8, 16, 24):
+        raise ValueError(f"bits must be 8, 16 or 24: got {bits}")
+    step = bits // 8
+    if len(pcm_int16) % (step * n_channels):
         raise ValueError("PCM length not a multiple of the frame size")
-    samples = np.frombuffer(pcm_int16, "<i2").astype(np.int64)
+    if bits == 8:
+        samples = np.frombuffer(pcm_int16, "i1").astype(np.int64)
+    elif bits == 16:
+        samples = np.frombuffer(pcm_int16, "<i2").astype(np.int64)
+    else:  # 24-bit: 3-byte little-endian two's complement
+        raw = np.frombuffer(pcm_int16, np.uint8).reshape(-1, 3).astype(np.int64)
+        samples = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        samples = np.where(samples >= 1 << 23, samples - (1 << 24), samples)
     frames = samples.reshape(-1, n_channels)
     total = frames.shape[0]
-    bps = 16
+    bps = bits
 
     out = bytearray(b"fLaC")
     si = _BitW()
@@ -451,7 +469,7 @@ def make_flac(
             hdr.write(10, 4)
         else:
             hdr.write(n_channels - 1, 4)
-        hdr.write(0b100, 3)  # 16-bit
+        hdr.write({8: 0b001, 16: 0b100, 24: 0b110}[bps], 3)
         hdr.write(0, 1)
         hdr_bytes = bytes(hdr.out) + _utf8_number(fi // block_size)
         hdr_bytes += struct.pack(">H", n - 1)

@@ -219,14 +219,14 @@ def test_flac_refusals_and_dispatcher():
     good = make_flac(8000, 1, pcm.tobytes())
     out, rate = decode_audio(good)  # dispatches on fLaC magic
     assert rate == 8000 and out[:, 0].tolist() == list(range(16))
-    # 24-bit STREAMINFO refuses (hand-built header with bps-1 = 23)
+    # 20-bit STREAMINFO refuses (8/16/24 are supported since r9)
     si = _BitW()
     si.write(16, 16); si.write(16, 16); si.write(0, 24); si.write(0, 24)
-    si.write(8000, 20); si.write(0, 3); si.write(23, 5)  # 24-bit
+    si.write(8000, 20); si.write(0, 3); si.write(19, 5)  # 20-bit
     si.write(0, 36)
     body = bytes(si.out) + b"\x00" * 16
     stream = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
-    with pytest.raises(NotImplementedError, match="24-bit"):
+    with pytest.raises(NotImplementedError, match="20-bit"):
         decode_flac(stream)
     # total_samples=0 is legal FLAC for "unknown length"; the
     # sample-count-driven frame loop would silently decode ZERO samples
@@ -257,3 +257,43 @@ def test_flac_right_side_asymmetric_channels_regression():
     )
     assert out[:, 0].tolist() == left.tolist()
     assert out[:, 1].tolist() == right.tolist()
+
+
+def test_flac_8_and_24_bit_roundtrip():
+    """r9: the non-16-bit boundary closed for 8/24-bit PCM — every
+    stereo decorrelation, both depths, exact roundtrip (24-bit PCM is
+    3-byte little-endian two's complement)."""
+    rng = np.random.RandomState(5)
+    for nch in (1, 2):
+        modes = (
+            ["independent"]
+            if nch == 1
+            else ["independent", "left_side", "right_side", "mid_side"]
+        )
+        for mode in modes:
+            pcm8 = rng.randint(-128, 128, 300 * nch).astype("i1")
+            out, rate = decode_flac(
+                make_flac(8000, nch, pcm8.tobytes(), bits=8, stereo_mode=mode)
+            )
+            assert rate == 8000
+            assert (out.reshape(-1) == pcm8.astype(np.int64)).all(), (8, nch, mode)
+            vals = rng.randint(-(1 << 23), 1 << 23, 257 * nch).astype(np.int64)
+            b = bytearray()
+            for v in vals:
+                u = int(v) & 0xFFFFFF
+                b += bytes([u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF])
+            out, rate = decode_flac(
+                make_flac(44100, nch, bytes(b), bits=24, stereo_mode=mode)
+            )
+            assert (out.reshape(-1).astype(np.int64) == vals).all(), (24, nch, mode)
+
+
+def test_flac_12_bit_still_refuses():
+    si = _BitW()
+    si.write(16, 16); si.write(16, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(11, 5)  # 12-bit
+    si.write(0, 36)
+    body = bytes(si.out) + b"\x00" * 16
+    stream = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_flac(stream)
