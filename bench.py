@@ -122,6 +122,8 @@ TIER2 = [
     "ann_opq_topk",
     "text_bpe_merges_batched",
     "dedup_containment_profile",
+    "text_winnow_fingerprints",
+    "dedup_winnow_matches",
 ]
 
 

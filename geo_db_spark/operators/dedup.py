@@ -347,3 +347,146 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         bit = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
     return votes.select(F.col("id").alias(id_col), fp.alias("simhash"))
+
+
+# ------------------------------------------------------------- Winnowing
+
+WINNOW_POS_BITS = 20  # selection key = hash * 2^20 + pos; docs < 1M chars
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting"
+    — the MOSS algorithm, public): hash every k-char gram, slide a
+    w-hash window, select each window's minimum — the guarantee is that
+    any duplicated substring of length >= w + k - 1 shares at least one
+    SELECTED gram in every copy, because selection depends only on the
+    hash sequence, which is content-determined. This is the
+    substring-level exact-dup primitive (Lee et al. ACL'22 measured
+    such duplication rampant in web corpora) that document-level
+    MinHash/SimHash cannot see.
+
+    Determinism across engines: gram hash = md5 prefix (32 bits, the
+    dedup.py convention); the window minimum runs over ONE BIGINT key
+    hash * 2^20 + pos — order-equivalent to lexicographic (hash, pos),
+    so both engines pick the same gram without struct-ordering
+    semantics. (Classic robust winnowing breaks hash ties RIGHTMOST;
+    this picks the leftmost, an equally valid deterministic choice —
+    the guarantee only needs consistency.) Positions must fit 20 bits:
+    docs longer than ~1M chars raise rather than silently corrupt keys.
+
+    Returns distinct selected fingerprints (id, gram_hash, pos, gram).
+    Scale shape: |text| skinny rows per doc, hashing in codegen, the
+    sliding min is a per-DOC window (partitioned by the id — never a
+    single task), then one distinct on (id, key).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1: got k={k}, w={w}")
+    n_grams = F.length(F.col(text_col)) - F.lit(k - 1)
+    guarded_len = F.when(
+        F.length(F.col(text_col)) < F.lit(1 << WINNOW_POS_BITS),
+        n_grams,
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"winnow_fingerprints: document exceeds 2^{WINNOW_POS_BITS} chars")
+        )
+    )
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(guarded_len, F.lit(0))),
+                lambda p: F.substr(F.col(text_col), p, F.lit(k)),
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "gram"
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    keyed = grams.select(
+        "id",
+        "pos",
+        "gram",
+        (h * F.lit(1 << WINNOW_POS_BITS) + F.col("pos")).alias("key"),
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_w = F.count(F.lit(1)).over(win)
+    selected = (
+        keyed.withColumn("sel", F.min("key").over(win))
+        # only FULL windows select (the last w-1 starts are covered by
+        # earlier windows; a doc shorter than w+k-1 has no guarantee to
+        # give and selects nothing)
+        .withColumn("__nw", n_w)
+        .filter(F.col("__nw") == w)
+        .select("id", F.col("sel").alias("key"))
+        .distinct()
+    )
+    back = keyed.select("id", "key", "pos", "gram")
+    return (
+        selected.join(back, ["id", "key"])
+        .select(
+            "id",
+            F.expr(f"key div {1 << WINNOW_POS_BITS}").alias("gram_hash"),
+            "pos",
+            "gram",
+        )
+    )
+
+
+def winnow_match_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    hot_cap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document substring-duplication pairs from winnowing
+    fingerprints: (doc_a, doc_b, shared) where ``shared`` counts the
+    DISTINCT selected grams both documents picked (gram string
+    equality, so hash collisions cannot fabricate a match). By the
+    winnowing guarantee, any copied substring of length >= w + k - 1
+    contributes at least one shared selected gram.
+
+    ``hot_cap`` drops grams selected by more than that many documents
+    BEFORE the join — the minhash_hot_buckets convention: a stop-gram
+    ("   the  ", boilerplate headers) would otherwise make the join
+    key quadratic at corpus scale. Documented recall trade, replicated
+    exactly in the oracle. Scale shape: distinct (id, gram) rows
+    shuffle on the gram, the hot-gram prune is one count aggregate,
+    pair counting is one groupBy — no text payload wider than k chars
+    ever moves."""
+    fp = winnow_fingerprints(docs, k, w, text_col, id_col)
+    # (id, gram) feeds THREE branches (hot-gram aggregate + both join
+    # sides): materialize so the explode/window/selection chain runs
+    # once (the ids.py double-compute rule); skinny k-char rows only
+    sel = fp.select("id", "gram").distinct().localCheckpoint(eager=True)
+    hot = (
+        sel.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > hot_cap)
+        .select("gram")
+    )
+    kept = sel.join(hot, "gram", "left_anti")
+    a = kept.select(F.col("id").alias("doc_a"), "gram")
+    b = kept.select(F.col("id").alias("doc_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

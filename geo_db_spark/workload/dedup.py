@@ -556,11 +556,13 @@ pref AS (
   WHERE o.pos <= s.n - ((s.n * 3 + 4) // 5) + 1
 ),
 cand AS (
-  SELECT DISTINCT p.id AS id_a, e.id AS id_b
+  SELECT DISTINCT p.id AS id_a, o.id AS id_b
   FROM pref p
-  JOIN ex e ON e.token = p.token AND e.id <> p.id
-  JOIN szs sb ON sb.id = e.id
+  JOIN ordd o ON o.token = p.token AND o.id <> p.id
+  JOIN szs sb ON sb.id = o.id
   WHERE sb.n >= (p.n * 3 + 4) // 5
+    -- r9 index-side positional filter: 1 + (|B| - pos_b) bounds overlap
+    AND sb.n - o.pos + 1 >= (p.n * 3 + 4) // 5
 ),
 hits AS (
   SELECT a.id AS id_a
@@ -588,3 +590,103 @@ LEFT JOIN hagg USING (size_class)
 
 QUERIES["dedup_containment_profile"] = dedup_containment_profile
 ORACLES["dedup_containment_profile"] = _containment_profile_oracle()
+
+
+WINNOW_K = 20
+WINNOW_W = 8
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (r9; Schleimer SIGMOD'03 — the
+    MOSS substring-fingerprint algorithm): hash every 20-char gram,
+    slide an 8-hash window, keep each window's minimum — any
+    duplicated substring of >= 27 chars shares a selected gram in
+    every copy. (8-char grams were measured near-quadratic on this
+    synthetic vocabulary — 92k of 125k possible pairs matched at
+    sf0.001; 20-char grams only match on REAL duplication: 97 pairs.)
+    Emits per-doc selection statistics (count + hash/pos checksums);
+    the oracle replays gram hashing, the combined-key window minimum
+    and the distinct selection. The window is per-DOC (partitioned by
+    doc_id), so selection parallelism is document parallelism."""
+    tune(spark)
+    from geo_db_spark.operators.dedup import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    return fp.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum("gram_hash").alias("hash_sum"),
+        F.sum("pos").alias("pos_sum"),
+    )
+
+
+_WINNOW_SEL = f"""
+g AS (
+  SELECT doc_id, text,
+         unnest(range(1, GREATEST(length(text) - {WINNOW_K - 1}, 0) + 1)) AS pos
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(substr(text, CAST(pos AS INT), {WINNOW_K})), 1, 8)) AS BIGINT)
+           * {1 << 20} + pos AS key
+  FROM g
+),
+win AS (
+  SELECT doc_id, pos,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS sel,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS nw
+  FROM keyed
+),
+selected AS (SELECT DISTINCT doc_id, sel AS key FROM win WHERE nw = {WINNOW_W})
+"""
+
+ORACLE_WINNOW_FPS = f"""
+WITH {_WINNOW_SEL}
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(SUM(key // {1 << 20}) AS BIGINT) AS hash_sum,
+       CAST(SUM(key % {1 << 20}) AS BIGINT) AS pos_sum
+FROM selected GROUP BY doc_id
+"""
+
+
+def dedup_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring duplication via winnowing (r9; the Lee
+    et al. ACL'22 exact-substring dedup signal at fingerprint cost):
+    pairs sharing >= 2 distinct SELECTED 20-char grams, gram strings
+    compared directly so a hash collision cannot fabricate a match.
+    Grams selected by > 64 documents are dropped before the join (the
+    minhash hot-bucket convention — boilerplate grams would make the
+    join key quadratic at corpus scale; documented recall trade,
+    replicated in the oracle)."""
+    tune(spark)
+    from geo_db_spark.operators.dedup import winnow_match_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_match_pairs(docs, k=WINNOW_K, w=WINNOW_W, min_shared=2, hot_cap=64)
+
+
+ORACLE_WINNOW_MATCHES = f"""
+WITH {_WINNOW_SEL},
+selgram AS (
+  SELECT DISTINCT s.doc_id,
+         substr(d.text, CAST(s.key % {1 << 20} AS INT), {WINNOW_K}) AS gram
+  FROM selected s JOIN documents d USING (doc_id)
+),
+hot AS (
+  SELECT gram FROM selgram GROUP BY gram HAVING COUNT(*) > 64
+),
+kept AS (SELECT * FROM selgram WHERE gram NOT IN (SELECT gram FROM hot))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+QUERIES["text_winnow_fingerprints"] = text_winnow_fingerprints
+ORACLES["text_winnow_fingerprints"] = ORACLE_WINNOW_FPS
+QUERIES["dedup_winnow_matches"] = dedup_winnow_matches
+ORACLES["dedup_winnow_matches"] = ORACLE_WINNOW_MATCHES
