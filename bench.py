@@ -124,6 +124,9 @@ TIER2 = [
     "dedup_containment_profile",
     "text_winnow_fingerprints",
     "dedup_winnow_matches",
+    "text_bpe_doc_tokens",
+    "text_cdc_chunk_stats",
+    "dedup_cdc_chunk_dupes",
 ]
 
 

@@ -490,3 +490,80 @@ def winnow_match_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    k: int = 8,
+    mask_bits: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/LBFS boundary idea —
+    Muthitacharoen et al. SOSP'01, public; FastCDC is the same rule
+    with skip heuristics): a chunk boundary falls after every position
+    whose trailing k-gram hashes to 0 mod 2^mask_bits, so boundaries
+    move WITH the content — an insertion early in a document shifts
+    every byte offset but re-aligns every later chunk, which is what
+    makes chunk digests dedupe across near-identical documents where
+    fixed-size blocks cannot. Expected chunk length = 2^mask_bits.
+
+    Variant note: no min/max chunk clamps — FastCDC's skip logic is a
+    sequential scan-state rule that cannot be replayed as window SQL;
+    the pure boundary rule is deterministic, oracle-replayable, and
+    the distribution is geometric around the target size (documented
+    trade). Hash = md5 prefix (the dedup.py convention).
+
+    Returns (id, start, end, chunk_len, digest). Scale shape: k-char
+    gram rows explode skinny, boundary selection is a codegen filter,
+    span assembly is one per-DOC lag window, and the text payload is
+    re-joined ONCE per document (spans grouped first) with digests
+    projected in the same stage — only digests shuffle afterwards.
+    """
+    if k < 1 or mask_bits < 1:
+        raise ValueError(f"need k >= 1 and mask_bits >= 1: got {k}, {mask_bits}")
+    mask = 1 << mask_bits
+    n_grams = F.length(F.col(text_col)) - F.lit(k - 1)
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+                lambda p: F.substr(F.col(text_col), p, F.lit(k)),
+            )
+        ).alias("pos0", "gram"),
+    ).select("id", (F.col("pos0") + F.lit(k)).alias("p"), "gram")
+    h = F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    content_bnd = grams.filter((h % F.lit(mask)) == 0).select("id", "p")
+    doc_end = docs.filter(F.length(text_col) > 0).select(
+        F.col(id_col).alias("id"), F.length(text_col).cast("long").alias("p")
+    )
+    bnd = content_bnd.unionByName(doc_end).distinct()
+    w = Window.partitionBy("id").orderBy("p")
+    spans = bnd.select(
+        "id",
+        (F.coalesce(F.lag("p").over(w), F.lit(0)) + 1).alias("s"),
+        F.col("p").alias("e"),
+    ).filter(F.col("e") >= F.col("s"))
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
+    joined = per_doc.join(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")), "id"
+    )
+    return joined.select(
+        "id",
+        F.explode("spans").alias("sp"),
+        F.col("__t"),
+    ).select(
+        "id",
+        F.col("sp.s").alias("start"),
+        F.col("sp.e").alias("end"),
+        (F.col("sp.e") - F.col("sp.s") + 1).alias("chunk_len"),
+        F.md5(
+            F.substr(F.col("__t"), F.col("sp.s"), F.col("sp.e") - F.col("sp.s") + 1)
+            .cast("binary")
+        ).alias("digest"),
+    )

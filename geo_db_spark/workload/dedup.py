@@ -690,3 +690,94 @@ QUERIES["text_winnow_fingerprints"] = text_winnow_fingerprints
 ORACLES["text_winnow_fingerprints"] = ORACLE_WINNOW_FPS
 QUERIES["dedup_winnow_matches"] = dedup_winnow_matches
 ORACLES["dedup_winnow_matches"] = ORACLE_WINNOW_MATCHES
+
+
+CDC_K = 8
+CDC_MASK_BITS = 5
+
+
+def text_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking statistics (r9; Rabin/LBFS boundaries,
+    Muthitacharoen SOSP'01): per document, the chunk count, the largest
+    chunk, and a digest checksum. Boundaries move WITH content (a gram
+    hashing to 0 mod 32 ends a chunk), so near-identical documents
+    realign after an edit — the storage/dedup property fixed blocks
+    lack. The oracle replays gram hashing, boundary selection, the lag
+    spans and the chunk digests."""
+    tune(spark)
+    from geo_db_spark.operators.dedup import cdc_chunks, md5_prefix64
+
+    docs = load(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, k=CDC_K, mask_bits=CDC_MASK_BITS)
+    return ch.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_len").alias("max_chunk"),
+        F.sum(md5_prefix64(F.col("digest"))).alias("digest_sum"),
+    )
+
+
+def dedup_cdc_chunk_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication: digests whose chunk appears in more
+    than one document — the bytes a chunk store would dedupe. Emits
+    (digest, chunk_len, n_docs)."""
+    tune(spark)
+    from geo_db_spark.operators.dedup import cdc_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    ch = cdc_chunks(docs, k=CDC_K, mask_bits=CDC_MASK_BITS)
+    return (
+        ch.groupBy("digest", "chunk_len")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_CDC_CHUNKS = f"""
+pos AS (
+  SELECT doc_id, text,
+         unnest(range({CDC_K}, length(text) + 1)) AS p
+  FROM documents
+),
+bnd AS (
+  SELECT doc_id, p FROM pos
+  WHERE CAST(('0x' || substr(md5(substr(text, CAST(p - {CDC_K - 1} AS INT), {CDC_K})), 1, 8)) AS BIGINT)
+        % {1 << CDC_MASK_BITS} = 0
+  UNION
+  SELECT doc_id, length(text) AS p FROM documents WHERE length(text) > 0
+),
+spans AS (
+  SELECT doc_id,
+         COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 AS s,
+         p AS e
+  FROM bnd
+),
+ch AS (
+  SELECT spans.doc_id,
+         e - s + 1 AS chunk_len,
+         md5(substr(d.text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS digest
+  FROM spans JOIN documents d ON d.doc_id = spans.doc_id
+  WHERE e >= s
+)
+"""
+
+ORACLE_CDC_STATS = f"""
+WITH {_CDC_CHUNKS}
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(MAX(chunk_len) AS BIGINT) AS max_chunk,
+       CAST(SUM(('0x' || substr(md5(digest), 1, 8))::BIGINT) AS BIGINT) AS digest_sum
+FROM ch GROUP BY doc_id
+"""
+
+ORACLE_CDC_DUPES = f"""
+WITH {_CDC_CHUNKS}
+SELECT digest, CAST(chunk_len AS BIGINT) AS chunk_len,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ch GROUP BY digest, chunk_len
+HAVING COUNT(DISTINCT doc_id) > 1
+"""
+
+QUERIES["text_cdc_chunk_stats"] = text_cdc_chunk_stats
+ORACLES["text_cdc_chunk_stats"] = ORACLE_CDC_STATS
+QUERIES["dedup_cdc_chunk_dupes"] = dedup_cdc_chunk_dupes
+ORACLES["dedup_cdc_chunk_dupes"] = ORACLE_CDC_DUPES

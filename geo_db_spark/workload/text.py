@@ -1189,3 +1189,66 @@ FROM ({union})
 
 QUERIES["text_bpe_merges_batched"] = text_bpe_merges_batched
 ORACLES["text_bpe_merges_batched"] = _bpe_batched_oracle()
+
+
+def text_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT token counts under the trained BPE merges (r9) —
+    the "how many tokens is my corpus" question every training run
+    starts with. Scale-right application: the replace chain runs over
+    the distinct VOCABULARY only (word -> subtoken count, a
+    vocabulary-bound table), then each document's word stream joins
+    that table and aggregates — the merges never touch per-occurrence
+    text. Emits (doc_id, n_words, n_tokens); the oracle replays
+    training, per-word encoding and the join."""
+    tune(spark)
+    from geo_db_spark.operators.text import bpe_train_merges
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("word"),
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    merges = bpe_train_merges(vocab, rounds=BPE_ROUNDS)
+    enc = F.regexp_replace(F.col("word"), r"(.)", r"<$1>")
+    for a, b, m, _c in merges:
+        enc = F.replace(enc, F.lit(f"<{a}><{b}>"), F.lit(f"<{m}>"))
+    n_sub = F.size(F.split(F.regexp_replace(enc, r"^<|>$", ""), "><"))
+    wtok = vocab.select("word", n_sub.alias("n_sub"))
+    return (
+        words.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_tokens"),
+        )
+    )
+
+
+def _bpe_doc_tokens_oracle(rounds: int = BPE_ROUNDS) -> str:
+    split = "string_split(trim(e, '<>'), '><')"
+    return _bpe_prefix(rounds) + f""",
+wtok AS (
+  SELECT replace(replace(e, '<', ''), '>', '') AS word,
+         len({split}) AS n_sub
+  FROM e{rounds}
+),
+dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_tokens
+FROM dw JOIN wtok USING (word)
+GROUP BY doc_id
+"""
+
+
+QUERIES["text_bpe_doc_tokens"] = text_bpe_doc_tokens
+ORACLES["text_bpe_doc_tokens"] = _bpe_doc_tokens_oracle()

@@ -89,14 +89,23 @@ def test_mm_feature_extract_digest_is_canonical(spark):
 
 
 def test_decode_compressed_formats_still_stubbed():
-    """Only the codec-library boundary remains stubbed: WebP and
-    unknown bytes raise NotImplementedError; a JPEG-magic payload with
-    garbage after SOI is MALFORMED now that baseline JPEG decodes
-    (ValueError, not a stub)."""
+    """Only the codec-library boundary remains stubbed: lossy-VP8 WebP
+    and unknown bytes raise NotImplementedError; a JPEG-magic payload
+    with garbage after SOI is MALFORMED now that baseline JPEG decodes
+    (ValueError, not a stub); a RIFF/WEBP container routes to the VP8L
+    decoder since r9 (a chunkless one is malformed, not a stub)."""
+    import struct
+
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg")
-    with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF0000WEBP")
+    with pytest.raises(ValueError, match="no VP8L chunk"):
+        decode_image(b"RIFF" + b"\x04\x00\x00\x00" + b"WEBP")
+    lossy = (
+        b"RIFF" + struct.pack("<I", 16) + b"WEBP"
+        + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
+        decode_image(lossy)
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
     assert fake_decode_meta(b"abc") == (4, 4, "fake")

@@ -66,3 +66,52 @@ def test_winnow_hot_cap_drops_boilerplate_gram(spark):
     uncapped = winnow_match_pairs(docs, k=8, w=4, min_shared=1, hot_cap=1000)
     assert uncapped.count() == 45  # all 10-choose-2 pairs via the boilerplate
     assert capped.count() < 45
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """The content-defined property: prepending text to a document
+    shifts every byte offset, yet all chunks after the first content
+    boundary keep their digests — fixed-size blocks would share
+    nothing."""
+    import numpy as np
+
+    from geo_db_spark.operators.dedup import cdc_chunks
+
+    rng = np.random.RandomState(8)
+    body = "".join(chr(97 + int(c)) for c in rng.randint(0, 26, 600))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "INSERTED-PREFIX-" + body)],
+        "doc_id long, text string",
+    )
+    ch = cdc_chunks(docs, k=8, mask_bits=5)
+    d1 = {r.digest for r in ch.filter("id = 1").collect()}
+    d2 = {r.digest for r in ch.filter("id = 2").collect()}
+    assert len(d1) >= 5, "body long enough to chunk several times"
+    shared = len(d1 & d2)
+    assert shared >= len(d1) - 2, (len(d1), shared)  # all but the head realign
+
+
+def test_cdc_chunks_cover_document_exactly(spark):
+    """Chunks partition the document: contiguous, non-overlapping,
+    covering [1, len]."""
+    from geo_db_spark.operators.dedup import cdc_chunks
+
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r.start, r.end) for r in cdc_chunks(docs, k=8, mask_bits=4).collect()
+    )
+    assert rows[0][0] == 1 and rows[-1][1] == len(text)
+    for (s1, e1), (s2, e2) in zip(rows, rows[1:]):
+        assert s2 == e1 + 1
+
+
+def test_cdc_chunks_empty_and_bad_params(spark):
+    import pytest
+
+    from geo_db_spark.operators.dedup import cdc_chunks
+
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert cdc_chunks(docs, k=8, mask_bits=5).count() == 0
+    with pytest.raises(ValueError, match="need k >= 1"):
+        cdc_chunks(docs, k=0, mask_bits=5)
