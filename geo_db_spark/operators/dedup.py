@@ -388,6 +388,12 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError(f"need k >= 1 and w >= 1: got k={k}, w={w}")
+    # spread docs BEFORE the gram explode: the test corpora are
+    # single-file parquet, so without this the |text|-per-doc gram
+    # materialization + md5 runs in ONE scan task (the decode-family
+    # repartition lesson; measured: the 10x winnow run sat single-task
+    # for minutes). Skinny shuffle — only (id, text) moves, once.
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     n_grams = F.length(F.col(text_col)) - F.lit(k - 1)
     guarded_len = F.when(
         F.length(F.col(text_col)) < F.lit(1 << WINNOW_POS_BITS),
@@ -523,6 +529,9 @@ def cdc_chunks(
     if k < 1 or mask_bits < 1:
         raise ValueError(f"need k >= 1 and mask_bits >= 1: got {k}, {mask_bits}")
     mask = 1 << mask_bits
+    # same single-file-input hazard as winnow_fingerprints: spread the
+    # docs before the per-char gram explode
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     n_grams = F.length(F.col(text_col)) - F.lit(k - 1)
     grams = docs.select(
         F.col(id_col).alias("id"),
