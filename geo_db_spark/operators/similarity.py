@@ -977,6 +977,16 @@ def opq_train_rotation(
     if len(rows) < k_cent:
         raise ValueError(f"OPQ needs >= {k_cent} sample vectors, got {len(rows)}")
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return _opq_rotation_from_matrix(x, m_sub, k_cent, iters, dim)
+
+
+def _opq_rotation_from_matrix(x, m_sub: int, k_cent: int, iters: int, dim: int):
+    """The OPQ-NP alternation over an in-memory sample matrix — shared
+    by the flat trainer (raw sample) and the IVF composition (which
+    trains on coarse-cell RESIDUALS, the distribution its PQ actually
+    encodes)."""
+    import numpy as np
+
     sub_w = dim // m_sub
     r_mat = np.eye(dim)
     for _ in range(iters):
@@ -1014,35 +1024,81 @@ def cosine_topk_opq_rotated(
     rescore semantics are identical; only the subspace decomposition
     — and therefore codebook quality — changes. Test-gated (see
     opq_train_rotation)."""
-    import numpy as np
-
     r_mat = opq_train_rotation(
         corpus, m_sub, k_cent, iters, sample_n, dim, id_col, vec_col
     )
-
-    def rotated(df: DataFrame) -> DataFrame:
-        src = df.select(F.col(id_col), F.col(vec_col))
-
-        def rot(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                out = v @ r_mat
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col], vec_col: list(out)}
-                )
-
-        # PQ consumes its corpus in several branches (training slices,
-        # encoding, rescore fetch): materialize so the Python rotation
-        # stage runs ONCE (the ids.py double-compute rule)
-        return src.mapInPandas(
-            rot, f"{id_col} long, {vec_col} array<double>"
-        ).localCheckpoint(eager=True)
-
     return cosine_topk_pq(
-        rotated(corpus), rotated(queries), k, rescore_m, m_sub, k_cent,
-        train_rounds, dim, id_col, vec_col,
+        _apply_rotation(corpus, r_mat, id_col, vec_col),
+        _apply_rotation(queries, r_mat, id_col, vec_col),
+        k, rescore_m, m_sub, k_cent, train_rounds, dim, id_col, vec_col,
+    )
+
+
+def _apply_rotation(df: DataFrame, r_mat, id_col: str, vec_col: str) -> DataFrame:
+    """Distributed rotation application: one float64 matmul per Arrow
+    batch (the dim x dim matrix broadcasts by closure), materialized
+    because PQ/IVF consume the frame in several branches (training
+    slices, encoding, rescore fetch — the ids.py double-compute rule)."""
+    import numpy as np
+
+    src = df.select(F.col(id_col), F.col(vec_col))
+
+    def rot(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = v @ r_mat
+            yield pd.DataFrame({id_col: pdf[id_col], vec_col: list(out)})
+
+    return src.mapInPandas(
+        rot, f"{id_col} long, {vec_col} array<double>"
+    ).localCheckpoint(eager=True)
+
+
+def ivf_pq_opq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    rescore_m: int = 10,
+    coarse_k: int = 16,
+    m_sub: int = 4,
+    k_cent: int = 8,
+    iters: int = 5,
+    sample_n: int = 2048,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FAISS production composition "OPQ,IVF,PQ" (the index
+    factory's OPQ..,IVF..,PQ.. shape — Ge CVPR'13 rotation in front of
+    the Jégou TPAMI'11 residual IVF-PQ): train the rotation on a
+    bounded sample, rotate corpus and queries distributively, then run
+    the UNCHANGED residual IVF-PQ. Orthogonality preserves cosine, so
+    coarse cells, residuals and rescore all operate in the rotated
+    space without semantic change; the rotation only re-shapes what the
+    per-subspace codebooks see. Crucially (and unlike a naive
+    composition), the rotation trains on the sample's COARSE-CELL
+    RESIDUALS — the distribution the PQ actually encodes; trained on
+    the raw sample it optimizes flat-PQ distortion, which the residual
+    step then discards (measured: a tie). Test-gated like its flat
+    sibling (opq_train_rotation's SVD is not SQL-replayable)."""
+    import numpy as np
+
+    rows = corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    if len(rows) < coarse_k:
+        raise ValueError(f"OPQ-IVF needs >= {coarse_k} sample vectors")
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    cb = _lloyd_np(x, coarse_k)
+    d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+    resid = x - cb[d2.argmin(1)]
+    r_mat = _opq_rotation_from_matrix(resid, m_sub, k_cent, iters, dim)
+    return ivf_pq_topk(
+        _apply_rotation(corpus, r_mat, id_col, vec_col),
+        _apply_rotation(queries, r_mat, id_col, vec_col),
+        k=k, rescore_m=rescore_m, coarse_k=coarse_k, m_sub=m_sub,
+        k_cent=k_cent, dim=dim, id_col=id_col, vec_col=vec_col,
+        residual=True,
     )

@@ -140,6 +140,38 @@ def _pagerank_oracle() -> str:
     )
 
 
+def g13_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank to the EXACT integer fixpoint (r9 — the converged form
+    the rest of the iterative family got in r8, now oracle-gated):
+    iterations=None with damping 10% so the fixpoint lands in ~12
+    rounds (delta decays 0.1x/round from base = 1e12/|V|; at the
+    default 85% it would take ~140 rounds — the 5-round g13 stays the
+    production demo). The oracle is a 16-round chained-CTE relaxation:
+    rounds past an exact fixpoint are IDENTITY, so oracle(16) equals
+    the converged result at any SF where convergence takes <= 16 rounds
+    — and larger corpora converge FASTER (smaller base, same 0.1x
+    decay), so the bound only tightens with SF. max_iterations=16
+    turns that sizing into a loud runtime check (the g20/ADVICE-#3
+    pattern), not a silent hash mismatch."""
+    tune(spark)
+    from geo_db_spark.operators.graph_algos import pagerank_fixedpoint
+
+    e = _edges(spark, sf_dir).select(
+        F.col("id").alias("src"), F.col("parent").alias("dst")
+    )
+    return pagerank_fixedpoint(e, iterations=None, damping_pct=10, max_iterations=16)
+
+
+def _pagerank_converged_oracle() -> str:
+    from geo_db_spark.operators.graph_algos import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(
+        "SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part WHERE p_partkey >= 2",
+        iterations=16,
+        damping_pct=10,
+    )
+
+
 def g15_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the part co-occurrence graph (parts appearing
     in the same order, from lineitem). Degree-ordered compact-forward —
@@ -175,6 +207,7 @@ JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
 
 QUERIES = {
     "g13_pagerank": g13_pagerank,
+    "g13_pagerank_converged": g13_pagerank_converged,
     "g15_triangle_count": g15_triangle_count,
     "d3_part_hierarchy_closure": d3_part_hierarchy_closure,
     "d3_closure_loop_minstep": d3_closure_loop_minstep,
@@ -184,6 +217,7 @@ QUERIES = {
 
 ORACLES = {
     "g13_pagerank": _pagerank_oracle(),
+    "g13_pagerank_converged": _pagerank_converged_oracle(),
     "g15_triangle_count": ORACLE_G15,
     "d3_part_hierarchy_closure": ORACLE_D3,
     "d3_closure_loop_minstep": ORACLE_D3_LOOP,
