@@ -11,11 +11,12 @@ Scope: 8/16/24-bit PCM (r9 closed the non-16-bit boundary), 1-8
 independent channels plus the stereo left/side, right/side and
 mid/side decorrelations, CONSTANT / VERBATIM / FIXED (orders 0-4) /
 LPC (any order) subframes, Rice residual methods 0 and 1 with
-partitioning and escape codes, wasted bits, UTF-8 frame numbers, CRC-8
-header and CRC-16 frame checks. Out of scope (explicit
-NotImplementedError): 12/20/32-bit sample sizes, unknown-total
-streams and variable blocking strategy — honest boundaries per the
-repo convention.
+partitioning and escape codes, wasted bits, UTF-8 frame/sample
+numbers, fixed AND variable blocking strategies (r9: variable-block
+sample numbers validated against the stream position), CRC-8 header
+and CRC-16 frame checks. Out of scope (explicit NotImplementedError):
+12/20/32-bit sample sizes and unknown-total streams — honest
+boundaries per the repo convention.
 
 Performance note: the entropy layer is a Python bit reader (Rice codes
 are data-dependent, no batch kernel without a native library); the
@@ -245,14 +246,18 @@ def decode_flac(payload: bytes):
         if sync != 0b11111111111110:
             raise ValueError(f"bad frame sync at byte {pos}")
         bits.read(1)  # reserved
-        if bits.read(1):
-            raise NotImplementedError("variable blocking strategy")
+        variable = bits.read(1)  # 0 = fixed, 1 = variable blocking
         bs_code = bits.read(4)
         sr_code = bits.read(4)
         ch_code = bits.read(4)
         ss_code = bits.read(3)
         bits.read(1)  # reserved
-        _frame_no = _read_utf8_number(bits)
+        coded_no = _read_utf8_number(bits)
+        if variable and coded_no != got:
+            # variable blocking codes the frame's FIRST SAMPLE index
+            raise ValueError(
+                f"variable-block sample number {coded_no} != stream position {got}"
+            )
         if bs_code == 0:
             raise ValueError("reserved block size code 0")
         elif bs_code == 6:
@@ -412,6 +417,7 @@ def make_flac(
     block_size: int = 256,
     stereo_mode: str = "independent",
     bits: int = 16,
+    variable_block: bool = False,
 ) -> bytes:
     """Assemble a real FLAC payload from interleaved little-endian
     signed PCM (``bits`` = 8/16/24, r9) — STREAMINFO, fixed-predictor
@@ -419,7 +425,10 @@ def make_flac(
     ``stereo_mode`` picks the channel decorrelation for 2-channel
     input: 'independent', 'left_side', 'right_side' or 'mid_side' (all
     lossless, so decode output is identical — the workload exercises
-    them by doc parity)."""
+    them by doc parity). ``variable_block`` emits a VARIABLE blocking
+    stream: frame sizes alternate block_size / block_size//2, the
+    strategy bit is set, and the UTF-8 number codes each frame's first
+    SAMPLE index (validated by the decoder)."""
     if bits not in (8, 16, 24):
         raise ValueError(f"bits must be 8, 16 or 24: got {bits}")
     step = bits // 8
@@ -439,7 +448,8 @@ def make_flac(
 
     out = bytearray(b"fLaC")
     si = _BitW()
-    si.write(block_size, 16)
+    # min == max signals fixed blocking per the spec
+    si.write(max(block_size // 2, 1) if variable_block else block_size, 16)
     si.write(block_size, 16)
     si.write(0, 24)
     si.write(0, 24)
@@ -450,15 +460,22 @@ def make_flac(
     body = bytes(si.out) + b"\x00" * 16  # md5 unset
     out += bytes([0x80]) + len(body).to_bytes(3, "big") + body  # last block
 
-    for fi in range(0, max(total, 1), block_size):
-        blk = frames[fi : fi + block_size]
-        n = blk.shape[0]
-        if n == 0:
-            break
+    chunks = []
+    off = 0
+    while off < total:
+        size = block_size
+        if variable_block and (len(chunks) % 2 == 1):
+            size = max(block_size // 2, 1)
+        chunks.append((off, min(size, total - off)))
+        off += size
+    if total == 0:
+        chunks = []
+    for frame_idx, (fi, n) in enumerate(chunks):
+        blk = frames[fi : fi + n]
         hdr = _BitW()
         hdr.write(0b11111111111110, 14)
         hdr.write(0, 1)
-        hdr.write(0, 1)  # fixed blocking
+        hdr.write(1 if variable_block else 0, 1)
         hdr.write(7, 4)  # blocksize: 16-bit at end of header
         hdr.write(0, 4)  # sample rate: from STREAMINFO
         if n_channels == 2 and stereo_mode == "left_side":
@@ -471,7 +488,8 @@ def make_flac(
             hdr.write(n_channels - 1, 4)
         hdr.write({8: 0b001, 16: 0b100, 24: 0b110}[bps], 3)
         hdr.write(0, 1)
-        hdr_bytes = bytes(hdr.out) + _utf8_number(fi // block_size)
+        coded = fi if variable_block else frame_idx
+        hdr_bytes = bytes(hdr.out) + _utf8_number(coded)
         hdr_bytes += struct.pack(">H", n - 1)
         hdr_bytes += bytes([_crc8(hdr_bytes)])
 

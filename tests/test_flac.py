@@ -297,3 +297,31 @@ def test_flac_12_bit_still_refuses():
     stream = b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
     with pytest.raises(NotImplementedError, match="12-bit"):
         decode_flac(stream)
+
+
+def test_flac_variable_block_roundtrip_and_mismatch_guard():
+    """r9: variable blocking — alternating frame sizes, the strategy
+    bit set, UTF-8 numbers coding each frame's first SAMPLE index
+    (decoder validates them against the stream position)."""
+    rng = np.random.RandomState(9)
+    for nch, mode in [(1, "independent"), (2, "mid_side"), (2, "right_side")]:
+        pcm = rng.randint(-32768, 32768, 700 * nch).astype("<i2")
+        payload = make_flac(
+            8000, nch, pcm.tobytes(), block_size=128,
+            stereo_mode=mode, variable_block=True,
+        )
+        out, rate = decode_flac(payload)
+        assert rate == 8000
+        assert (out.reshape(-1) == pcm.astype(np.int32)).all(), (nch, mode)
+    # corrupt the first frame's sample number: UTF-8 number 0 is the
+    # byte right after the 4 header bytes of the first frame
+    payload = make_flac(8000, 1, np.arange(300).astype("<i2").tobytes(),
+                        block_size=64, variable_block=True)
+    bad = bytearray(payload)
+    # find the second frame (variable-block sync = 0xff 0xf9; the
+    # coded sample number 64 is a single UTF-8 byte 0x40)
+    idx = bad.index(b"\xff\xf9", 50)
+    assert bad[idx + 4] == 64  # the coded sample start
+    bad[idx + 4] = 65
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
