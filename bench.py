@@ -127,6 +127,7 @@ TIER2 = [
     "text_bpe_doc_tokens",
     "text_cdc_chunk_stats",
     "dedup_cdc_chunk_dupes",
+    "mm_audio_decode_g711",
 ]
 
 

@@ -627,10 +627,12 @@ def _decode_wav(payload: bytes):
     ``data``; every other chunk id (LIST, fact, cue, …) is skipped by
     its declared size, honoring the spec's word alignment (odd-sized
     chunk bodies are followed by one pad byte). Format tag 1 (integer
-    PCM) at 8 (unsigned, rescaled to signed 16), 16, 24 or 32 bits —
-    everything returns int16-range frames like the 16-bit path (24/32
-    keep the high 16 bits, the standard downconversion); float PCM,
-    ADPCM, a-law raise NotImplementedError."""
+    PCM) at 8 (unsigned, rescaled to signed 16), 16, 24 or 32 bits,
+    plus (r9) format tags 6/7 — ITU-T G.711 A-law / mu-law telephony
+    companding, expanded through the 256-entry tables — everything
+    returns int16-range frames like the 16-bit path (24/32 keep the
+    high 16 bits, the standard downconversion); float PCM and ADPCM
+    raise NotImplementedError."""
     import struct
 
     import numpy as np
@@ -651,10 +653,21 @@ def _decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _byte_rate, block_align, bits = fmt
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law: 8-bit codes
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        table = g711_alaw_decode_table() if audio_fmt == 6 else g711_ulaw_decode_table()
+        if n_ch < 1 or block_align != n_ch:
+            raise ValueError(
+                f"inconsistent WAV fmt: channels={n_ch}, block_align={block_align}"
+            )
+        n_frames = len(data) // block_align
+        codes = np.frombuffer(data, np.uint8, count=n_frames * n_ch)
+        return table[codes].reshape(n_frames, n_ch), rate
     if audio_fmt != 1 or bits not in (8, 16, 24, 32):
         raise NotImplementedError(
-            f"only 8/16/24/32-bit integer PCM WAV supported "
-            f"(format={audio_fmt}, bits={bits})"
+            f"only 8/16/24/32-bit integer PCM and G.711 A-law/mu-law WAV "
+            f"supported (format={audio_fmt}, bits={bits})"
         )
     bstep = bits // 8
     if n_ch < 1 or block_align != bstep * n_ch:
@@ -683,11 +696,15 @@ def make_wav(
     n_channels: int,
     pcm16_bytes: bytes,
     junk_chunk: bool = False,
+    codec: str = "pcm",
 ) -> bytes:
-    """Assemble a real RIFF/WAVE PCM16 payload — the fixture generator
-    for the audio decode path. ``junk_chunk`` inserts an odd-sized LIST
+    """Assemble a real RIFF/WAVE payload — the fixture generator for
+    the audio decode path. ``junk_chunk`` inserts an odd-sized LIST
     chunk between fmt and data to exercise the decoder's
-    skip-unknown-chunks + word-alignment walk."""
+    skip-unknown-chunks + word-alignment walk. ``codec`` = 'pcm'
+    (int16), 'alaw' or 'ulaw' (r9: the int16 input is companded to
+    8-bit G.711 codes — lossy to the companding lattice, but
+    decode ∘ encode ∘ decode is the identity on code points)."""
     import struct
 
     if len(pcm16_bytes) % (2 * n_channels) != 0:
@@ -695,24 +712,35 @@ def make_wav(
             f"pcm bytes ({len(pcm16_bytes)}) must be a multiple of the "
             f"{2 * n_channels}-byte frame"
         )
+    if codec not in ("pcm", "alaw", "ulaw"):
+        raise ValueError(f"codec must be pcm/alaw/ulaw: got {codec!r}")
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) & 1 else b""
         return cid + struct.pack("<I", len(body)) + body + pad
 
+    if codec == "pcm":
+        tag, bits, bstep, data = 1, 16, 2, pcm16_bytes
+    else:
+        import numpy as np
+
+        enc = g711_alaw_encode if codec == "alaw" else g711_ulaw_encode
+        samples = np.frombuffer(pcm16_bytes, "<i2")
+        data = bytes(enc(int(x)) for x in samples)
+        tag, bits, bstep = (6 if codec == "alaw" else 7), 8, 1
     fmt = struct.pack(
         "<HHIIHH",
-        1,  # integer PCM
+        tag,
         n_channels,
         sample_rate,
-        sample_rate * 2 * n_channels,  # byte rate
-        2 * n_channels,  # block align
-        16,
+        sample_rate * bstep * n_channels,  # byte rate
+        bstep * n_channels,  # block align
+        bits,
     )
     body = chunk(b"fmt ", fmt)
     if junk_chunk:
         body += chunk(b"LIST", b"INFOjunk!")  # 9 bytes: odd, forces the pad
-    body += chunk(b"data", pcm16_bytes)
+    body += chunk(b"data", data)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
@@ -1047,3 +1075,71 @@ def make_gif(
     )
     out += bytes([mcs]) + sub + b"\x3b"
     return bytes(out)
+
+
+# ------------------------------------------------------ G.711 companding
+
+def g711_ulaw_decode_table():
+    """256-entry mu-law expansion (ITU-T G.711): byte code -> int16."""
+    import numpy as np
+
+    out = np.zeros(256, np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+        out[b] = -magnitude if (u & 0x80) else magnitude
+    return out
+
+
+def g711_alaw_decode_table():
+    """256-entry A-law expansion (ITU-T G.711): byte code -> int16."""
+    import numpy as np
+
+    out = np.zeros(256, np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        exponent = (a >> 4) & 0x07
+        mantissa = a & 0x0F
+        if exponent == 0:
+            magnitude = (mantissa << 4) + 8
+        else:
+            magnitude = ((mantissa << 4) + 0x108) << (exponent - 1)
+        # G.711 A-law: the sign bit SET (after the 0x55 XOR) is POSITIVE
+        out[b] = magnitude if (a & 0x80) else -magnitude
+    return out
+
+
+def g711_ulaw_encode(x: int) -> int:
+    """int16 -> mu-law byte (the compressor half, fixture use)."""
+    BIAS = 0x84
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    x = min(x + BIAS, 0x7FFF)
+    exponent = 7
+    mask = 0x4000
+    while exponent > 0 and not (x & mask):
+        exponent -= 1
+        mask >>= 1
+    mantissa = (x >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def g711_alaw_encode(x: int) -> int:
+    """int16 -> A-law byte (the compressor half, fixture use)."""
+    sign = 0x80 if x >= 0 else 0
+    if x < 0:
+        x = -x - 1
+    if x < 256:
+        code = x >> 4
+    else:
+        exponent = 7
+        mask = 0x4000
+        while exponent > 1 and not (x & mask):
+            exponent -= 1
+            mask >>= 1
+        mantissa = (x >> (exponent + 3)) & 0x0F
+        code = (exponent << 4) | mantissa
+    return (sign | code) ^ 0x55

@@ -1145,3 +1145,93 @@ def mm_image_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lossless roundtrip -> the same text-byte oracle as the PPM/PNG decodes
 QUERIES["mm_image_decode_webp"] = mm_image_decode_webp
 ORACLES["mm_image_decode_webp"] = ORACLE_MM_IMAGE_DECODE
+
+
+def mm_audio_decode_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 mu-law WAV decode end-to-end (r9; ITU-T G.711, the
+    telephony-corpus codec): each document's text BYTES are treated as
+    the mu-law code stream of a mono 8 kHz WAV (format tag 7), decoded
+    through the real RIFF walk + 256-entry expansion table, and
+    reduced to exact int64 sample statistics. Unusually for a LOSSY
+    codec this carries a FULL value oracle: the expansion is pure
+    integer arithmetic (u = 255 - byte; mag = ((u%16)*8 + 132) *
+    2^((u/16)%8) - 132; sign from u >= 128), so DuckDB replays the
+    decode per character without touching any codec."""
+    tune(spark)
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_audio, make_wav
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+        import struct
+
+        def g711_wav(codes: bytes) -> bytes:
+            fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+            body = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(codes)) + codes
+                + (b"\x00" if len(codes) & 1 else b"")
+            )
+            return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char code/oracle arithmetic"
+                    )
+                arr, rate = decode_audio(g711_wav(raw))
+                a = arr.astype(np.int64)
+                rows.append(
+                    (doc_id, arr.shape[0], rate, int(a.sum()), int((a * a).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "sample_sum", "energy"],
+            )
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+# the mu-law expansion as pure integer SQL: u = 255 - byte;
+# mag = ((u%16)*8 + 132) << ((u//16)%8) - 132; negative when u >= 128
+_ULAW_VAL = (
+    "(CASE WHEN (255 - ascii(substr(text, CAST(i + 1 AS INT), 1))) >= 128 "
+    "THEN -1 ELSE 1 END) * "
+    "((((255 - ascii(substr(text, CAST(i + 1 AS INT), 1))) % 16) * 8 + 132) "
+    "* (1 << (((255 - ascii(substr(text, CAST(i + 1 AS INT), 1))) // 16) % 8)) - 132)"
+)
+
+ORACLE_MM_AUDIO_DECODE_G711 = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       COALESCE(CAST(list_sum(list_transform(range(length(text)),
+           i -> {_ULAW_VAL})) AS BIGINT), 0) AS sample_sum,
+       COALESCE(CAST(list_sum(list_transform(range(length(text)),
+           i -> CAST({_ULAW_VAL} AS BIGINT) * ({_ULAW_VAL}))) AS BIGINT), 0) AS energy
+FROM documents
+"""
+
+QUERIES["mm_audio_decode_g711"] = mm_audio_decode_g711
+ORACLES["mm_audio_decode_g711"] = ORACLE_MM_AUDIO_DECODE_G711

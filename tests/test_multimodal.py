@@ -902,3 +902,42 @@ def test_decode_bmp_8bit_palette_uncompressed():
     data_bad = bytes([1, 2, 9, 0]) + rows[1]  # index 9 >= 8 colors
     with pytest.raises(ValueError, match="palette range"):
         decode_image(hdr8 + dib8 + pal8 + data_bad)
+
+
+def test_g711_tables_and_wav_roundtrip():
+    """G.711 (r9): expansion tables match the public reference values
+    (mu-law 0xFF -> 0, code 0 -> -32124; A-law 0xD5 -> +8, 0x55 -> -8,
+    range +-32256), compress-expand is idempotent on every code point,
+    and both codecs roundtrip through the real RIFF/WAVE path."""
+    import numpy as np
+
+    from geo_db_spark.operators.multimodal import (
+        _decode_wav,
+        g711_alaw_decode_table,
+        g711_alaw_encode,
+        g711_ulaw_decode_table,
+        g711_ulaw_encode,
+        make_wav,
+    )
+
+    ut, at = g711_ulaw_decode_table(), g711_alaw_decode_table()
+    assert ut[0xFF] == 0 and ut[0] == -32124 and ut.max() == 32124
+    assert at[0xD5] == 8 and at[0x55] == -8 and at.max() == 32256
+    for table, enc in ((ut, g711_ulaw_encode), (at, g711_alaw_encode)):
+        for b in range(256):
+            assert table[enc(int(table[b]))] == table[b], b
+    rng = np.random.RandomState(6)
+    for codec, table, enc in (
+        ("ulaw", ut, g711_ulaw_encode),
+        ("alaw", at, g711_alaw_encode),
+    ):
+        pcm = rng.randint(-32768, 32768, 400 * 2).astype("<i2")
+        out, rate = _decode_wav(make_wav(8000, 2, pcm.tobytes(), codec=codec))
+        assert rate == 8000
+        want = table[[enc(int(x)) for x in pcm]]
+        assert (out.reshape(-1) == want).all(), codec
+        # idempotent on the companding lattice through the full path
+        out2, _ = _decode_wav(
+            make_wav(8000, 2, out.astype("<i2").tobytes(), codec=codec)
+        )
+        assert (out2 == out).all(), codec
