@@ -128,6 +128,7 @@ TIER2 = [
     "text_cdc_chunk_stats",
     "dedup_cdc_chunk_dupes",
     "mm_audio_decode_g711",
+    "mm_image_decode_tiff",
 ]
 
 

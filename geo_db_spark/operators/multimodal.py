@@ -64,8 +64,10 @@ def decode_image(payload: bytes):
     binary PPM (``P6``, 8/16-bit), BMP (``BM``: 8-bit palette, 24/32-bit
     BI_RGB, BI_RLE8), PNG (8/16-bit, palette, Adam7), GIF (interlaced
     included), JPEG — baseline AND progressive (operators/jpeg.py) —
-    and WebP-lossless VP8L (operators/vp8l.py, r9; lossy VP8 raises
-    NotImplementedError inside the VP8L module)."""
+    WebP-lossless VP8L (operators/vp8l.py, r9; lossy VP8 raises
+    NotImplementedError inside the VP8L module) and TIFF
+    (operators/tiff.py, r9: none/PackBits/LZW, predictor, both byte
+    orders, gray/RGB/palette)."""
     if payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if payload[:2] == b"BM":
@@ -82,12 +84,16 @@ def decode_image(payload: bytes):
         from geo_db_spark.operators.vp8l import decode_vp8l
 
         return decode_vp8l(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from geo_db_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         "only PPM (8/16-bit), BMP (8-bit palette / 24/32-bit / RLE8), "
         "PNG (8/16-bit, Adam7), GIF (incl. interlaced), JPEG (baseline "
-        "+ progressive) and WebP-lossless (VP8L) decode without a codec "
-        "library; lossy-VP8 WebP needs PIL/opencv, not present in this "
-        "environment"
+        "+ progressive), WebP-lossless (VP8L) and TIFF (none/PackBits/"
+        "LZW) decode without a codec library; lossy-VP8 WebP needs "
+        "PIL/opencv, not present in this environment"
     )
 
 

@@ -1235,3 +1235,74 @@ FROM documents
 
 QUERIES["mm_audio_decode_g711"] = mm_audio_decode_g711
 ORACLES["mm_audio_decode_g711"] = ORACLE_MM_AUDIO_DECODE_G711
+
+
+def mm_image_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF end-to-end (r9; Adobe TIFF 6.0, the scanned-document
+    corpus format): each document's leading 12*H text bytes become a
+    4-wide RGB raster encoded as a REAL stripped TIFF
+    (operators/tiff.py make_tiff) and decoded back, all in one
+    Arrow-batched mapInPandas pass. Per-doc option cycling (doc_id %
+    6) covers none/PackBits/LZW x predictor and both byte orders, with
+    a multi-strip case. Lossless, so the oracle reproduces dims +
+    pixel md5 straight from the text bytes — an IFD-walk, PackBits,
+    LZW-EarlyChange or predictor bug flips the value hash."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_image
+    from geo_db_spark.operators.tiff import make_tiff
+
+    tune(spark)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        variants = [
+            dict(compression="none"),
+            dict(compression="packbits"),
+            dict(compression="lzw"),
+            dict(compression="lzw", predictor=True),
+            dict(compression="packbits", big_endian=True, rows_per_strip=3),
+            dict(compression="lzw", predictor=True, big_endian=True),
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char raster/oracle arithmetic"
+                    )
+                h = len(raw) // (PPM_W * 3)
+                raster = raw[: h * PPM_W * 3]
+                tif = make_tiff(PPM_W, h, raster, **variants[int(doc_id) % 6])
+                arr = decode_image(tif)
+                rows.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     hashlib.md5(arr.tobytes()).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "pixel_md5"])
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+QUERIES["mm_image_decode_tiff"] = mm_image_decode_tiff
+ORACLES["mm_image_decode_tiff"] = ORACLE_MM_IMAGE_DECODE

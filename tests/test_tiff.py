@@ -1,0 +1,152 @@
+"""TIFF codec (operators/tiff.py): roundtrips across compressions,
+predictor, byte orders and strip splits; hand-built grayscale and
+palette images for the photometric paths the fixture encoder doesn't
+emit; LZW width-boundary coverage; honest refusals."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from geo_db_spark.operators.tiff import (
+    _lzw_decode_tiff,
+    _lzw_encode_tiff,
+    _packbits,
+    _unpackbits,
+    decode_tiff,
+    make_tiff,
+)
+
+
+def test_lzw_roundtrip_crosses_width_boundaries():
+    """20k random bytes produce ~15k table entries — the code stream
+    crosses the 9->10->11->12-bit EarlyChange boundaries AND the
+    4094-entry clear; any off-by-one in the width rule breaks this."""
+    rng = np.random.RandomState(11)
+    for n in (1, 100, 1000, 5000, 20000):
+        data = bytes(rng.randint(0, 256, n).astype(np.uint8))
+        assert _lzw_decode_tiff(_lzw_encode_tiff(data), n) == data, n
+    # KwKwK case: "ababab..." forces code == len(table)
+    data = b"ab" * 500
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
+
+
+def test_unpackbits_opcodes():
+    # literal(2 bytes) + repeat(3x 0x07) + no-op + literal(1)
+    packed = bytes([1, 0xAA, 0xBB]) + bytes([254, 0x07]) + bytes([128]) + bytes([0, 0xCC])
+    assert _unpackbits(packed, 6) == b"\xaa\xbb\x07\x07\x07\xcc"
+    with pytest.raises(ValueError, match="truncated"):
+        _unpackbits(packed, 10)
+
+
+def test_tiff_roundtrip_matrix():
+    rng = np.random.RandomState(12)
+    for w, h in [(5, 4), (37, 23)]:
+        rgb = bytes(rng.randint(0, 256, w * h * 3).astype(np.uint8))
+        for comp in ("none", "packbits", "lzw"):
+            for pred in (False, True):
+                for be in (False, True):
+                    for rps in (None, 7):
+                        out = decode_tiff(
+                            make_tiff(w, h, rgb, compression=comp, predictor=pred,
+                                      big_endian=be, rows_per_strip=rps)
+                        )
+                        assert out.tobytes() == rgb, (w, h, comp, pred, be, rps)
+
+
+def _hand_tiff(photo: int, w: int, h: int, sample_bytes: bytes,
+               colormap: list[int] | None = None) -> bytes:
+    """Minimal hand-built single-strip little-endian TIFF for the
+    grayscale / palette photometric paths."""
+    entries = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [photo]), (273, 4, [0]), (277, 3, [1]), (278, 3, [h]),
+        (279, 4, [len(sample_bytes)]),
+    ]
+    if colormap is not None:
+        entries.append((320, 3, colormap))
+    entries.sort()
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    ext = bytearray()
+    ext_off = ifd_off + ifd_len
+    ext_pos = {}
+    fmt = {3: "H", 4: "I"}
+    size = {3: 2, 4: 4}
+    for tag, typ, vals in entries:
+        if size[typ] * len(vals) > 4:
+            ext_pos[tag] = ext_off + len(ext)
+            ext += struct.pack("<" + fmt[typ] * len(vals), *vals)
+    data_off = ext_off + len(ext)
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, vals in entries:
+        if tag == 273:
+            vals = [data_off]
+        out += struct.pack("<HHI", tag, typ, len(vals))
+        if size[typ] * len(vals) <= 4:
+            packed = struct.pack("<" + fmt[typ] * len(vals), *vals)
+            out += packed + b"\x00" * (4 - len(packed))
+        else:
+            out += struct.pack("<I", ext_pos[tag])
+    out += struct.pack("<I", 0)
+    out += ext + sample_bytes
+    return bytes(out)
+
+
+def test_tiff_grayscale_and_palette():
+    gray = bytes([0, 64, 128, 255, 10, 200])
+    arr = decode_tiff(_hand_tiff(1, 3, 2, gray))
+    assert arr.shape == (2, 3, 3)
+    assert (arr[:, :, 0].reshape(-1) == np.frombuffer(gray, np.uint8)).all()
+    assert (arr[:, :, 0] == arr[:, :, 1]).all() and (arr[:, :, 0] == arr[:, :, 2]).all()
+
+    # palette: index i -> (i, 255-i, i//2); ColorMap stores 16-bit planes
+    cmap = (
+        [i << 8 for i in range(256)]
+        + [(255 - i) << 8 for i in range(256)]
+        + [(i // 2) << 8 for i in range(256)]
+    )
+    idx = bytes([0, 1, 17, 255, 7, 9])
+    arr = decode_tiff(_hand_tiff(3, 3, 2, idx, colormap=cmap))
+    for n, i in enumerate(idx):
+        y, x = divmod(n, 3)
+        assert tuple(arr[y, x]) == (i, 255 - i, i // 2), i
+
+
+def test_tiff_dispatcher_and_refusals():
+    from geo_db_spark.operators.multimodal import decode_image
+
+    rgb = bytes(range(12))
+    assert decode_image(make_tiff(2, 2, rgb, compression="lzw")).tobytes() == rgb
+    assert decode_image(make_tiff(2, 2, rgb, big_endian=True)).tobytes() == rgb
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"II+\x00garbage")
+    # CCITT G4 compression refuses loudly
+    bad = bytearray(make_tiff(2, 2, rgb))
+    # compression tag value lives in the IFD; rebuild with a hand image
+    g4 = _hand_tiff(1, 2, 2, bytes(4))
+    g4 = bytearray(g4)
+    # find the 259 entry and set its value to 4 (CCITT G4)
+    n = struct.unpack_from("<H", g4, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", g4, off)[0] == 259:
+            struct.pack_into("<H", g4, off + 8, 4)
+    with pytest.raises(NotImplementedError, match="compression 4"):
+        decode_tiff(bytes(g4))
+    with pytest.raises(ValueError, match="does not match"):
+        make_tiff(2, 2, b"\x00" * 11)
+
+
+def test_packbits_literal_group_boundary():
+    """Regression: a 129-byte literal group would emit header byte 128
+    — the PackBits NO-OP — and silently drop the whole group (caught by
+    the sf0.001 oracle run, doc with a 166/168-byte strip)."""
+    for n in (127, 128, 129, 200, 500):
+        data = bytes((np.arange(n) * 7 % 251).astype(np.uint8))  # run-free
+        packed = _packbits(data)
+        assert _unpackbits(packed, n) == data, n
+        assert 128 not in packed[:1]  # header bytes never the no-op
