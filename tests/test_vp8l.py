@@ -204,3 +204,62 @@ def test_make_webp_rejects_bad_args():
         make_webp(2, 2, b"\x00" * 12, transforms=("palette", "subtract_green"))
     with pytest.raises(ValueError, match="needs predictor_modes"):
         make_webp(2, 2, b"\x00" * 12, transforms=("predictor",))
+
+
+def test_roundtrip_hypothesis_fuzz():
+    """Property fuzz over dimensions, palette-ness, transforms, LZW and
+    cache options — decode ∘ make_webp must be the identity."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 18),
+        h=st.integers(1, 14),
+        kind=st.integers(0, 5),
+        data=st.data(),
+    )
+    def roundtrip(w, h, kind, data):
+        n = w * h * 3
+        if kind == 5:  # few colors -> palette path with bundling
+            ncol = data.draw(st.integers(1, 5), label="ncol")
+            colors = [
+                bytes(data.draw(st.tuples(*[st.integers(0, 255)] * 3), label=f"c{i}"))
+                for i in range(ncol)
+            ]
+            idx = data.draw(
+                st.lists(st.integers(0, ncol - 1), min_size=w * h, max_size=w * h),
+                label="idx",
+            )
+            rgb = b"".join(colors[i] for i in idx)
+            kw = dict(transforms=("palette",))
+        else:
+            rgb = bytes(
+                data.draw(
+                    st.lists(st.integers(0, 255), min_size=n, max_size=n),
+                    label="rgb",
+                )
+            )
+            if kind == 0:
+                kw = dict()
+            elif kind == 1:
+                kw = dict(transforms=("subtract_green",))
+            elif kind == 2:
+                mw, mh = (w + 3) // 4, (h + 3) // 4
+                kw = dict(
+                    transforms=("predictor",),
+                    predictor_modes=data.draw(
+                        st.lists(
+                            st.integers(0, 13), min_size=mw * mh, max_size=mw * mh
+                        ),
+                        label="modes",
+                    ),
+                )
+            elif kind == 3:
+                kw = dict(use_lz77=True, cache_bits=data.draw(st.integers(1, 8)))
+            else:
+                kw = dict(meta_split=True)
+        out = decode_vp8l(make_webp(w, h, rgb, **kw))
+        assert out.tobytes() == rgb
+
+    roundtrip()
