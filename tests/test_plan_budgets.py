@@ -41,8 +41,10 @@ BUDGETS = {
     "mm_image_decode_jpeg": (1, 0, 1),
     "mm_image_decode_jpeg_prog": (1, 0, 1),
     "mm_audio_decode_flac": (1, 0, 1),
-    # r9 codec: one decode-parallelism exchange, ONE Python node
+    # r9 codecs: one decode-parallelism exchange, ONE Python node each
     "mm_image_decode_webp": (1, 0, 1),
+    "mm_image_decode_tiff": (1, 0, 1),
+    "mm_audio_decode_g711": (1, 0, 1),
     # r8 multimodal capstone: decode runs ONCE inside the checkpoint
     # (plan shows no scan/python nodes past it); downstream = dedup agg
     # + final rollup exchanges only
