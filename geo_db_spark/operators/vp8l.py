@@ -347,10 +347,12 @@ def _predict4(mode: int, lft, top, tl, tr):
         return tuple(
             _avg2(_avg2(lft[i], tl[i]), _avg2(top[i], tr[i])) for i in range(4)
         )
-    if mode == 11:  # Select: pa <= pb picks LEFT
+    if mode == 11:  # Select: spec returns LEFT only when pL < pT; tie -> TOP.
+        # With p = L + T - TL per channel, pL = sum|p-L| = sum|T-TL| and
+        # pT = sum|p-T| = sum|L-TL|.
         pa = sum(abs(top[i] - tl[i]) for i in range(4))
         pb = sum(abs(lft[i] - tl[i]) for i in range(4))
-        return lft if pa <= pb else top
+        return lft if pa < pb else top
     if mode == 12:  # ClampAddSubtractFull
         return tuple(_clamp255(lft[i] + top[i] - tl[i]) for i in range(4))
     if mode == 13:  # ClampAddSubtractHalf
@@ -416,9 +418,11 @@ def _inv_color_transform(img, elems, bits):
     for y in range(h):
         for x in range(w):
             e = int(elems[y >> bits, x >> bits])
-            g2r = _int8((e >> 16) & 0xFF)  # stored in RED channel
+            # Spec ("Color Transform"): the transform-image pixel packs
+            # red = red_to_blue, green = green_to_blue, blue = green_to_red.
+            g2r = _int8(e & 0xFF)  # stored in BLUE channel
             g2b = _int8((e >> 8) & 0xFF)  # GREEN channel
-            r2b = _int8(e & 0xFF)  # BLUE channel
+            r2b = _int8((e >> 16) & 0xFF)  # RED channel
             v = int(out[y, x])
             a = (v >> 24) & 0xFF
             r = (v >> 16) & 0xFF
@@ -935,8 +939,10 @@ def make_webp(
                 raise ValueError(
                     f"'color' needs color_elems of length {mw * mh}"
                 )
+            # Spec packing: red channel = red_to_blue, green = green_to_blue,
+            # blue = green_to_red.
             elem_px = [
-                (0xFF << 24) | ((g2r & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (r2b & 0xFF)
+                (0xFF << 24) | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
                 for (g2r, g2b, r2b) in color_elems
             ]
             _write_entropy_image(bw, elem_px, mw, level0=False)

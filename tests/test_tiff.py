@@ -150,3 +150,88 @@ def test_packbits_literal_group_boundary():
         packed = _packbits(data)
         assert _unpackbits(packed, n) == data, n
         assert 128 not in packed[:1]  # header bytes never the no-op
+
+
+# ---------------------------------------------------------------------------
+# Hand-built spec goldens (independent of make_tiff / _lzw_encode_tiff)
+#
+# The roundtrip matrix above shares the module's encoder twin, so a mirrored
+# deviation in both halves is invisible to it. Here both the LZW code stream
+# and the TIFF container are composed in the test from the Adobe TIFF 6.0
+# spec (§13 worked example; EarlyChange width-bump boundary), independent of
+# the module's bit-packing helpers.
+# ---------------------------------------------------------------------------
+
+
+def _pack_msb(codes, widths):
+    """Pack (code, width) pairs MSB-first, byte-padded with zeros."""
+    bits = []
+    for code, width in zip(codes, widths):
+        for i in range(width - 1, -1, -1):
+            bits.append((code >> i) & 1)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, b in enumerate(bits[i : i + 8]):
+            byte |= b << (7 - j)
+        out.append(byte)
+    return bytes(out)
+
+
+def _tiff_gray_lzw(w, h, strip: bytes) -> bytes:
+    """Minimal little-endian grayscale LZW TIFF container, composed by
+    hand: strip data at offset 8, IFD after it."""
+    import struct as _s
+
+    ifd_off = 8 + len(strip) + (len(strip) & 1)
+    entries = [
+        (256, 3, 1, w),  # ImageWidth
+        (257, 3, 1, h),  # ImageLength
+        (258, 3, 1, 8),  # BitsPerSample
+        (259, 3, 1, 5),  # Compression = LZW
+        (262, 3, 1, 1),  # Photometric = BlackIsZero
+        (273, 4, 1, 8),  # StripOffsets
+        (277, 3, 1, 1),  # SamplesPerPixel
+        (278, 3, 1, h),  # RowsPerStrip
+        (279, 4, 1, len(strip)),  # StripByteCounts
+    ]
+    out = bytearray(b"II*\x00")
+    out += _s.pack("<I", ifd_off)
+    out += strip
+    if len(strip) & 1:
+        out += b"\x00"
+    out += _s.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += _s.pack("<HHII", tag, typ, cnt, val)
+    out += _s.pack("<I", 0)
+    return bytes(out)
+
+
+def test_golden_lzw_spec_worked_example():
+    """The TIFF 6.0 §13 worked example: input 7 7 7 8 8 7 7 6 6 encodes
+    as codes 256(Clear) 7 258 8 8 258 6 6 257(EOI), all 9-bit (derived
+    by hand in this comment: '77'->258, '778'->259, '88'->260,
+    '87'->261, '776'->262, '66'->263; code 258 arrives as the KwKwK
+    case the first time). Packed MSB-first here, NOT by the module's
+    encoder."""
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    strip = _pack_msb(codes, [9] * len(codes))
+    out = decode_tiff(_tiff_gray_lzw(9, 1, strip))
+    assert out.shape == (1, 9, 3)
+    assert out[:, :, 0].ravel().tolist() == [7, 7, 7, 8, 8, 7, 7, 6, 6]
+
+
+def test_golden_lzw_earlychange_width_bump():
+    """EarlyChange boundary, hand-reasoned: after Clear the first
+    literal adds no table entry and each later code adds one, so after
+    253 literals the table holds 258 + 252 = 510 entries and the
+    decoder must read the NEXT code at 10 bits (one entry earlier than
+    table-full implies). 254 distinct-width codes: 253 literals at 9
+    bits, 1 literal + EOI at 10 bits. A decoder that bumps at 511
+    desynchronizes exactly at code #254."""
+    literals = [(i * 7 + 3) % 256 for i in range(254)]
+    codes = [256] + literals + [257]
+    widths = [9] * 254 + [10, 10]
+    strip = _pack_msb(codes, widths)
+    out = decode_tiff(_tiff_gray_lzw(254, 1, strip))
+    assert out[:, :, 0].ravel().tolist() == literals

@@ -263,3 +263,155 @@ def test_roundtrip_hypothesis_fuzz():
         assert out.tobytes() == rgb
 
     roundtrip()
+
+
+# ---------------------------------------------------------------------------
+# Hand-built spec goldens (independent of make_webp)
+#
+# The roundtrip suite above shares make_webp's forward pass with the decoder,
+# so a spec deviation mirrored in both is invisible to it. The streams below
+# are composed bit by bit IN THIS TEST from the published WebP Lossless
+# Bitstream spec, and the expected pixels are computed by hand in the
+# comments — they pin the color-transform channel layout (green_to_red lives
+# in the BLUE channel of the transform pixel, red_to_blue in the RED channel)
+# and the Select predictor's tie-toward-TOP, the two places where a mirrored
+# swap would otherwise roundtrip cleanly.
+# ---------------------------------------------------------------------------
+
+
+class _SpecBits:
+    """LSB-first bit packer, independent of the module's _BitWriter."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, v: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def simple_code(self, symbols: list[int]) -> None:
+        """Emit a simple Huffman code (1 or 2 symbols, first in 8 bits)."""
+        self.put(1, 1)  # simple
+        self.put(len(symbols) - 1, 1)
+        self.put(1, 1)  # first symbol in 8 bits
+        self.put(symbols[0], 8)
+        if len(symbols) == 2:
+            self.put(symbols[1], 8)
+
+    def vp8l(self) -> bytes:
+        data = bytearray(b"\x2f")
+        for i in range(0, len(self.bits), 8):
+            byte = 0
+            for j, b in enumerate(self.bits[i : i + 8]):
+                byte |= b << j
+            data.append(byte)
+        return _riff(bytes(data))
+
+
+def _put_subimage_1px(bw: _SpecBits, a: int, r: int, g: int, b: int) -> None:
+    """A 1x1 sub-image: no color cache, five 1-symbol simple codes
+    (each then costs zero bits per pixel)."""
+    bw.put(0, 1)  # no color cache
+    for sym in (g, r, b, a, 0):  # green, red, blue, alpha, distance
+        bw.simple_code([sym])
+
+
+def test_golden_color_transform_channel_layout():
+    """1x1 image + color transform whose element has three DISTINCT
+    multipliers: g2r=2, g2b=3, r2b=4. Spec packs the element pixel as
+    red=red_to_blue, green=green_to_blue, blue=green_to_red, i.e.
+    0xFF040302 here. Stored (residual) pixel: a=255 r=16 g=32 b=48.
+    Hand inverse per spec: g stays 32; r = 16 + ((2*32)>>5) = 18;
+    b = 48 + ((3*32)>>5) + ((4*int8(18))>>5) = 48 + 3 + 2 = 53.
+    A decoder with g2r/r2b swapped would produce (20, 32, 52)."""
+    bw = _SpecBits()
+    bw.put(0, 14)  # width - 1
+    bw.put(0, 14)  # height - 1
+    bw.put(0, 1)  # alpha hint
+    bw.put(0, 3)  # version
+    bw.put(1, 1)  # transform present
+    bw.put(1, 2)  # type = color transform
+    bw.put(0, 3)  # size bits - 2 -> 4x4 blocks (sub-image 1x1)
+    _put_subimage_1px(bw, 0xFF, 4, 3, 2)  # red=r2b=4, green=g2b=3, blue=g2r=2
+    bw.put(0, 1)  # no more transforms
+    bw.put(0, 1)  # no color cache
+    bw.put(0, 1)  # no meta-Huffman
+    for sym in (32, 16, 48, 255, 0):  # green, red, blue, alpha, distance
+        bw.simple_code([sym])
+    out = decode_vp8l(bw.vp8l())
+    assert out.shape == (1, 1, 3)
+    assert out[0, 0].tolist() == [18, 32, 53]
+
+
+def test_golden_color_transform_negative_multipliers():
+    """Same layout with negative multipliers to pin the arithmetic
+    (floor) shift on signed products: g2r=-2 (0xFE, blue channel),
+    g2b=5 (green), r2b=-3 (0xFD, red). Stored a=255 r=100 g=200 b=50.
+    Hand inverse: g_s = int8(200) = -56; r = 100 + ((-2*-56)>>5)
+    = 100 + 3 = 103; b = 50 + ((5*-56)>>5) + ((-3*int8(103))>>5)
+    = 50 + floor(-280/32) + floor(-309/32) = 50 - 9 - 10 = 31."""
+    bw = _SpecBits()
+    bw.put(0, 14)
+    bw.put(0, 14)
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)
+    bw.put(1, 2)  # color transform
+    bw.put(0, 3)
+    _put_subimage_1px(bw, 0xFF, 0xFD, 5, 0xFE)
+    bw.put(0, 1)
+    bw.put(0, 1)
+    bw.put(0, 1)
+    for sym in (200, 100, 50, 255, 0):
+        bw.simple_code([sym])
+    out = decode_vp8l(bw.vp8l())
+    assert out[0, 0].tolist() == [103, 200, 31]
+
+
+def test_golden_select_predictor_tie_picks_top():
+    """2x2 image, predictor transform, one block, mode 11 (Select).
+    Final pixels chosen so the (1,1) prediction is an exact tie:
+    TL=(255,10,10,10), T=(255,20,10,10), L=(255,10,20,10) gives
+    pL = sum|T-TL| = 10 = sum|L-TL| = pT with L != T; the spec's
+    Select returns L only when pL < pT, so the tie must pick TOP.
+    Stored residuals (final - pred, borders: (0,0) vs 0xff000000,
+    row 0 vs LEFT, column 0 vs TOP):
+      (0,0): (0,10,10,10)  (1,0): (0,10,0,0)
+      (0,1): (0,0,10,0)    (1,1): (0,10,10,10)
+    With TOP prediction the decoded (1,1) is (255,30,20,20); a
+    tie-toward-LEFT decoder would produce (255,20,30,20)."""
+    bw = _SpecBits()
+    bw.put(1, 14)  # width - 1 = 1
+    bw.put(1, 14)  # height - 1 = 1
+    bw.put(0, 1)
+    bw.put(0, 3)
+    bw.put(1, 1)  # transform present
+    bw.put(0, 2)  # type = predictor
+    bw.put(0, 3)  # size bits = 2 -> one 4x4 block
+    _put_subimage_1px(bw, 0xFF, 0, 11, 0)  # mode 11 in the GREEN channel
+    bw.put(0, 1)  # no more transforms
+    bw.put(0, 1)  # no color cache
+    bw.put(0, 1)  # no meta-Huffman
+    # Channel alphabets: green {0,10}, red {0,10}, blue {0,10}, alpha {0}.
+    # Canonical 1-bit codes: symbol 0 -> bit 0, symbol 10 -> bit 1.
+    bw.simple_code([0, 10])  # green
+    bw.simple_code([0, 10])  # red
+    bw.simple_code([0, 10])  # blue
+    bw.simple_code([0])  # alpha
+    bw.simple_code([0])  # distance
+    stored = [  # (green, red, blue) per pixel in scan order
+        (10, 10, 10),
+        (0, 10, 0),
+        (10, 0, 0),
+        (10, 10, 10),
+    ]
+    for g, r, b in stored:
+        bw.put(1 if g else 0, 1)
+        bw.put(1 if r else 0, 1)
+        bw.put(1 if b else 0, 1)
+    out = decode_vp8l(bw.vp8l())
+    assert out.shape == (2, 2, 3)
+    assert out[0, 0].tolist() == [10, 10, 10]
+    assert out[0, 1].tolist() == [20, 10, 10]
+    assert out[1, 0].tolist() == [10, 20, 10]
+    assert out[1, 1].tolist() == [30, 20, 20]
