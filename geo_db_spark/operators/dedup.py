@@ -354,6 +354,18 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 WINNOW_POS_BITS = 20  # selection key = hash * 2^20 + pos; docs < 1M chars
 
 
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    """Repartition to defaultParallelism ONLY when the input is under-
+    partitioned (the single-file test parquet would otherwise run the
+    whole per-char gram explode in one task). A production corpus that
+    already has >= defaultParallelism partitions keeps its layout —
+    the full (id, text) shuffle would be a pure no-op cost there."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= parallelism:
+        return docs
+    return docs.repartition(parallelism)
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 8,
@@ -392,8 +404,9 @@ def winnow_fingerprints(
     # single-file parquet, so without this the |text|-per-doc gram
     # materialization + md5 runs in ONE scan task (the decode-family
     # repartition lesson; measured: the 10x winnow run sat single-task
-    # for minutes). Skinny shuffle — only (id, text) moves, once.
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # for minutes). Skinny shuffle — only (id, text) moves, once, and
+    # only when the input is actually under-partitioned.
+    docs = _spread_docs(docs)
     n_grams = F.length(F.col(text_col)) - F.lit(k - 1)
     guarded_len = F.when(
         F.length(F.col(text_col)) < F.lit(1 << WINNOW_POS_BITS),
@@ -530,8 +543,8 @@ def cdc_chunks(
         raise ValueError(f"need k >= 1 and mask_bits >= 1: got {k}, {mask_bits}")
     mask = 1 << mask_bits
     # same single-file-input hazard as winnow_fingerprints: spread the
-    # docs before the per-char gram explode
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # docs before the per-char gram explode (no-op if already spread)
+    docs = _spread_docs(docs)
     n_grams = F.length(F.col(text_col)) - F.lit(k - 1)
     grams = docs.select(
         F.col(id_col).alias("id"),

@@ -115,3 +115,18 @@ def test_cdc_chunks_empty_and_bad_params(spark):
     assert cdc_chunks(docs, k=8, mask_bits=5).count() == 0
     with pytest.raises(ValueError, match="need k >= 1"):
         cdc_chunks(docs, k=0, mask_bits=5)
+
+
+def test_spread_docs_is_conditional(spark):
+    """_spread_docs only shuffles under-partitioned inputs: a frame
+    already at >= defaultParallelism partitions is returned unchanged
+    (identity — no Exchange added), while a 1-partition frame is spread."""
+    from geo_db_spark.operators.dedup import _spread_docs
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).repartition(1)
+    spread = _spread_docs(narrow)
+    assert spread.rdd.getNumPartitions() == par
+
+    wide = spark.range(100).repartition(par)
+    assert _spread_docs(wide) is wide
