@@ -217,11 +217,41 @@ def _containment_candidates(
     text_col: str,
     id_col: str,
     shingle_n: int,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The candidate-generation half of ``containment_join``, shared
     with the candidate-profile observability query so both see the
     SAME stream: returns (sh = (id, token) shingle rows, nsz = (id, n)
-    sizes, cand = distinct (id_a, id_b) prefix-filter survivors)."""
+    sizes, sets = per-doc sorted token arrays, cand = one row per
+    surviving (id_a, id_b) candidate pair carrying the grouped-filter
+    aggregates (k, pb_max, n_a, n_b) that the verification phase
+    reuses).
+
+    r10 — the grouped (cumulative) positional filter, the lever the r9
+    profile pointed at (it attributed the cost to candidates 275-1600x
+    hits). Instead of keeping a pair when ANY single prefix match
+    passes a per-row bound, the matches are aggregated per pair first
+    (the same shuffle the old .distinct() already paid) and bounds are
+    computed from the WHOLE match set. With S1 = shared tokens inside
+    A's probe prefix (every one of them is a match row, so k = |S1|
+    exactly) and S2 = shared tokens after A's prefix:
+
+      - every S2 token is strictly greater (global rarest-first order,
+        per-doc tokens distinct) than every S1 token, so in B it sits
+        strictly after pb_max = max pos_b over matches:
+        overlap = k + |S2| <= k + min(alpha - 1, n_b - pb_max)   (c1)
+      - the globally smallest common token of a truly qualifying pair
+        is always inside A's prefix (prefix-filter lemma), i.e. it IS
+        a match row, and all common tokens sit at/after it in B:
+        overlap <= n_b - pb_min + 1                              (c2)
+
+    Both are exact (any pair with overlap >= alpha = ceil(t|A|)
+    satisfies them), and c1/c2 together strictly dominate the r9
+    per-row index-side bound, which is therefore dropped from the join
+    condition. This is the set-level counterpart of Xiao WWW'08 §4's
+    suffix filtering: the recursive middle-token probe itself needs
+    both token arrays co-located per pair, which would push array
+    payloads through the candidate shuffle — the grouped bounds get
+    the candidate cut from aggregates the shuffle already carries."""
     num, den = threshold_num, threshold_den
     if not (0 < num <= den):
         raise ValueError(f"threshold must be in (0, 1]: got {num}/{den}")
@@ -272,31 +302,49 @@ def _containment_candidates(
     ).select(
         "id", "n", (F.col("pos0") + 1).alias("pos"), F.col("tk.token").alias("token")
     ).join(prefix_tokens, "token", "left_semi")
-    nsz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    # sizes come straight off the checkpointed sets frame (n is its
+    # token count) — r10: the old sh.groupBy re-aggregated the whole
+    # shingle stream for numbers sets already holds
+    nsz = sets.select("id", "n")
 
     a, b = probe.alias("a"), index.hint("merge").alias("b")
     alpha = F.expr(f"((a.n * {num}) + {den} - 1) div {den}")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.id") != F.col("b.id"))
-            # size filter: |B| >= ceil(t|A|)
-            & (F.col("b.n") >= alpha)
-            # positional, probe side: tokens of A at/after pos cover alpha
-            & (F.col("a.n") - F.col("a.pos") + 1 >= alpha)
-            # positional, INDEX side (r9, the r8 verdict's candidate-cut
-            # lever): all common tokens sit at/after the first common one
-            # in BOTH sorted lists, so 1 + (|B| - pos_b) bounds the
-            # overlap too. Exactness: the FIRST common token of a truly
-            # qualifying pair satisfies both bounds, so at least one
-            # match survives — the pair is still generated.
-            & (F.col("b.n") - F.col("b.pos") + 1 >= alpha),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    matches = a.join(
+        b,
+        (F.col("a.token") == F.col("b.token"))
+        & (F.col("a.id") != F.col("b.id"))
+        # size filter: |B| >= ceil(t|A|)
+        & (F.col("b.n") >= alpha)
+        # positional, probe side: tokens of A at/after pos cover alpha
+        # (implied by the prefix slice, kept for plan clarity)
+        & (F.col("a.n") - F.col("a.pos") + 1 >= alpha),
     )
-    return sh, nsz, cand
+    # the grouped positional filter (docstring c1/c2): one row per pair
+    # out of the SAME pair-keyed shuffle the old .distinct() paid, with
+    # map-side partial aggregation collapsing the per-token match rows
+    alpha_a = F.expr(f"((n_a * {num}) + {den} - 1) div {den}")
+    cand = (
+        matches.groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.min(F.col("b.pos")).alias("pb_min"),
+            F.max(F.col("b.pos")).alias("pb_max"),
+            F.first(F.col("a.n")).alias("n_a"),
+            F.first(F.col("b.n")).alias("n_b"),
+        )
+        # c2: overlap <= n_b - pos_b(smallest common token) + 1
+        .filter(F.col("n_b") - F.col("pb_min") + 1 >= alpha_a)
+        # c1: overlap = k + |S2| <= k + min(alpha - 1, n_b - pb_max)
+        .filter(
+            F.col("k")
+            + F.least(alpha_a - 1, F.col("n_b") - F.col("pb_max"))
+            >= alpha_a
+        )
+        .select("id_a", "id_b", "k", "pb_max", "n_a", "n_b")
+    )
+    return sh, nsz, sets, cand
 
 
 def containment_join(
@@ -326,26 +374,47 @@ def containment_join(
     prefix token survives the semi-join by construction).
 
     Filters in pure integer arithmetic like set_similarity_join:
-    size |B| >= ceil(t·|A|); positional on BOTH sides (r9 — the r8
-    profile measured candidates 275-1600x hits, so the index side now
-    carries its rank too): |A| - pos_a + 1 >= ceil(t·|A|) and
-    |B| - pos_b + 1 >= ceil(t·|A|). Exact: every common token sits
-    at/after the FIRST common token in both sorted lists, so that
-    token witnesses any truly qualifying pair under both bounds.
-    Verification counts the intersection over skinny (id, token) joins
-    (never array payloads). Returns (id_a, id_b, inter, n_a,
-    containment) for the qualifying ordered pairs."""
+    size |B| >= ceil(t·|A|), the probe-prefix positional bound, and
+    (r10) the GROUPED positional filters c1/c2 documented on
+    ``_containment_candidates``, which aggregate all prefix matches of
+    a pair before bounding its overlap — strictly stronger than any
+    per-row bound, at the shuffle the old pair-distinct already paid.
+
+    Verification (r10, prefix-skip): the candidate row already carries
+    k = |shared tokens inside A's probe prefix| EXACTLY (every such
+    token is a match row), so only the suffix remainder is counted:
+    A's tokens AFTER the prefix (alpha - 1 per doc instead of |A|)
+    joined against B's tokens — still skinny (id, token) joins, never
+    array payloads, but ~t·|A| fewer probe rows per candidate.
+    Returns (id_a, id_b, inter, n_a, containment) for the qualifying
+    ordered pairs."""
     num, den = threshold_num, threshold_den
-    sh, nsz, cand = _containment_candidates(
+    sh, nsz, sets, cand = _containment_candidates(
         docs, threshold_num, threshold_den, text_col, id_col, shingle_n
     )
-    a_tok = sh.select(F.col("id").alias("id_a"), "token")
+    # consumed by the k-rows branch AND the suffix-match branch: pin it
+    # so the candidate join + groupBy run once (the ids.py rule)
+    cand = cand.localCheckpoint(eager=True)
+    # A's suffix = everything after the probe prefix (alpha - 1 tokens)
+    plen = F.expr(f"n - ((n * {num} + {den} - 1) div {den}) + 1")
+    a_suf = sets.select(
+        F.col("id").alias("id_a"),
+        F.explode(F.slice("toks", plen + 1, F.col("n").cast("int"))).alias("tk"),
+    ).select("id_a", F.col("tk.token").alias("token"))
     b_tok = sh.select(F.col("id").alias("id_b"), "token")
-    inter = (
-        cand.join(a_tok, "id_a")
+    # overlap = k + |suffix matches|: a union into ONE pair-keyed
+    # aggregation (no cand-vs-cand self-join, no left-join null fill)
+    k_rows = cand.select("id_a", "id_b", F.col("k").alias("c"))
+    s2_rows = (
+        cand.select("id_a", "id_b")
+        .join(a_suf, "id_a")
         .join(b_tok, ["id_b", "token"])
+        .select("id_a", "id_b", F.lit(1).cast("long").alias("c"))
+    )
+    inter = (
+        k_rows.unionByName(s2_rows)
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.sum("c").alias("inter"))
     )
     return (
         inter.join(nsz.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
@@ -389,21 +458,33 @@ def containment_candidate_profile(
     inherent verification of an exact algorithm.
 
     Shares ``_containment_candidates`` with the join itself, so the
-    profiled stream IS the production stream; the candidate frame is
-    localCheckpoint'ed because both the per-class count and the
-    verification branch consume it (the ids.py double-compute rule)."""
+    profiled stream IS the production stream (r10: including the
+    grouped positional filters and the prefix-skip verification); the
+    candidate frame is localCheckpoint'ed because the per-class count
+    and both verification branches consume it (the ids.py
+    double-compute rule)."""
     num, den = threshold_num, threshold_den
-    sh, nsz, cand = _containment_candidates(
+    sh, nsz, sets, cand = _containment_candidates(
         docs, threshold_num, threshold_den, text_col, id_col, shingle_n
     )
     cand = cand.localCheckpoint(eager=True)
-    a_tok = sh.select(F.col("id").alias("id_a"), "token")
+    plen = F.expr(f"n - ((n * {num} + {den} - 1) div {den}) + 1")
+    a_suf = sets.select(
+        F.col("id").alias("id_a"),
+        F.explode(F.slice("toks", plen + 1, F.col("n").cast("int"))).alias("tk"),
+    ).select("id_a", F.col("tk.token").alias("token"))
     b_tok = sh.select(F.col("id").alias("id_b"), "token")
-    hits = (
-        cand.join(a_tok, "id_a")
+    k_rows = cand.select("id_a", "id_b", F.col("k").alias("c"))
+    s2_rows = (
+        cand.select("id_a", "id_b")
+        .join(a_suf, "id_a")
         .join(b_tok, ["id_b", "token"])
+        .select("id_a", "id_b", F.lit(1).cast("long").alias("c"))
+    )
+    hits = (
+        k_rows.unionByName(s2_rows)
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.sum("c").alias("inter"))
         .join(nsz.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
         .filter(F.col("inter") * den >= F.col("n_a") * num)
         .select("id_a")

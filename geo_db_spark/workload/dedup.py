@@ -555,14 +555,24 @@ pref AS (
   FROM ordd o JOIN szs s ON s.id = o.id
   WHERE o.pos <= s.n - ((s.n * 3 + 4) // 5) + 1
 ),
-cand AS (
-  SELECT DISTINCT p.id AS id_a, o.id AS id_b
+cand0 AS (
+  SELECT p.id AS id_a, o.id AS id_b,
+         COUNT(*) AS k,
+         MIN(o.pos) AS pb_min, MAX(o.pos) AS pb_max,
+         MAX(p.n) AS n_a, MAX(sb.n) AS n_b
   FROM pref p
   JOIN ordd o ON o.token = p.token AND o.id <> p.id
   JOIN szs sb ON sb.id = o.id
   WHERE sb.n >= (p.n * 3 + 4) // 5
-    -- r9 index-side positional filter: 1 + (|B| - pos_b) bounds overlap
-    AND sb.n - o.pos + 1 >= (p.n * 3 + 4) // 5
+  GROUP BY 1, 2
+),
+cand AS (
+  -- r10 grouped positional filters (simjoin.py c1/c2): c2 bounds the
+  -- overlap by B-positions at/after the smallest common token; c1 by
+  -- k exact prefix-region matches plus the suffix remainder
+  SELECT id_a, id_b FROM cand0
+  WHERE n_b - pb_min + 1 >= (n_a * 3 + 4) // 5
+    AND k + least((n_a * 3 + 4) // 5 - 1, n_b - pb_max) >= (n_a * 3 + 4) // 5
 ),
 hits AS (
   SELECT a.id AS id_a
