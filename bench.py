@@ -129,6 +129,8 @@ TIER2 = [
     "dedup_cdc_chunk_dupes",
     "mm_audio_decode_g711",
     "mm_image_decode_tiff",
+    # r10 additions
+    "mm_image_decode_g4",
 ]
 
 

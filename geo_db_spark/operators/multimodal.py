@@ -67,7 +67,8 @@ def decode_image(payload: bytes):
     WebP-lossless VP8L (operators/vp8l.py, r9; lossy VP8 raises
     NotImplementedError inside the VP8L module) and TIFF
     (operators/tiff.py, r9: none/PackBits/LZW, predictor, both byte
-    orders, gray/RGB/palette)."""
+    orders, gray/RGB/palette; r10: CCITT Group 4 fax bilevel via
+    operators/ccitt.py)."""
     if payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if payload[:2] == b"BM":

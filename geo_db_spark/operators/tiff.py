@@ -145,17 +145,27 @@ def decode_tiff(payload: bytes):
     rows_per_strip = one(278, h)
     predictor = one(317, 1)
     planar = one(284, 1)
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"only 8-bit TIFF samples supported: {bits}")
     if planar != 1:
         raise NotImplementedError("planar configuration 2 not supported")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF not supported")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 4, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} needs a codec library (1/5/32773 decode)"
+            f"TIFF compression {comp} needs a codec library (1/4/5/32773 decode)"
         )
-    if photo not in (1, 2, 3):
+    if comp == 4:
+        # CCITT Group 4 (T.6) bilevel — r10, closes the fax-corpus gap
+        if bits != [1]:
+            raise ValueError(f"G4 TIFF must be 1 bit/sample: {bits}")
+        if spp != 1:
+            raise ValueError("G4 TIFF must be 1 sample per pixel")
+        if photo not in (0, 1):
+            raise ValueError(f"G4 TIFF needs bilevel photometric: {photo}")
+        if one(293, 0) != 0:  # T6Options: uncompressed-mode bit
+            raise NotImplementedError("T.6 uncompressed mode not supported")
+    elif any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit TIFF samples supported: {bits}")
+    if comp != 4 and photo not in (1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo} not supported")
     if photo == 2 and spp < 3:
         raise ValueError("RGB TIFF needs >= 3 samples per pixel")
@@ -181,8 +191,20 @@ def decode_tiff(payload: bytes):
             raw += body[:expected]
         elif comp == 32773:
             raw += _unpackbits(body, expected)
+        elif comp == 4:
+            # strips restart the all-white reference line (TIFF 6.0 §11)
+            from geo_db_spark.operators.ccitt import decode_g4
+
+            raw += decode_g4(body, w, strip_rows)
         else:
             raw += _lzw_decode_tiff(body, expected)
+    if comp == 4:
+        # raw holds one 0/1 sample byte per pixel; photometric 0
+        # (WhiteIsZero, the fax default) images 1-bits as black
+        bl = np.frombuffer(bytes(raw), np.uint8).reshape(h, w)
+        black = bl == 1 if photo == 0 else bl == 0
+        gray = np.where(black, 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
     arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
     if predictor == 2:
         # horizontal differencing is applied per ROW per SAMPLE: undo
@@ -292,19 +314,42 @@ def make_tiff(
     rows_per_strip: int | None = None,
 ) -> bytes:
     """Assemble a real stripped RGB TIFF from raw RGB bytes.
-    ``compression``: 'none' / 'packbits' / 'lzw'; ``predictor`` applies
-    horizontal differencing (LZW's usual companion); ``rows_per_strip``
-    splits the image into multiple strips. decode ∘ make_tiff is the
-    identity — the roundtrip-oracle contract."""
+    ``compression``: 'none' / 'packbits' / 'lzw' / 'g4' (CCITT Group 4
+    bilevel, photometric 0, 1 bit/sample — input pixels must be pure
+    black/white so decode ∘ make_tiff stays the identity);
+    ``predictor`` applies horizontal differencing (LZW's usual
+    companion); ``rows_per_strip`` splits the image into multiple
+    strips. decode ∘ make_tiff is the identity — the roundtrip-oracle
+    contract."""
     import numpy as np
 
     if len(rgb_bytes) != width * height * 3:
         raise ValueError("rgb byte count does not match dimensions")
-    if compression not in ("none", "packbits", "lzw"):
+    if compression not in ("none", "packbits", "lzw", "g4"):
         raise ValueError(f"unknown compression {compression!r}")
     e = ">" if big_endian else "<"
     rps = rows_per_strip or height
     arr = np.frombuffer(rgb_bytes, np.uint8).reshape(height, width, 3)
+    if compression == "g4":
+        from geo_db_spark.operators.ccitt import encode_g4
+
+        if predictor:
+            raise ValueError("g4 has no predictor")
+        if not np.isin(arr, (0, 255)).all() or (arr != arr[:, :, :1]).any():
+            raise ValueError(
+                "g4 needs pure black/white pixels (lossless contract)"
+            )
+        bil = (arr[:, :, 0] == 0).astype(np.uint8)  # photometric 0: 1=black
+        strips = []
+        for y0 in range(0, height, rps):
+            block = bil[y0 : y0 + rps]
+            strips.append(
+                encode_g4(block.tobytes(), width, block.shape[0])
+            )
+        return _assemble_tiff(
+            width, height, strips, e, rps,
+            bits=[1], comp_tag=4, photo=0, spp=1, predictor=False,
+        )
     if predictor:
         diffed = arr.astype(np.int16)
         diffed[:, 1:, :] = diffed[:, 1:, :] - arr[:, :-1, :].astype(np.int16)
@@ -319,6 +364,26 @@ def make_tiff(
         strips.append(body)
 
     comp_tag = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    return _assemble_tiff(
+        width, height, strips, e, rps,
+        bits=[8, 8, 8], comp_tag=comp_tag, photo=2, spp=3,
+        predictor=predictor,
+    )
+
+
+def _assemble_tiff(
+    width: int,
+    height: int,
+    strips: list[bytes],
+    e: str,
+    rps: int,
+    bits: list[int],
+    comp_tag: int,
+    photo: int,
+    spp: int,
+    predictor: bool,
+) -> bytes:
+    """Shared IFD/strip-layout assembly for make_tiff's variants."""
     n_strips = len(strips)
     entries = []  # (tag, type, count, value_or_bytes)
 
@@ -328,11 +393,11 @@ def make_tiff(
 
     entry(256, 3, [width])
     entry(257, 3, [height])
-    entry(258, 3, [8, 8, 8])
+    entry(258, 3, bits)
     entry(259, 3, [comp_tag])
-    entry(262, 3, [2])  # RGB
+    entry(262, 3, [photo])
     entry(273, 4, [0] * n_strips)  # patched below
-    entry(277, 3, [3])
+    entry(277, 3, [spp])
     entry(278, 3, [rps])
     entry(279, 4, [len(s) for s in strips])
     if predictor:
@@ -360,7 +425,7 @@ def make_tiff(
         pos += len(s) + (len(s) & 1)
 
     out = bytearray()
-    out += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(e + "I", ifd_off)
+    out += (b"MM\x00*" if e == ">" else b"II*\x00") + struct.pack(e + "I", ifd_off)
     out += struct.pack(e + "H", len(entries))
     for tag, typ, vals in entries:
         if tag == 273:

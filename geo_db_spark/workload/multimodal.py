@@ -1306,3 +1306,114 @@ def mm_image_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mm_image_decode_tiff"] = mm_image_decode_tiff
 ORACLES["mm_image_decode_tiff"] = ORACLE_MM_IMAGE_DECODE
+
+G4_W = 32  # raster width of the synthetic fax corpus (min doc is 44 chars)
+
+
+def mm_image_decode_g4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT Group 4 TIFF end-to-end (r10; ITU-T T.6, the scanned-
+    document fax compression — closes the r9 verdict gap at the old
+    tiff.py NotImplementedError): each document's text becomes a
+    32-wide BILEVEL raster (pixel black iff the byte is odd), encoded
+    as a real Compression=4 TIFF (operators/ccitt.py via make_tiff)
+    and decoded back in one Arrow-batched mapInPandas pass. Per-doc
+    option cycling covers both byte orders and a multi-strip case
+    (strips restart the T.6 reference row). Lossless, so the oracle
+    reproduces dims + the md5 of the '0'/'1' pixel string straight
+    from the text bytes — a wrong MH table cell, mode codeword, or
+    reference-line rule flips the value hash."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_image
+    from geo_db_spark.operators.tiff import make_tiff
+
+    tune(spark)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= G4_W)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bits_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        variants = [
+            dict(),
+            dict(big_endian=True),
+            dict(rows_per_strip=2),
+            dict(big_endian=True, rows_per_strip=3),
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char raster/oracle arithmetic"
+                    )
+                h = len(raw) // G4_W
+                bits = np.frombuffer(raw[: h * G4_W], np.uint8) % 2
+                bits = bits.reshape(h, G4_W)
+                rgb = np.repeat(
+                    np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None],
+                    3,
+                    axis=2,
+                )
+                tif = make_tiff(
+                    G4_W, h, rgb.tobytes(), compression="g4",
+                    **variants[int(doc_id) % 4],
+                )
+                arr = decode_image(tif)
+                dec_bits = (arr[:, :, 0] == 0).astype(np.uint8)
+                s = "".join("1" if b else "0" for b in dec_bits.ravel())
+                rows.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     hashlib.md5(s.encode()).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "bits_md5"]
+            )
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+ORACLE_MM_IMAGE_DECODE_G4 = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         octet_length(encode(text)) // {G4_W} AS h
+  FROM documents
+  WHERE length(text) >= {G4_W}
+),
+g AS (
+  SELECT doc_id, h, text, unnest(range(1, h * {G4_W} + 1)) AS pos FROM d
+),
+b AS (
+  SELECT doc_id, h, pos,
+         CASE WHEN ascii(substr(text, CAST(pos AS INT), 1)) % 2 = 1
+              THEN '1' ELSE '0' END AS bit
+  FROM g
+)
+SELECT doc_id,
+       CAST({G4_W} AS INT) AS width,
+       CAST(h AS INT) AS height,
+       md5(string_agg(bit, '' ORDER BY pos)) AS bits_md5
+FROM b GROUP BY doc_id, h
+"""
+
+QUERIES["mm_image_decode_g4"] = mm_image_decode_g4
+ORACLES["mm_image_decode_g4"] = ORACLE_MM_IMAGE_DECODE_G4

@@ -1,0 +1,188 @@
+"""CCITT Group 4 (ITU-T T.6) codec tests: structural soundness of the
+transcribed T.4 tables (prefix-freeness, completeness vs the spec
+counts, Kraft sums), well-known anchor codewords, hand-composed golden
+streams decoded independently of the encoder twin, roundtrip fuzz over
+run-length and mode space (makeup codes, 2560+ runs, pass/vertical
+structure), and the TIFF Compression=4 integration."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from geo_db_spark.operators.ccitt import (
+    BLACK_MAKEUP,
+    BLACK_TERM,
+    EOL,
+    EXT_MAKEUP,
+    MODE_CODES,
+    WHITE_MAKEUP,
+    WHITE_TERM,
+    decode_g4,
+    encode_g4,
+)
+from geo_db_spark.operators.tiff import decode_tiff, make_tiff
+
+
+def _prefix_violation(codes):
+    codes = sorted(codes, key=len)
+    for i, c in enumerate(codes):
+        for d in codes[i + 1 :]:
+            if d != c and d.startswith(c):
+                return (c, d)
+    return None
+
+
+def test_tables_structurally_sound():
+    """T.4 Tables 1-3: 64 terminating codes per color, 27 makeups per
+    color, 13 shared extended makeups; each full alphabet (plus EOL)
+    prefix-free; Kraft sum < 1 with the deficit being exactly the
+    reserved extension space."""
+    assert len(WHITE_TERM) == 64 and len(BLACK_TERM) == 64
+    assert len(WHITE_MAKEUP) == 27 and len(BLACK_MAKEUP) == 27
+    assert len(EXT_MAKEUP) == 13
+    assert sorted(WHITE_TERM) == list(range(64))
+    assert sorted(WHITE_MAKEUP) == [64 * i for i in range(1, 28)]
+    assert sorted(BLACK_MAKEUP) == [64 * i for i in range(1, 28)]
+    assert sorted(EXT_MAKEUP) == [1792 + 64 * i for i in range(13)]
+    w = list(WHITE_TERM.values()) + list(WHITE_MAKEUP.values()) + list(
+        EXT_MAKEUP.values()
+    ) + [EOL]
+    b = list(BLACK_TERM.values()) + list(BLACK_MAKEUP.values()) + list(
+        EXT_MAKEUP.values()
+    ) + [EOL]
+    assert _prefix_violation(w) is None
+    assert _prefix_violation(b) is None
+    assert _prefix_violation(list(MODE_CODES.keys())) is None
+    assert len(set(w)) == len(w) and len(set(b)) == len(b)
+    kw = sum(2.0 ** -len(c) for c in w)
+    kb = sum(2.0 ** -len(c) for c in b)
+    assert kw < 1 and kb < 1
+
+
+def test_anchor_codewords():
+    """Spot-pins against the published tables — the cells most often
+    quoted in the public literature."""
+    assert WHITE_TERM[0] == "00110101"
+    assert WHITE_TERM[1] == "000111"
+    assert WHITE_TERM[63] == "00110100"
+    assert BLACK_TERM[0] == "0000110111"
+    assert BLACK_TERM[1] == "010"
+    assert BLACK_TERM[2] == "11"
+    assert BLACK_TERM[3] == "10"
+    assert WHITE_MAKEUP[64] == "11011"
+    assert WHITE_MAKEUP[1664] == "011000"
+    assert WHITE_MAKEUP[1728] == "010011011"
+    assert BLACK_MAKEUP[64] == "0000001111"
+    assert EXT_MAKEUP[1792] == "00000001000"
+    assert EXT_MAKEUP[2560] == "000000011111"
+    assert MODE_CODES["1"] == ("V", 0)
+    assert MODE_CODES["0001"] == ("P", None)
+    assert MODE_CODES["001"] == ("H", None)
+    assert EOL == "000000000001"
+
+
+def _bits_to_bytes(s: str) -> bytes:
+    s += "0" * ((-len(s)) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def test_golden_hand_composed_h_and_v_modes():
+    """8x2 stream composed by hand (NOT via encode_g4). Row 1
+    (00111000): H with white-2 ('0111') + black-3 ('10'), then V0
+    closing the trailing white at b1=8. Row 2 (01111000) against
+    ref=[2,5,8]: VL1 (a1=1), V0 (a1=5), V0 (a1=8)."""
+    bits = "001" + "0111" + "10" + "1" + "010" + "1" + "1"
+    out = decode_g4(_bits_to_bytes(bits), 8, 2)
+    assert list(out[:8]) == [0, 0, 1, 1, 1, 0, 0, 0]
+    assert list(out[8:]) == [0, 1, 1, 1, 1, 0, 0, 0]
+
+
+def test_golden_hand_composed_pass_mode():
+    """8x2 stream with Pass mode. Row 1 (11100111): H with white-0
+    ('00110101') + black-3 ('10'), then H with white-2 ('0111') +
+    black-3 ('10'). Row 2 all white against ref=[0,3,5,8]: Pass
+    (a0->3), Pass (a0->8)."""
+    bits = "001" + "00110101" + "10" + "001" + "0111" + "10" + "0001" + "0001"
+    out = decode_g4(_bits_to_bytes(bits), 8, 2)
+    assert list(out[:8]) == [1, 1, 1, 0, 0, 1, 1, 1]
+    assert list(out[8:]) == [0] * 8
+
+
+def test_golden_hand_composed_makeup_runs():
+    """192x1: H with white 128 (makeup '10010' + term-0 '00110101')
+    and black 64 (makeup '0000001111' + term-0 '0000110111')."""
+    bits = "001" + "10010" + "00110101" + "0000001111" + "0000110111"
+    out = decode_g4(_bits_to_bytes(bits), 192, 1)
+    assert list(out) == [0] * 128 + [1] * 64
+
+
+def test_eofb_tolerated_and_garbage_refused():
+    px = bytes([0, 1] * 4)
+    enc = encode_g4(px, 8, 1, with_eofb=True)
+    assert decode_g4(enc, 8, 1) == px
+    with pytest.raises(ValueError):
+        decode_g4(b"\x00\x00\x00\x00\x00\x00", 8, 2)
+
+
+def test_roundtrip_fuzz():
+    rng = random.Random(1234)
+    for trial in range(200):
+        w = rng.choice([1, 2, 3, 5, 8, 17, 64, 100, 257])
+        h = rng.choice([1, 2, 3, 7, 16])
+        kind = trial % 5
+        if kind == 0:
+            px = bytes(rng.choice([0, 1]) for _ in range(w * h))
+        elif kind == 1:
+            px = bytes(w * h)
+        elif kind == 2:
+            px = bytes([1]) * (w * h)
+        elif kind == 3:  # run-structured rows (makeup-code space)
+            buf = bytearray()
+            while len(buf) < w * h:
+                buf += bytes([rng.choice([0, 1])]) * rng.randint(1, w)
+            px = bytes(buf[: w * h])
+        else:  # vertically correlated (V/P mode space)
+            base = [rng.choice([0, 1]) for _ in range(w)]
+            buf = bytearray()
+            for _ in range(h):
+                if rng.random() < 0.4:
+                    base[rng.randrange(w)] ^= 1
+                buf += bytes(base)
+            px = bytes(buf)
+        assert decode_g4(encode_g4(px, w, h), w, h) == px, (trial, w, h)
+
+
+def test_roundtrip_extended_makeup_2560():
+    """Runs beyond 2560 need chained extended makeups."""
+    px = bytes([1]) * 2800 + bytes(2800) + bytes([1]) * 100 + bytes(2700)
+    assert decode_g4(encode_g4(px, 8400, 1), 8400, 1) == px
+    px2 = bytes(5700) + bytes([1]) * 2700
+    assert decode_g4(encode_g4(px2, 8400, 1), 8400, 1) == px2
+
+
+def test_tiff_g4_integration():
+    """Compression=4 TIFF end-to-end through make_tiff/decode_tiff,
+    both byte orders, multi-strip (strips restart the reference row)."""
+    rng = np.random.RandomState(5)
+    for w, h, rps, be in [(64, 9, None, False), (17, 8, 3, True), (130, 5, 2, False)]:
+        bits = rng.randint(0, 2, (h, w)).astype(np.uint8)
+        rgb = np.repeat(
+            np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+        )
+        tif = make_tiff(
+            w, h, rgb.tobytes(), compression="g4",
+            rows_per_strip=rps, big_endian=be,
+        )
+        out = decode_tiff(tif)
+        assert out.shape == (h, w, 3)
+        assert (out == rgb).all()
+
+
+def test_tiff_g4_refusals():
+    with pytest.raises(ValueError):
+        make_tiff(2, 1, bytes([1, 2, 3, 0, 0, 0]), compression="g4")
+    with pytest.raises(ValueError):
+        make_tiff(2, 1, bytes([0, 0, 0, 255, 255, 255]), compression="g4", predictor=True)

@@ -124,18 +124,16 @@ def test_tiff_dispatcher_and_refusals():
     assert decode_image(make_tiff(2, 2, rgb, big_endian=True)).tobytes() == rgb
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff(b"II+\x00garbage")
-    # CCITT G4 compression refuses loudly
-    bad = bytearray(make_tiff(2, 2, rgb))
-    # compression tag value lives in the IFD; rebuild with a hand image
-    g4 = _hand_tiff(1, 2, 2, bytes(4))
-    g4 = bytearray(g4)
+    # CCITT G4 is decoded since r10 (tests/test_ccitt.py) — but a G4
+    # compression tag on an 8-bit/3-sample image refuses loudly
+    g4 = bytearray(_hand_tiff(1, 2, 2, bytes(4)))
     # find the 259 entry and set its value to 4 (CCITT G4)
     n = struct.unpack_from("<H", g4, 8)[0]
     for i in range(n):
         off = 10 + 12 * i
         if struct.unpack_from("<H", g4, off)[0] == 259:
             struct.pack_into("<H", g4, off + 8, 4)
-    with pytest.raises(NotImplementedError, match="compression 4"):
+    with pytest.raises(ValueError, match="1 bit/sample"):
         decode_tiff(bytes(g4))
     with pytest.raises(ValueError, match="does not match"):
         make_tiff(2, 2, b"\x00" * 11)
