@@ -187,6 +187,8 @@ def bpe_train_merges(
     count_col: str = "n",
     batch_m: int = 1,
     cand_k: int | None = None,
+    round_log: list | None = None,
+    max_merges: int | None = None,
 ) -> list[tuple[str, str, str, int]]:
     """Distributed BPE merge training (Sennrich, Haddow & Birch, ACL
     2016 "Neural Machine Translation of Rare Words with Subword Units"
@@ -234,6 +236,14 @@ def bpe_train_merges(
     frequency mass per round — beyond that, scheduler overhead
     dominates regardless of data size. This trainer is for
     corpus-bound merge tables, not full production vocabularies.
+
+    ``round_log``, if given, receives one (achieved_merges,
+    candidates_seen) tuple per executed round — the observability the
+    saturation demo (scripts/bench_bpe_scale.py) plots to show where
+    conservative disjoint selection stops filling batch_m.
+    ``max_merges`` stops the loop once that many merges are learned
+    (the final round may overshoot by < batch_m; the overshoot is
+    truncated so the returned table is exactly max_merges long).
     """
     if batch_m < 1:
         raise ValueError(f"need batch_m >= 1: got {batch_m}")
@@ -289,10 +299,14 @@ def bpe_train_merges(
             if len(chosen) < batch_m and all(not (tri & p) for p in prior):
                 chosen.append((a, b, c))
             prior.append(tri)
+        if round_log is not None:
+            round_log.append((len(chosen), len(top)))
         col = F.col("e")
         for a, b, c in chosen:
             merges.append((a, b, a + b, c))
             # F.replace with literals, never SQL-string interpolation
             col = F.replace(col, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
         enc = enc.select(col.alias("e"), "cnt").localCheckpoint(eager=True)
+        if max_merges is not None and len(merges) >= max_merges:
+            return merges[:max_merges]
     return merges
