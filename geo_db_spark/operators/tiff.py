@@ -2,14 +2,20 @@
 public Adobe TIFF 6.0 specification) — the scanned-document corpus
 format next to PNG/JPEG/WebP.
 
-Scope: both byte orders (II/MM), stripped images, 8-bit samples,
-PhotometricInterpretation 1 (grayscale BlackIsZero, widened to RGB),
-2 (RGB) and 3 (palette via ColorMap), Compression 1 (none), 32773
-(PackBits) and 5 (TIFF-LZW — MSB-first codes, 256=Clear/257=EOI, the
-spec's EarlyChange width bump one code early), Predictor 2 (horizontal
-differencing). Multi-strip images honored via RowsPerStrip. Honest
-NotImplementedError: tiled images, 1/4/16-bit samples, CCITT/JPEG
-compressions, planar configuration 2.
+Scope: both byte orders (II/MM), stripped AND tiled images (§15 —
+TileWidth/TileLength grids, overhanging edge tiles padded to full tile
+size), planar configuration 1 (chunky) and 2 (separate component
+planes, §14's "StripsPerImage strips per component, component 0
+first" layout, tiles likewise), 8-bit samples, PhotometricInterpretation
+1 (grayscale BlackIsZero, widened to RGB), 2 (RGB) and 3 (palette via
+ColorMap), Compression 1 (none), 32773 (PackBits), 5 (TIFF-LZW —
+MSB-first codes, 256=Clear/257=EOI, the spec's EarlyChange width bump
+one code early) and 4 (CCITT Group 4 via operators/ccitt.py),
+Predictor 2 (horizontal differencing — restarting per strip/tile row,
+which is why the undo runs per decompressed unit, not on the
+assembled raster). Multi-strip images honored via RowsPerStrip.
+Honest NotImplementedError: 1/4/16-bit non-G4 samples, JPEG-in-TIFF
+compressions.
 
 Citations: Adobe "TIFF Revision 6.0" (1992, public); the LZW variant
 is §13 (note the MSB-first packing and EarlyChange — both DIFFER from
@@ -145,73 +151,120 @@ def decode_tiff(payload: bytes):
     rows_per_strip = one(278, h)
     predictor = one(317, 1)
     planar = one(284, 1)
-    if planar != 1:
-        raise NotImplementedError("planar configuration 2 not supported")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported")
-    if comp not in (1, 4, 5, 32773):
+    if planar not in (1, 2):
+        raise ValueError(f"bad TIFF planar configuration {planar}")
+    if planar == 2 and spp == 1:
+        planar = 1  # §14: with one sample the two layouts coincide
+    tiled = 322 in tags or 323 in tags
+    if comp not in (1, 2, 3, 4, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} needs a codec library (1/4/5/32773 decode)"
+            f"TIFF compression {comp} needs a codec library (1/2/3/4/5/32773 decode)"
         )
-    if comp == 4:
-        # CCITT Group 4 (T.6) bilevel — r10, closes the fax-corpus gap
+    fax = comp in (2, 3, 4)
+    g3_two_d = False
+    if fax:
+        # CCITT fax bilevel — G4 (T.6) r10, G3/MH (T.4) late r10
         if bits != [1]:
-            raise ValueError(f"G4 TIFF must be 1 bit/sample: {bits}")
+            raise ValueError(f"fax TIFF must be 1 bit/sample: {bits}")
         if spp != 1:
-            raise ValueError("G4 TIFF must be 1 sample per pixel")
+            raise ValueError("fax TIFF must be 1 sample per pixel")
         if photo not in (0, 1):
-            raise ValueError(f"G4 TIFF needs bilevel photometric: {photo}")
-        if one(293, 0) != 0:  # T6Options: uncompressed-mode bit
+            raise ValueError(f"fax TIFF needs bilevel photometric: {photo}")
+        if comp == 4 and one(293, 0) != 0:  # T6Options: uncompressed mode
             raise NotImplementedError("T.6 uncompressed mode not supported")
+        if comp == 3:
+            t4opts = one(292, 0)
+            if t4opts & 2:
+                raise NotImplementedError("T.4 uncompressed mode not supported")
+            g3_two_d = bool(t4opts & 1)
     elif any(b != 8 for b in bits):
         raise NotImplementedError(f"only 8-bit TIFF samples supported: {bits}")
-    if comp != 4 and photo not in (1, 2, 3):
+    if not fax and photo not in (1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photo} not supported")
     if photo == 2 and spp < 3:
         raise ValueError("RGB TIFF needs >= 3 samples per pixel")
     if photo in (1, 3) and spp != 1:
         raise ValueError("grayscale/palette TIFF must be 1 sample per pixel")
 
-    offsets = tags.get(273)
-    counts = tags.get(279)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+    # ---- unit geometry: one entry per strip/tile, in offset order ----
+    # Each unit is (y0, x0, rows, cols, plane): where its decompressed
+    # pixels land on the canvas. planar=2 stores all units of component
+    # 0 first, then component 1, ... (§14); tiles go left-to-right,
+    # top-to-bottom (§15), and EDGE tiles are encoded at FULL tile size
+    # (the overhang is padding), so tile units always claim (tl, tw) —
+    # the padded canvas is cropped to (h, w) at the end.
+    unit_spp = 1 if planar == 2 else spp
+    nplanes = spp if planar == 2 else 1
+    unit_geom: list[tuple[int, int, int, int, int]] = []
+    if tiled:
+        tw, tl = one(322), one(323)
+        offsets, counts = tags.get(324), tags.get(325)
+        ta, td = -(-w // tw), -(-h // tl)
+        for p in range(nplanes):
+            for i in range(ta * td):
+                ty, tx = divmod(i, ta)
+                unit_geom.append((ty * tl, tx * tw, tl, tw, p))
+        canvas_h, canvas_w = td * tl, ta * tw
+    else:
+        offsets, counts = tags.get(273), tags.get(279)
+        for p in range(nplanes):
+            y0 = 0
+            while y0 < h:
+                rows = min(rows_per_strip, h - y0)
+                unit_geom.append((y0, 0, rows, w, p))
+                y0 += rows
+        canvas_h, canvas_w = h, w
     if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing/inconsistent strip offsets or byte counts")
-    raw = bytearray()
-    remaining_rows = h
-    for s, (so, sc) in enumerate(zip(offsets, counts)):
-        strip_rows = min(rows_per_strip, remaining_rows)
-        remaining_rows -= strip_rows
-        expected = strip_rows * w * spp
+        raise ValueError("TIFF missing/inconsistent strip/tile offsets or counts")
+    if len(offsets) != len(unit_geom):
+        raise ValueError(
+            f"TIFF expects {len(unit_geom)} strips/tiles, IFD lists {len(offsets)}"
+        )
+
+    canvas = np.zeros((canvas_h, canvas_w, spp), np.uint8)
+    for (y0, x0, rows, cols, p), so, sc in zip(unit_geom, offsets, counts):
+        expected = rows * cols * unit_spp
         body = payload[so : so + sc]
         if len(body) < sc:
-            raise ValueError("TIFF strip data truncated")
+            raise ValueError("TIFF strip/tile data truncated")
         if comp == 1:
             if len(body) < expected:
-                raise ValueError("TIFF uncompressed strip truncated")
-            raw += body[:expected]
+                raise ValueError("TIFF uncompressed strip/tile truncated")
+            data = body[:expected]
         elif comp == 32773:
-            raw += _unpackbits(body, expected)
-        elif comp == 4:
-            # strips restart the all-white reference line (TIFF 6.0 §11)
-            from geo_db_spark.operators.ccitt import decode_g4
+            data = _unpackbits(body, expected)
+        elif fax:
+            # each strip/tile restarts the all-white reference line
+            # (TIFF 6.0 §10-11); yields one 0/1 sample byte per pixel
+            from geo_db_spark.operators.ccitt import decode_g3, decode_g4, decode_mh
 
-            raw += decode_g4(body, w, strip_rows)
+            if comp == 4:
+                data = decode_g4(body, cols, rows)
+            elif comp == 3:
+                data = decode_g3(body, cols, rows, two_d=g3_two_d)
+            else:
+                data = decode_mh(body, cols, rows)
         else:
-            raw += _lzw_decode_tiff(body, expected)
-    if comp == 4:
-        # raw holds one 0/1 sample byte per pixel; photometric 0
-        # (WhiteIsZero, the fax default) images 1-bits as black
-        bl = np.frombuffer(bytes(raw), np.uint8).reshape(h, w)
+            data = _lzw_decode_tiff(body, expected)
+        unit = np.frombuffer(data, np.uint8).reshape(rows, cols, unit_spp)
+        if predictor == 2 and not fax:
+            # horizontal differencing restarts per strip/tile row per
+            # sample: undo with a cumulative sum mod 256 inside the unit
+            unit = np.cumsum(unit.astype(np.uint32), axis=1).astype(np.uint8)
+        if planar == 2:
+            canvas[y0 : y0 + rows, x0 : x0 + cols, p] = unit[:, :, 0]
+        else:
+            canvas[y0 : y0 + rows, x0 : x0 + cols, :] = unit
+    arr = canvas[:h, :w]
+    if fax:
+        # photometric 0 (WhiteIsZero, the fax default) images 1-bits
+        # as black
+        bl = arr[:, :, 0]
         black = bl == 1 if photo == 0 else bl == 0
         gray = np.where(black, 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.repeat(gray[:, :, None], 3, axis=2))
-    arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
-    if predictor == 2:
-        # horizontal differencing is applied per ROW per SAMPLE: undo
-        # with a cumulative sum mod 256
-        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
-    elif predictor != 1:
-        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     if photo == 2:
         return np.ascontiguousarray(arr[:, :, :3])
     if photo == 1:
@@ -312,62 +365,107 @@ def make_tiff(
     predictor: bool = False,
     big_endian: bool = False,
     rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None,
+    planar: int = 1,
 ) -> bytes:
-    """Assemble a real stripped RGB TIFF from raw RGB bytes.
-    ``compression``: 'none' / 'packbits' / 'lzw' / 'g4' (CCITT Group 4
-    bilevel, photometric 0, 1 bit/sample — input pixels must be pure
-    black/white so decode ∘ make_tiff stays the identity);
+    """Assemble a real RGB TIFF from raw RGB bytes.
+    ``compression``: 'none' / 'packbits' / 'lzw' / 'g4' / 'mh'
+    (Compression=2 byte-aligned T.4 1-D) / 'g3' (Compression=3 with
+    EOLs) / 'g3_2d' (Compression=3, T4Options bit 0) — the fax
+    variants are bilevel, photometric 0, 1 bit/sample; input pixels
+    must be pure black/white so decode ∘ make_tiff stays the identity;
     ``predictor`` applies horizontal differencing (LZW's usual
     companion); ``rows_per_strip`` splits the image into multiple
-    strips. decode ∘ make_tiff is the identity — the roundtrip-oracle
+    strips; ``tile=(tw, tl)`` emits a tiled layout instead (§15:
+    dimensions must be multiples of 16, edge tiles zero-padded to full
+    size); ``planar=2`` stores separate component planes (§14).
+    decode ∘ make_tiff is the identity — the roundtrip-oracle
     contract."""
     import numpy as np
 
     if len(rgb_bytes) != width * height * 3:
         raise ValueError("rgb byte count does not match dimensions")
-    if compression not in ("none", "packbits", "lzw", "g4"):
+    if compression not in ("none", "packbits", "lzw", "g4", "mh", "g3", "g3_2d"):
         raise ValueError(f"unknown compression {compression!r}")
+    if planar not in (1, 2):
+        raise ValueError(f"bad planar configuration {planar}")
+    if tile is not None:
+        if rows_per_strip is not None:
+            raise ValueError("tile and rows_per_strip are exclusive")
+        if tile[0] % 16 or tile[1] % 16 or tile[0] <= 0 or tile[1] <= 0:
+            raise ValueError("TIFF §15: tile dimensions must be multiples of 16")
     e = ">" if big_endian else "<"
     rps = rows_per_strip or height
     arr = np.frombuffer(rgb_bytes, np.uint8).reshape(height, width, 3)
-    if compression == "g4":
-        from geo_db_spark.operators.ccitt import encode_g4
+
+    def units_of(plane_arr):
+        """Split one (H, W, c) array into strip/tile unit arrays, tiles
+        zero-padded to full size (matching the decoder's crop)."""
+        if tile is None:
+            return [plane_arr[y0 : y0 + rps] for y0 in range(0, height, rps)]
+        tw, tl = tile
+        ta, td = -(-width // tw), -(-height // tl)
+        padded = np.zeros((td * tl, ta * tw, plane_arr.shape[2]), np.uint8)
+        padded[:height, :width] = plane_arr
+        return [
+            padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+            for ty in range(td)
+            for tx in range(ta)
+        ]
+
+    if compression in ("g4", "mh", "g3", "g3_2d"):
+        from geo_db_spark.operators.ccitt import encode_g3, encode_g4, encode_mh
 
         if predictor:
-            raise ValueError("g4 has no predictor")
+            raise ValueError(f"{compression} has no predictor")
+        if planar == 2:
+            raise ValueError(
+                f"{compression} is single-sample; planar 2 is meaningless"
+            )
         if not np.isin(arr, (0, 255)).all() or (arr != arr[:, :, :1]).any():
             raise ValueError(
-                "g4 needs pure black/white pixels (lossless contract)"
+                f"{compression} needs pure black/white pixels (lossless contract)"
             )
         bil = (arr[:, :, 0] == 0).astype(np.uint8)  # photometric 0: 1=black
-        strips = []
-        for y0 in range(0, height, rps):
-            block = bil[y0 : y0 + rps]
-            strips.append(
-                encode_g4(block.tobytes(), width, block.shape[0])
-            )
+        enc = {
+            "g4": lambda u, w_, h_: encode_g4(u, w_, h_),
+            "mh": lambda u, w_, h_: encode_mh(u, w_, h_),
+            "g3": lambda u, w_, h_: encode_g3(u, w_, h_, two_d=False),
+            "g3_2d": lambda u, w_, h_: encode_g3(u, w_, h_, two_d=True),
+        }[compression]
+        units = [
+            enc(u.tobytes(), u.shape[1], u.shape[0])
+            for u in units_of(bil[:, :, None])
+        ]
+        comp_tag = {"g4": 4, "mh": 2, "g3": 3, "g3_2d": 3}[compression]
+        extra = [(292, 3, [1])] if compression == "g3_2d" else []
         return _assemble_tiff(
-            width, height, strips, e, rps,
-            bits=[1], comp_tag=4, photo=0, spp=1, predictor=False,
+            width, height, units, e, rps,
+            bits=[1], comp_tag=comp_tag, photo=0, spp=1, predictor=False,
+            tile=tile, planar=1, extra_tags=extra,
         )
-    if predictor:
-        diffed = arr.astype(np.int16)
-        diffed[:, 1:, :] = diffed[:, 1:, :] - arr[:, :-1, :].astype(np.int16)
-        arr = (diffed % 256).astype(np.uint8)
-    strips = []
-    for y0 in range(0, height, rps):
-        body = arr[y0 : y0 + rps].tobytes()
-        if compression == "packbits":
-            body = _packbits(body)
-        elif compression == "lzw":
-            body = _lzw_encode_tiff(body)
-        strips.append(body)
+    plane_arrs = (
+        [arr[:, :, c : c + 1] for c in range(3)] if planar == 2 else [arr]
+    )
+    units = []
+    for pa in plane_arrs:
+        for u in units_of(pa):
+            if predictor:
+                diffed = u.astype(np.int16)
+                diffed[:, 1:, :] = diffed[:, 1:, :] - u[:, :-1, :].astype(np.int16)
+                u = (diffed % 256).astype(np.uint8)
+            body = u.tobytes()
+            if compression == "packbits":
+                body = _packbits(body)
+            elif compression == "lzw":
+                body = _lzw_encode_tiff(body)
+            units.append(body)
 
     comp_tag = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
     return _assemble_tiff(
-        width, height, strips, e, rps,
+        width, height, units, e, rps,
         bits=[8, 8, 8], comp_tag=comp_tag, photo=2, spp=3,
-        predictor=predictor,
+        predictor=predictor, tile=tile, planar=planar,
     )
 
 
@@ -382,9 +480,14 @@ def _assemble_tiff(
     photo: int,
     spp: int,
     predictor: bool,
+    tile: tuple[int, int] | None = None,
+    planar: int = 1,
+    extra_tags: list[tuple[int, int, list[int]]] | None = None,
 ) -> bytes:
-    """Shared IFD/strip-layout assembly for make_tiff's variants."""
+    """Shared IFD/strip-or-tile-layout assembly for make_tiff's
+    variants; ``strips`` is the encoded unit list in offset order."""
     n_strips = len(strips)
+    offsets_tag = 324 if tile is not None else 273
     entries = []  # (tag, type, count, value_or_bytes)
 
     # layout: header(8) + IFD + external value areas + strip data
@@ -396,12 +499,22 @@ def _assemble_tiff(
     entry(258, 3, bits)
     entry(259, 3, [comp_tag])
     entry(262, 3, [photo])
-    entry(273, 4, [0] * n_strips)  # patched below
     entry(277, 3, [spp])
-    entry(278, 3, [rps])
-    entry(279, 4, [len(s) for s in strips])
+    if tile is not None:
+        entry(322, 3, [tile[0]])
+        entry(323, 3, [tile[1]])
+        entry(324, 4, [0] * n_strips)  # patched below
+        entry(325, 4, [len(s) for s in strips])
+    else:
+        entry(273, 4, [0] * n_strips)  # patched below
+        entry(278, 3, [rps])
+        entry(279, 4, [len(s) for s in strips])
+    if planar == 2:
+        entry(284, 3, [2])
     if predictor:
         entry(317, 3, [2])
+    for tag, typ, vals in extra_tags or []:
+        entry(tag, typ, vals)
     entries.sort(key=lambda t: t[0])  # spec: ascending tag order
 
     type_fmt = {3: "H", 4: "I"}
@@ -428,14 +541,14 @@ def _assemble_tiff(
     out += (b"MM\x00*" if e == ">" else b"II*\x00") + struct.pack(e + "I", ifd_off)
     out += struct.pack(e + "H", len(entries))
     for tag, typ, vals in entries:
-        if tag == 273:
+        if tag == offsets_tag:
             vals = strip_offsets
         out += struct.pack(e + "HHI", tag, typ, len(vals))
         if type_size[typ] * len(vals) <= 4:
             packed = struct.pack(e + type_fmt[typ] * len(vals), *vals)
             out += packed + b"\x00" * (4 - len(packed))
         else:
-            if tag == 273:
+            if tag == offsets_tag:
                 # recompute the external slot with the real offsets
                 p = ext_pos[tag] - ext_off
                 ext[p : p + 4 * len(vals)] = struct.pack(

@@ -1243,10 +1243,13 @@ def mm_image_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-wide RGB raster encoded as a REAL stripped TIFF
     (operators/tiff.py make_tiff) and decoded back, all in one
     Arrow-batched mapInPandas pass. Per-doc option cycling (doc_id %
-    6) covers none/PackBits/LZW x predictor and both byte orders, with
-    a multi-strip case. Lossless, so the oracle reproduces dims +
-    pixel md5 straight from the text bytes — an IFD-walk, PackBits,
-    LZW-EarlyChange or predictor bug flips the value hash."""
+    8) covers none/PackBits/LZW x predictor, both byte orders, a
+    multi-strip case, and (r10) a tiled layout (§15 — the 16x16 tile
+    grid overhangs the 4-wide raster, exercising edge-tile padding)
+    plus planar configuration 2 (§14 separate component planes).
+    Lossless, so the oracle reproduces dims + pixel md5 straight from
+    the text bytes — an IFD-walk, PackBits, LZW-EarlyChange, predictor,
+    tile-crop or plane-interleave bug flips the value hash."""
     from collections.abc import Iterator
 
     from pyspark.sql import types as T
@@ -1281,6 +1284,8 @@ def mm_image_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             dict(compression="lzw", predictor=True),
             dict(compression="packbits", big_endian=True, rows_per_strip=3),
             dict(compression="lzw", predictor=True, big_endian=True),
+            dict(compression="lzw", tile=(16, 16)),
+            dict(compression="packbits", predictor=True, planar=2),
         ]
         for pdf in batches:
             rows = []
@@ -1293,7 +1298,7 @@ def mm_image_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 h = len(raw) // (PPM_W * 3)
                 raster = raw[: h * PPM_W * 3]
-                tif = make_tiff(PPM_W, h, raster, **variants[int(doc_id) % 6])
+                tif = make_tiff(PPM_W, h, raster, **variants[int(doc_id) % 8])
                 arr = decode_image(tif)
                 rows.append(
                     (doc_id, arr.shape[1], arr.shape[0],
@@ -1417,3 +1422,88 @@ FROM b GROUP BY doc_id, h
 
 QUERIES["mm_image_decode_g4"] = mm_image_decode_g4
 ORACLES["mm_image_decode_g4"] = ORACLE_MM_IMAGE_DECODE_G4
+
+
+def mm_image_decode_g3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCITT Group 3 / MH TIFF end-to-end (late r10; ITU-T T.4 — the
+    other two fax compressions real scanned corpora carry, TIFF
+    Compression=2 and =3): the same bilevel raster construction as
+    mm_image_decode_g4 (pixel black iff the text byte is odd), but
+    per-doc cycling covers byte-aligned MH rows (Compression=2), G3
+    1-D with per-row EOLs, G3 2-D with tag bits (T4Options bit 0),
+    multi-strip restarts, and both byte orders. Lossless, so the G4
+    oracle applies verbatim — a wrong MH table cell, EOL/fill scan,
+    tag-bit read, or byte-align rule flips the value hash."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.multimodal import decode_image
+    from geo_db_spark.operators.tiff import make_tiff
+
+    tune(spark)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= G4_W)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("bits_md5", T.StringType()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        variants = [
+            dict(compression="mh"),
+            dict(compression="g3"),
+            dict(compression="g3_2d"),
+            dict(compression="mh", big_endian=True, rows_per_strip=2),
+            dict(compression="g3", rows_per_strip=3),
+            dict(compression="g3_2d", big_endian=True, rows_per_strip=2),
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char raster/oracle arithmetic"
+                    )
+                h = len(raw) // G4_W
+                bits = np.frombuffer(raw[: h * G4_W], np.uint8) % 2
+                bits = bits.reshape(h, G4_W)
+                rgb = np.repeat(
+                    np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None],
+                    3,
+                    axis=2,
+                )
+                tif = make_tiff(
+                    G4_W, h, rgb.tobytes(), **variants[int(doc_id) % 6]
+                )
+                arr = decode_image(tif)
+                dec_bits = (arr[:, :, 0] == 0).astype(np.uint8)
+                s = "".join("1" if b else "0" for b in dec_bits.ravel())
+                rows.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     hashlib.md5(s.encode()).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "bits_md5"]
+            )
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+QUERIES["mm_image_decode_g3"] = mm_image_decode_g3
+ORACLES["mm_image_decode_g3"] = ORACLE_MM_IMAGE_DECODE_G4

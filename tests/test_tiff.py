@@ -56,6 +56,53 @@ def test_tiff_roundtrip_matrix():
                         assert out.tobytes() == rgb, (w, h, comp, pred, be, rps)
 
 
+def test_tiff_tiled_and_planar_matrix():
+    """§15 tiles (incl. overhanging edge tiles) and §14 planar=2, each
+    crossed with compression/predictor — the predictor restart per
+    tile row is what the per-unit undo exists for."""
+    rng = np.random.RandomState(13)
+    # 37x23: 3x2 grid of 16x16 tiles with 11-col / 7-row overhang
+    w, h = 37, 23
+    rgb = bytes(rng.randint(0, 256, w * h * 3).astype(np.uint8))
+    for comp in ("none", "packbits", "lzw"):
+        for pred in (False, True):
+            for planar in (1, 2):
+                out = decode_tiff(
+                    make_tiff(w, h, rgb, compression=comp, predictor=pred,
+                              tile=(16, 16), planar=planar)
+                )
+                assert out.tobytes() == rgb, (comp, pred, planar, "tile")
+                out = decode_tiff(
+                    make_tiff(w, h, rgb, compression=comp, predictor=pred,
+                              rows_per_strip=7, planar=planar)
+                )
+                assert out.tobytes() == rgb, (comp, pred, planar, "strip")
+    # exact-multiple tile grid, big-endian
+    w2, h2 = 32, 16
+    rgb2 = bytes(rng.randint(0, 256, w2 * h2 * 3).astype(np.uint8))
+    out = decode_tiff(make_tiff(w2, h2, rgb2, compression="lzw",
+                                tile=(16, 16), big_endian=True, planar=2))
+    assert out.tobytes() == rgb2
+    with pytest.raises(ValueError, match="multiples of 16"):
+        make_tiff(w, h, rgb, tile=(8, 16))
+    with pytest.raises(ValueError, match="exclusive"):
+        make_tiff(w, h, rgb, tile=(16, 16), rows_per_strip=4)
+
+
+def test_tiff_tiled_g4():
+    """G4 fax compression inside a tiled layout: each tile restarts the
+    all-white reference line; edge-tile padding is white (0 in
+    photometric 0) so the crop recovers the exact bilevel raster."""
+    rng = np.random.RandomState(14)
+    w, h = 37, 23
+    bw = (rng.randint(0, 2, (h, w, 1)) * 255).astype(np.uint8)
+    rgb = np.repeat(bw, 3, axis=2).tobytes()
+    out = decode_tiff(make_tiff(w, h, rgb, compression="g4", tile=(16, 16)))
+    assert out.tobytes() == rgb
+    with pytest.raises(ValueError, match="planar 2"):
+        make_tiff(w, h, rgb, compression="g4", planar=2)
+
+
 def _hand_tiff(photo: int, w: int, h: int, sample_bytes: bytes,
                colormap: list[int] | None = None) -> bytes:
     """Minimal hand-built single-strip little-endian TIFF for the
