@@ -131,6 +131,8 @@ TIER2 = [
     "mm_image_decode_tiff",
     # r10 additions
     "mm_image_decode_g4",
+    "text_kneser_ney_score",
+    "mm_image_decode_g3",
 ]
 
 

@@ -1,13 +1,23 @@
-"""CCITT Group 4 (ITU-T T.6) bilevel codec — the fax compression used
-by scanned-document TIFF corpora (TIFF 6.0 §11, Compression=4).
+"""CCITT Group 3 and 4 (ITU-T T.4 / T.6) bilevel codecs — the fax
+compressions used by scanned-document TIFF corpora (TIFF 6.0 §10-§11,
+Compression=2 "CCITT RLE", =3 Group 3, =4 Group 4).
 
-Pure-Python decode (and a fixture encoder twin) of T.6 MMR: each row is
-coded 2-D against the previous row with Vertical/Horizontal/Pass modes;
-Horizontal mode falls back to the T.4 modified-Huffman run-length codes
-(terminating 0-63, makeup 64-2560 per color plus the color-independent
-extended makeups 1792-2560). G4 has no per-row EOL; an image starts
-against an imaginary all-white reference line and may end with EOFB,
-which this decoder accepts and ignores (TIFF strips are row-bounded).
+Pure-Python decode (and fixture encoder twins) of:
+- T.6 MMR (G4): each row coded 2-D against the previous row with
+  Vertical/Horizontal/Pass modes; Horizontal mode falls back to the
+  T.4 modified-Huffman run-length codes (terminating 0-63, makeup
+  64-2560 per color plus the color-independent extended makeups
+  1792-2560). G4 has no per-row EOL; an image starts against an
+  imaginary all-white reference line and may end with EOFB, which this
+  decoder accepts and ignores (TIFF strips are row-bounded).
+- T.4 1-D (G3 / MH): each row is an alternating white/black MH run
+  sequence (a zero-length white run opens a row that starts black).
+  TIFF Compression=2 byte-aligns every row and carries no EOLs;
+  Compression=3 prefixes every row with fill bits + EOL
+  (000000000001), and with T4Options bit 0 set appends the T.4 §4.2.1
+  tag bit after each EOL: 1 = the next row is 1-D, 0 = 2-D against
+  the previous row — the 2-D row grammar is byte-identical to T.6's,
+  so the mode decoder below is shared.
 
 The code tables below are transcribed from the PUBLIC ITU-T T.4
 Recommendation (Tables 1-3) — tests pin structural soundness (both
@@ -155,6 +165,9 @@ class _Bits:
     def skip(self, n: int) -> None:
         self.pos += n
 
+    def align_byte(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
 
 def _read_run(br: _Bits, white: bool) -> int:
     """One MH run length: zero or more makeup codes then a terminating
@@ -190,75 +203,163 @@ def _read_mode(br: _Bits):
     raise ValueError(f"T.6: bad mode code at bit {br.pos}: {window!r}")
 
 
+def _decode_2d_row(br: _Bits, ref: list[int], width: int, y: int) -> list[int]:
+    """One 2-D-coded row (shared by T.6 and T.4 2-D — the grammar is
+    identical): Vertical/Horizontal/Pass modes against the reference
+    row's changing elements. ``ref`` holds transition positions (color
+    flips at each), alternating white->black at even indices — so b1
+    is the first transition > a0 whose index parity matches the
+    current color."""
+    cur: list[int] = []
+    color = 0  # 0 = white
+    a0 = -1
+    while True:
+        # b1: first ref transition > a0 with parity == color
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        mode, arg = _read_mode(br)
+        if mode == "EOL":
+            raise ValueError(f"T.6: unexpected EOL inside row {y}")
+        if mode == "P":
+            # pass: current color continues through b2
+            a0 = b2
+        elif mode == "V":
+            a1 = b1 + arg
+            if not (0 <= a1 <= width):
+                raise ValueError(f"T.6: V{arg:+d} lands at {a1} in row {y}")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+        else:  # H: two MH runs, current color then opposite
+            r1 = _read_run(br, white=(color == 0))
+            r2 = _read_run(br, white=(color != 0))
+            start = a0 if a0 > 0 else 0
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > width:
+                raise ValueError(
+                    f"T.6: H runs {r1}+{r2} overrun width in row {y}"
+                )
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+        if a0 >= width:
+            break
+    return cur
+
+
+def _decode_mh_row(br: _Bits, width: int, y: int) -> list[int]:
+    """One T.4 1-D (modified Huffman) row: alternating white/black runs
+    summing exactly to the row width; a row that starts black opens
+    with a zero-length white run."""
+    cur: list[int] = []
+    pos = 0
+    color = 0
+    while pos < width:
+        r = _read_run(br, white=(color == 0))
+        pos += r
+        if pos > width:
+            raise ValueError(f"T.4: MH run overruns width in row {y}")
+        cur.append(pos)
+        color ^= 1
+    return cur
+
+
+def _render_row(out: bytearray, row0: int, width: int, cur: list[int], y: int) -> None:
+    """Paint a row from its transition list (flip positions; starts
+    white). Transitions must be non-decreasing; equal neighbors denote
+    a zero-length run (legal via H with a zero run)."""
+    c = 0
+    prev = 0
+    for t in cur:
+        if t < prev:
+            raise ValueError(f"fax: transitions not monotone in row {y}")
+        if c:
+            for x in range(prev, t):
+                out[row0 + x] = 1
+        prev = t
+        c ^= 1
+    if c:
+        for x in range(prev, width):
+            out[row0 + x] = 1
+
+
 def decode_g4(data: bytes, width: int, height: int) -> bytes:
     """T.6 MMR decode -> ``width*height`` bytes, one per pixel, 1 =
     black, 0 = white (the TIFF photometric mapping is the caller's).
 
     Rows are coded against the previous row's changing elements; the
-    first row's reference is an imaginary all-white line. ``ref`` holds
-    transition positions (color flips at each), alternating
-    white->black at even indices — so b1 is the first transition > a0
-    whose index parity matches the current color."""
+    first row's reference is an imaginary all-white line."""
     if width < 1 or height < 1:
         raise ValueError(f"T.6: bad dimensions {width}x{height}")
     br = _Bits(data)
     out = bytearray(width * height)
     ref: list[int] = []  # transitions of the (initially all-white) ref row
     for y in range(height):
-        cur: list[int] = []
-        color = 0  # 0 = white
-        a0 = -1
-        while True:
-            # b1: first ref transition > a0 with parity == color
-            i = 0
-            while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            mode, arg = _read_mode(br)
-            if mode == "EOL":
-                raise ValueError(f"T.6: unexpected EOL inside row {y}")
-            if mode == "P":
-                # pass: current color continues through b2
-                a0 = b2
-            elif mode == "V":
-                a1 = b1 + arg
-                if not (0 <= a1 <= width):
-                    raise ValueError(f"T.6: V{arg:+d} lands at {a1} in row {y}")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
-            else:  # H: two MH runs, current color then opposite
-                r1 = _read_run(br, white=(color == 0))
-                r2 = _read_run(br, white=(color != 0))
-                start = a0 if a0 > 0 else 0
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > width:
-                    raise ValueError(
-                        f"T.6: H runs {r1}+{r2} overrun width in row {y}"
-                    )
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-            if a0 >= width:
-                break
-        # transitions must be non-decreasing; equal neighbors denote a
-        # zero-length run (legal via H with a zero run)
-        row0 = y * width
-        c = 0
-        prev = 0
-        for j, t in enumerate(cur):
-            if t < prev:
-                raise ValueError(f"T.6: transitions not monotone in row {y}")
-            if c:
-                for x in range(prev, t):
-                    out[row0 + x] = 1
-            prev = t
-            c ^= 1
-        if c:
-            for x in range(prev, width):
-                out[row0 + x] = 1
+        cur = _decode_2d_row(br, ref, width, y)
+        _render_row(out, y * width, width, cur, y)
+        ref = cur
+    return bytes(out)
+
+
+def _skip_eol(br: _Bits, y: int) -> None:
+    """Consume fill bits (zeros) plus one EOL: >= 11 zeros then a 1.
+    T.4 §4.1.2: fill is any number of zeros inserted before an EOL, so
+    the combined pattern is 0{11,}1."""
+    zeros = 0
+    while br.pos < br.total and br.peek_str(1) == "0":
+        br.skip(1)
+        zeros += 1
+        if zeros > 4096:
+            raise ValueError(f"T.4: runaway fill before EOL at row {y}")
+    if br.pos >= br.total or zeros < 11:
+        raise ValueError(f"T.4: expected EOL before row {y} (got {zeros} zeros)")
+    br.skip(1)  # the terminating 1
+
+
+def decode_mh(data: bytes, width: int, height: int) -> bytes:
+    """TIFF Compression=2 ("CCITT RLE", TIFF 6.0 §10): pure T.4 1-D MH
+    rows, each starting on a byte boundary, no EOLs."""
+    if width < 1 or height < 1:
+        raise ValueError(f"T.4: bad dimensions {width}x{height}")
+    br = _Bits(data)
+    out = bytearray(width * height)
+    for y in range(height):
+        br.align_byte()
+        cur = _decode_mh_row(br, width, y)
+        _render_row(out, y * width, width, cur, y)
+    return bytes(out)
+
+
+def decode_g3(data: bytes, width: int, height: int, two_d: bool = False) -> bytes:
+    """TIFF Compression=3 (Group 3 / T.4): every row is preceded by
+    fill + EOL; with ``two_d`` (T4Options bit 0) each EOL carries the
+    tag bit selecting 1-D (1) or 2-D (0) coding for the next row. The
+    2-D row grammar is T.6's, against the previous row; the reference
+    line restarts all-white per strip (the caller decodes strips
+    independently). Trailing RTC/EOFB after the last row is ignored."""
+    if width < 1 or height < 1:
+        raise ValueError(f"T.4: bad dimensions {width}x{height}")
+    br = _Bits(data)
+    out = bytearray(width * height)
+    ref: list[int] = []
+    for y in range(height):
+        _skip_eol(br, y)
+        one_d = True
+        if two_d:
+            tag = br.peek_str(1)
+            if tag == "":
+                raise ValueError(f"T.4: missing tag bit at row {y}")
+            br.skip(1)
+            one_d = tag == "1"
+        if one_d:
+            cur = _decode_mh_row(br, width, y)
+        else:
+            cur = _decode_2d_row(br, ref, width, y)
+        _render_row(out, y * width, width, cur, y)
         ref = cur
     return bytes(out)
 
@@ -267,13 +368,20 @@ def decode_g4(data: bytes, width: int, height: int) -> bytes:
 
 
 class _BitW:
-    __slots__ = ("bits",)
+    __slots__ = ("bits", "n")
 
     def __init__(self):
         self.bits: list[str] = []
+        self.n = 0
 
     def put(self, s: str) -> None:
         self.bits.append(s)
+        self.n += len(s)
+
+    def align_byte(self) -> None:
+        pad = (-self.n) % 8
+        if pad:
+            self.put("0" * pad)
 
     def tobytes(self) -> bytes:
         s = "".join(self.bits)
@@ -306,10 +414,55 @@ def _transitions(row, width: int) -> list[int]:
     return t
 
 
+def _encode_2d_row(bw: _BitW, ref: list[int], cur: list[int], width: int) -> None:
+    """One 2-D row (shared by the G4 and G3-2D twins). Greedy standard
+    mode selection: Pass when b2 < a1, Vertical when |a1-b1| <= 3,
+    else Horizontal."""
+    color = 0
+    a0 = -1
+    while True:
+        # a1: first transition in cur > a0 (a0 = -1 at row start)
+        a1 = next((t for t in cur if t > a0), width)
+        i = 0
+        while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
+            i += 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        if b2 < a1:
+            bw.put("0001")
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            bw.put({0: "1", 1: "011", -1: "010", 2: "000011",
+                    -2: "000010", 3: "0000011", -3: "0000010"}[d])
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = next((t for t in cur if t > a1), width)
+            start = a0 if a0 > 0 else 0
+            bw.put("001")
+            _emit_run(bw, a1 - start, white=(color == 0))
+            _emit_run(bw, a2 - a1, white=(color != 0))
+            a0 = a2
+        if a0 >= width:
+            break
+
+
+def _emit_mh_row(bw: _BitW, cur: list[int], width: int) -> None:
+    """One T.4 1-D row: alternating MH runs from the transition list
+    (a leading black pixel yields a zero-length white run)."""
+    pos = 0
+    color = 0
+    for t in cur:
+        _emit_run(bw, t - pos, white=(color == 0))
+        pos = t
+        color ^= 1
+    _emit_run(bw, width - pos, white=(color == 0))
+
+
 def encode_g4(pixels: bytes, width: int, height: int, with_eofb: bool = True) -> bytes:
     """Fixture encoder twin: T.6-encode a 1-byte-per-pixel bilevel
-    raster (nonzero = black). Greedy standard mode selection: Pass when
-    b2 < a1, Vertical when |a1-b1| <= 3, else Horizontal."""
+    raster (nonzero = black)."""
     if len(pixels) != width * height:
         raise ValueError("encode_g4: raster size mismatch")
     bw = _BitW()
@@ -317,35 +470,46 @@ def encode_g4(pixels: bytes, width: int, height: int, with_eofb: bool = True) ->
     for y in range(height):
         row = pixels[y * width : (y + 1) * width]
         cur = _transitions(row, width)
-        color = 0
-        a0 = -1
-        while True:
-            # a1: first transition in cur > a0 (a0 = -1 at row start)
-            a1 = next((t for t in cur if t > a0), width)
-            i = 0
-            while i < len(ref) and (ref[i] <= a0 or (i & 1) != color):
-                i += 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            if b2 < a1:
-                bw.put("0001")
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                d = a1 - b1
-                bw.put({0: "1", 1: "011", -1: "010", 2: "000011",
-                        -2: "000010", 3: "0000011", -3: "0000010"}[d])
-                a0 = a1
-                color ^= 1
-            else:
-                a2 = next((t for t in cur if t > a1), width)
-                start = a0 if a0 > 0 else 0
-                bw.put("001")
-                _emit_run(bw, a1 - start, white=(color == 0))
-                _emit_run(bw, a2 - a1, white=(color != 0))
-                a0 = a2
-            if a0 >= width:
-                break
+        _encode_2d_row(bw, ref, cur, width)
         ref = cur
     if with_eofb:
         bw.put(EOL + EOL)
+    return bw.tobytes()
+
+
+def encode_mh(pixels: bytes, width: int, height: int) -> bytes:
+    """Fixture twin for TIFF Compression=2: byte-aligned 1-D MH rows,
+    no EOLs."""
+    if len(pixels) != width * height:
+        raise ValueError("encode_mh: raster size mismatch")
+    bw = _BitW()
+    for y in range(height):
+        bw.align_byte()
+        row = pixels[y * width : (y + 1) * width]
+        _emit_mh_row(bw, _transitions(row, width), width)
+    return bw.tobytes()
+
+
+def encode_g3(pixels: bytes, width: int, height: int, two_d: bool = False) -> bytes:
+    """Fixture twin for TIFF Compression=3: EOL before every row; in
+    2-D mode (T4Options bit 0) the tag bit follows each EOL — the
+    first row of a strip is coded 1-D (it has no reference line), the
+    rest 2-D."""
+    if len(pixels) != width * height:
+        raise ValueError("encode_g3: raster size mismatch")
+    bw = _BitW()
+    ref: list[int] = []
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        cur = _transitions(row, width)
+        bw.put(EOL)
+        if two_d:
+            bw.put("1" if y == 0 else "0")
+            if y == 0:
+                _emit_mh_row(bw, cur, width)
+            else:
+                _encode_2d_row(bw, ref, cur, width)
+        else:
+            _emit_mh_row(bw, cur, width)
+        ref = cur
     return bw.tobytes()

@@ -186,3 +186,126 @@ def test_tiff_g4_refusals():
         make_tiff(2, 1, bytes([1, 2, 3, 0, 0, 0]), compression="g4")
     with pytest.raises(ValueError):
         make_tiff(2, 1, bytes([0, 0, 0, 255, 255, 255]), compression="g4", predictor=True)
+
+
+# --------------------------------------------------------------- Group 3 / MH
+
+
+def test_golden_mh_byte_aligned_rows():
+    """Hand-composed TIFF Compression=2 stream (NOT via encode_mh).
+    8x2: row 1 (00111000) = white-2 '0111' + black-3 '10' + white-3
+    '1000' (10 bits), row 2 (all black) starts at the NEXT BYTE
+    boundary = white-0 '00110101' + black-8 '000101'."""
+    from geo_db_spark.operators.ccitt import decode_mh
+
+    bits = "0111" + "10" + "1000"
+    bits += "0" * ((-len(bits)) % 8)
+    bits += "00110101" + "000101"
+    out = decode_mh(_bits_to_bytes(bits), 8, 2)
+    assert list(out[:8]) == [0, 0, 1, 1, 1, 0, 0, 0]
+    assert list(out[8:]) == [1] * 8
+
+
+def test_golden_g3_1d_eol_and_fill():
+    """Hand-composed Compression=3 1-D stream: EOL before each row,
+    with five fill zeros jammed before the second EOL (T.4 fill =
+    extra zeros absorbed by the EOL scan)."""
+    from geo_db_spark.operators.ccitt import decode_g3
+
+    row = "0111" + "10" + "1000"  # 00111000
+    bits = EOL + row + "00000" + EOL + row
+    out = decode_g3(_bits_to_bytes(bits), 8, 2)
+    assert list(out[:8]) == [0, 0, 1, 1, 1, 0, 0, 0]
+    assert list(out[8:]) == list(out[:8])
+
+
+def test_golden_g3_2d_tag_bits():
+    """Hand-composed Compression=3 2-D stream: EOL+tag=1 then a 1-D
+    row (00111000), EOL+tag=0 then a 2-D row of three V0s copying it."""
+    from geo_db_spark.operators.ccitt import decode_g3
+
+    bits = EOL + "1" + "0111" + "10" + "1000" + EOL + "0" + "1" + "1" + "1"
+    out = decode_g3(_bits_to_bytes(bits), 8, 2, two_d=True)
+    assert list(out[:8]) == [0, 0, 1, 1, 1, 0, 0, 0]
+    assert list(out[8:]) == list(out[:8])
+
+
+def test_g3_missing_eol_refused():
+    from geo_db_spark.operators.ccitt import decode_g3
+
+    with pytest.raises(ValueError, match="EOL"):
+        decode_g3(_bits_to_bytes("0111" + "10" + "1000"), 8, 1)
+
+
+def test_mh_g3_roundtrip_fuzz():
+    from geo_db_spark.operators.ccitt import (
+        decode_g3,
+        decode_mh,
+        encode_g3,
+        encode_mh,
+    )
+
+    rng = random.Random(99)
+    for trial in range(60):
+        w = rng.choice([1, 2, 5, 8, 17, 64, 257])
+        h = rng.choice([1, 2, 3, 7])
+        kind = trial % 4
+        if kind == 0:
+            px = bytes(rng.choice([0, 1]) for _ in range(w * h))
+        elif kind == 1:
+            px = bytes([0]) * (w * h)
+        elif kind == 2:
+            px = bytes([1]) * (w * h)
+        else:  # run-structured rows
+            px = bytearray()
+            for _ in range(h):
+                row, c = [], rng.choice([0, 1])
+                while len(row) < w:
+                    row += [c] * min(rng.randint(1, 40), w - len(row))
+                    c ^= 1
+                px += bytes(row)
+            px = bytes(px)
+        assert decode_mh(encode_mh(px, w, h), w, h) == px, (trial, "mh")
+        assert decode_g3(encode_g3(px, w, h), w, h) == px, (trial, "g3")
+        assert decode_g3(
+            encode_g3(px, w, h, two_d=True), w, h, two_d=True
+        ) == px, (trial, "g3_2d")
+
+
+def test_tiff_g3_mh_integration():
+    """Compression=2/3 TIFF end-to-end, multi-strip (each strip
+    restarts: MH realigns, G3 re-EOLs, G3-2D re-opens with a 1-D row),
+    byte orders, and a tiled G3 layout."""
+    rng = np.random.RandomState(6)
+    for comp in ("mh", "g3", "g3_2d"):
+        for w, h, rps, be in [(64, 9, None, False), (17, 8, 3, True), (40, 6, 2, False)]:
+            bits = rng.randint(0, 2, (h, w)).astype(np.uint8)
+            rgb = np.repeat(
+                np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+            )
+            tif = make_tiff(w, h, rgb.tobytes(), compression=comp,
+                            rows_per_strip=rps, big_endian=be)
+            out = decode_tiff(tif)
+            assert (out == rgb).all(), (comp, w, h, rps, be)
+        bits = rng.randint(0, 2, (23, 37)).astype(np.uint8)
+        rgb = np.repeat(
+            np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+        )
+        out = decode_tiff(make_tiff(37, 23, rgb.tobytes(), compression=comp,
+                                    tile=(16, 16)))
+        assert (out == rgb).all(), (comp, "tiled")
+
+
+def test_tiff_g3_uncompressed_mode_refused():
+    """T4Options bit 1 (uncompressed mode) must refuse loudly."""
+    import struct
+
+    rgb = bytes([0, 0, 0, 255, 255, 255])
+    tif = bytearray(make_tiff(2, 1, rgb, compression="g3_2d"))
+    n = struct.unpack_from("<H", tif, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack_from("<H", tif, off)[0] == 292:
+            struct.pack_into("<H", tif, off + 8, 2)
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        decode_tiff(bytes(tif))
