@@ -591,8 +591,154 @@ FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 """
 
 
+def text_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995 /
+    Chen & Goodman 1999 — the smoothing KenLM-style perplexity filters
+    actually use, where text_bigram_lm_score is the raw-MLE shape).
+    With absolute discount D = 3/4 held as an exact rational:
+
+      P_KN(w2|w1) = max(c(w1 w2) - D, 0)/c(w1)
+                    + D·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··)
+
+    N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    histories of w2 (the continuation count — KN's insight: "Francisco"
+    is frequent but follows only "San"), N1+(··) = bigram type count.
+    Over the common denominator 4·c(w1)·N1+(··) every term is an exact
+    integer, so the model column is round(1e6·num/den) — one IEEE
+    division + half-up round, identical across engines (the
+    text_bigram_lm_score convention; ln() is not cross-libm safe).
+
+    The model keeps the top-4096 bigrams by frequency (total order:
+    c2 DESC, ngram) with KN probabilities computed over the FULL type
+    inventory, so the per-document scoring join stays a BROADCAST
+    probe. Scale shape: the gram explode feeds map-side-combined
+    aggregates; the three model-side statistics (c2, N1+(w1·),
+    N1+(·w2)) all derive from the one bg frame — checkpointed so its
+    shuffle runs once, corpus-vocabulary-bound (at 100 TB persist the
+    model to parquet instead; int64 holds 4·c1·N1+(··) up to ~1e18,
+    move to decimal beyond)."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    pat = r"(?<= |^)(?=(\S+ \S+))"  # overlapping bigrams (see top_ngrams)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    grams = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(norm, F.lit(pat), 1)).alias("ngram")
+    )
+    toks = docs.select(F.explode(F.split(norm, " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    ug = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    bg = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .select(
+            "ngram",
+            "c2",
+            F.split(F.col("ngram"), " ")[0].alias("w1"),
+            F.split(F.col("ngram"), " ")[1].alias("w2"),
+        )
+        # four consumers (top-k, N1+(w1·), N1+(·w2), type count): one
+        # materialization instead of four recomputed shuffles
+        .localCheckpoint(eager=True)
+    )
+    n1p_fwd = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1p"))
+    contc = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("contc"))
+    n_types = bg.agg(F.count(F.lit(1)).alias("n_types"))
+    num = (
+        F.greatest(F.lit(4) * F.col("c2") - F.lit(3), F.lit(0)) * F.col("n_types")
+        + F.lit(3) * F.col("n1p") * F.col("contc")
+    ).cast("long")
+    den = (F.lit(4) * F.col("c1") * F.col("n_types")).cast("long")
+    lm = (
+        bg.join(ug, F.col("w1") == F.col("term"))
+        .join(n1p_fwd, "w1")
+        .join(contc, "w2")
+        .crossJoin(F.broadcast(n_types))
+        .orderBy(F.col("c2").desc(), F.col("ngram"))
+        .limit(LM_TOP_B)
+        .select(
+            "ngram",
+            F.round(F.lit(1000000.0) * num / den).cast("long").alias("kn_u"),
+        )
+    )
+    per_doc = (
+        grams.join(F.broadcast(lm), "ngram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("kn_u").alias("n_hits"),
+            F.coalesce(F.sum("kn_u"), F.lit(0)).alias("kn_score_u"),
+        )
+    )
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    nh = F.coalesce(F.col("n_hits"), F.lit(0))
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        nb.cast("long").alias("n_bigrams"),
+        nh.cast("long").alias("n_hits"),
+        F.coalesce(F.col("kn_score_u"), F.lit(0)).cast("long").alias("kn_score_u"),
+        F.when(nb > 0, F.round(F.lit(1000000.0) * nh / nb))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("coverage_u"),
+    )
+
+
+ORACLE_KNESER_NEY = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(list_transform(list_zip(t, t[2:]),
+      p -> CASE WHEN p[2] IS NULL THEN NULL ELSE p[1]||' '||p[2] END),
+      x -> x IS NOT NULL)) AS ngram
+  FROM toks
+),
+ug AS (
+  SELECT term, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS term FROM toks)
+  WHERE term <> '' GROUP BY term
+),
+bg AS MATERIALIZED (
+  SELECT ngram, COUNT(*) AS c2,
+         split_part(ngram, ' ', 1) AS w1, split_part(ngram, ' ', 2) AS w2
+  FROM grams GROUP BY ngram
+),
+n1p_fwd AS (SELECT w1, COUNT(*) AS n1p FROM bg GROUP BY w1),
+contc AS (SELECT w2, COUNT(*) AS contc FROM bg GROUP BY w2),
+n_types AS (SELECT COUNT(*) AS n_types FROM bg),
+lm AS (
+  SELECT ngram,
+         CAST(ROUND(1000000.0 *
+             (greatest(4*c2 - 3, 0) * n_types + 3 * n1p * contc)
+             / (4 * c1 * n_types)) AS BIGINT) AS kn_u
+  FROM bg
+  JOIN ug ON bg.w1 = ug.term
+  JOIN n1p_fwd USING (w1)
+  JOIN contc USING (w2)
+  CROSS JOIN n_types
+  ORDER BY c2 DESC, ngram LIMIT 4096
+),
+per_doc AS (
+  SELECT g.doc_id, COUNT(*) AS n_bigrams, COUNT(lm.kn_u) AS n_hits,
+         COALESCE(SUM(lm.kn_u), 0) AS kn_score_u
+  FROM grams g LEFT JOIN lm ON g.ngram = lm.ngram
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(kn_score_u, 0) AS BIGINT) AS kn_score_u,
+       CAST(CASE WHEN COALESCE(n_bigrams, 0) > 0
+            THEN ROUND(1000000.0 * n_hits / n_bigrams) ELSE 0 END AS BIGINT) AS coverage_u
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+
 QUERIES = {
     "text_sample_deterministic": text_sample_deterministic,
+    "text_kneser_ney_score": text_kneser_ney_score,
     "text_bigram_lm_score": text_bigram_lm_score,
     "text_language_balance": text_language_balance,
     "text_chunk_dups": text_chunk_dups,
@@ -609,6 +755,7 @@ QUERIES = {
 
 ORACLES = {
     "text_sample_deterministic": ORACLE_SAMPLE,
+    "text_kneser_ney_score": ORACLE_KNESER_NEY,
     "text_bigram_lm_score": ORACLE_BIGRAM_LM,
     "text_language_balance": ORACLE_LANG_BALANCE,
     "text_chunk_dups": ORACLE_CHUNK_DUPS,
