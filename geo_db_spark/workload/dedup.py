@@ -791,3 +791,196 @@ QUERIES["text_cdc_chunk_stats"] = text_cdc_chunk_stats
 ORACLES["text_cdc_chunk_stats"] = ORACLE_CDC_STATS
 QUERIES["dedup_cdc_chunk_dupes"] = dedup_cdc_chunk_dupes
 ORACLES["dedup_cdc_chunk_dupes"] = ORACLE_CDC_DUPES
+
+
+SA_SLICE = 256  # per-doc suffix-array slice (decode-family cap convention)
+SA_T = 32  # minimum duplicated-substring length (Lee ACL'22 uses 50 tokens)
+
+
+def dedup_suffix_adjacent_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring duplication via a corpus suffix array (late r10;
+    Lee et al. ACL'22 §4.1 — the exact method winnowing approximates):
+    build the suffix array of every document's leading 256-char slice
+    with distributed prefix doubling (operators/suffix.py — log2(256/16)
+    = 4 rounds of linear shuffles, dense ranks from assign_stable_ids,
+    NO single-partition stage), then report every SA-ADJACENT suffix
+    pair sharing at least the first SA_T=32 characters. Suffix-array
+    adjacency is what makes this exact AND linear in output: any two
+    suffixes' common prefix is <= every adjacent LCP between them, so
+    each duplicated region surfaces as a chain of adjacent pairs, never
+    a quadratic all-pairs set. The 32-gram text rides along for the
+    oracle's collision-proof equality (the winnow_match_pairs rule).
+
+    100 TB: suffix rows = corpus chars (the slice cap bounds per-doc
+    blowup at 256x), every stage is a skinny (doc, pos, rank) shuffle;
+    the adjacency join is rank-keyed. The oracle replays the full sort
+    brute-force (suffix strings materialize only there, at oracle SF)."""
+    tune(spark)
+    from geo_db_spark.operators.suffix import suffix_ranks
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, SA_SLICE).alias("t")
+    )
+    sa = suffix_ranks(
+        docs, id_col="doc_id", text_col="t",
+        slice_len=SA_SLICE, k0=16, min_tail=SA_T,
+    )
+    # explode positions THEN substring: stays in whole-stage codegen
+    # (a transform() lambda would run interpreted per gram)
+    grams = (
+        docs.filter(F.length("t") >= SA_T)
+        .select(
+            F.col("doc_id").alias("g_doc"),
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - F.lit(SA_T - 1))
+            ).alias("g_pos"),
+            "t",
+        )
+        .select(
+            "g_doc", "g_pos",
+            F.expr(f"substring(t, g_pos, {SA_T})").alias("gram"),
+        )
+    )
+    withg = (
+        sa.join(
+            grams,
+            (F.col("doc_id") == F.col("g_doc")) & (F.col("pos") == F.col("g_pos")),
+        )
+        .select("doc_id", "pos", "sa_rank", "gram")
+        .localCheckpoint(eager=True)  # consumed by both sides of the join
+    )
+    b = withg.select(
+        (F.col("sa_rank") - 1).alias("__prev"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("gram").alias("gram_b"),
+    )
+    return (
+        withg.join(b, F.col("sa_rank") == F.col("__prev"))
+        .filter(F.col("gram") == F.col("gram_b"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_a"),
+            F.col("pos").cast("long").alias("pos_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col("pos_b").cast("long").alias("pos_b"),
+            "gram",
+        )
+    )
+
+
+ORACLE_SUFFIX_ADJACENT = f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, substr(text, 1, {SA_SLICE}) AS t FROM documents
+),
+suf AS MATERIALIZED (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         substr(t, CAST(pos AS INT)) AS suffix,
+         substr(t, CAST(pos AS INT), {SA_T}) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - {SA_T - 1} + 1)) AS pos
+        FROM s WHERE length(t) >= {SA_T})
+),
+r AS MATERIALIZED (
+  SELECT doc_id, pos, g,
+         row_number() OVER (ORDER BY suffix, doc_id, pos) AS rk
+  FROM suf
+)
+SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+       b.doc_id AS doc_b, b.pos AS pos_b, a.g AS gram
+FROM r a JOIN r b ON b.rk = a.rk + 1 AND a.g = b.g
+"""
+
+
+def dedup_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LONGEST exact repeated substring (>= SA_T chars,
+    within the 256-char slice): the suffix-array property that the
+    maximal repeat involving any suffix is achieved against an
+    SA-NEIGHBOR makes the per-doc max exact from adjacent pairs alone.
+    LCP per surviving pair is computed by a bounded k-explode
+    (k in SA_T..SA_SLICE — prefix equality is monotone in k, so
+    max(k | equal) is the LCP, capped by the slice); the explode runs
+    only on pairs that already share 32 chars, not on the whole
+    suffix set. Output: (doc_id, max_repeat_len)."""
+    tune(spark)
+    pairs = QUERIES["dedup_suffix_adjacent_dups"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, SA_SLICE).alias("t")
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    lcp = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a", "pos_a", "doc_b", "pos_b",
+            F.explode(F.sequence(F.lit(SA_T), F.lit(SA_SLICE))).alias("k"),
+            "t_a", "t_b",
+        )
+        .filter(
+            F.expr("substring(t_a, cast(pos_a as int), k)")
+            == F.expr("substring(t_b, cast(pos_b as int), k)")
+        )
+        .groupBy("doc_a", "pos_a", "doc_b", "pos_b")
+        .agg(
+            # substring() clamps past the slice end, so two identical
+            # short tails match at every k: cap by the real remaining
+            # lengths (carried via min — they are key-functional)
+            F.least(
+                F.max("k"),
+                F.min(F.length("t_a") - F.col("pos_a") + 1),
+                F.min(F.length("t_b") - F.col("pos_b") + 1),
+            ).alias("lcp")
+        )
+    )
+    sides = lcp.select(F.col("doc_a").alias("doc_id"), "lcp").unionAll(
+        lcp.select(F.col("doc_b").alias("doc_id"), "lcp")
+    )
+    return sides.groupBy("doc_id").agg(
+        F.max("lcp").cast("long").alias("max_repeat_len")
+    )
+
+
+ORACLE_LONGEST_REPEAT = f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, substr(text, 1, {SA_SLICE}) AS t FROM documents
+),
+suf AS MATERIALIZED (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         substr(t, CAST(pos AS INT)) AS suffix,
+         substr(t, CAST(pos AS INT), {SA_T}) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - {SA_T - 1} + 1)) AS pos
+        FROM s WHERE length(t) >= {SA_T})
+),
+r AS MATERIALIZED (
+  SELECT doc_id, pos, g,
+         row_number() OVER (ORDER BY suffix, doc_id, pos) AS rk
+  FROM suf
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+  FROM r a JOIN r b ON b.rk = a.rk + 1 AND a.g = b.g
+),
+lcp AS MATERIALIZED (
+  SELECT doc_a, pos_a, doc_b, pos_b,
+         LEAST(MAX(k),
+               MIN(length(sa.t) - pos_a + 1),
+               MIN(length(sb.t) - pos_b + 1)) AS lcp
+  FROM pairs
+  JOIN s sa ON sa.doc_id = doc_a
+  JOIN s sb ON sb.doc_id = doc_b
+  CROSS JOIN (SELECT unnest(range({SA_T}, {SA_SLICE} + 1)) AS k) ks
+  WHERE substr(sa.t, CAST(pos_a AS INT), CAST(k AS INT))
+        = substr(sb.t, CAST(pos_b AS INT), CAST(k AS INT))
+  GROUP BY doc_a, pos_a, doc_b, pos_b
+)
+SELECT doc_id, CAST(MAX(lcp) AS BIGINT) AS max_repeat_len
+FROM (
+  SELECT doc_a AS doc_id, lcp FROM lcp
+  UNION ALL
+  SELECT doc_b AS doc_id, lcp FROM lcp
+) GROUP BY doc_id
+"""
+
+QUERIES["dedup_suffix_adjacent_dups"] = dedup_suffix_adjacent_dups
+ORACLES["dedup_suffix_adjacent_dups"] = ORACLE_SUFFIX_ADJACENT
+QUERIES["dedup_longest_repeat"] = dedup_longest_repeat
+ORACLES["dedup_longest_repeat"] = ORACLE_LONGEST_REPEAT
