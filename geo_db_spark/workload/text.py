@@ -1399,3 +1399,122 @@ GROUP BY doc_id
 
 QUERIES["text_bpe_doc_tokens"] = text_bpe_doc_tokens
 ORACLES["text_bpe_doc_tokens"] = _bpe_doc_tokens_oracle()
+
+
+def text_odds_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained linear text classifier, the fastText-style
+    quality/language-filter scoring shape (Joulin et al. 2017 run a
+    linear model over pooled token features; CCNet and the Llama/
+    RedPajama pipelines deploy exactly such binary keep/drop filters):
+    label = (lang = 'en'); per-term weights are LAPLACE-SMOOTHED CLASS
+    ODDS kept log-free by the BM25/tfidf discipline (ln is not
+    cross-libm reproducible):
+
+      w(term) = round(1e6 * (c_pos+1)(N_neg+V) / ((c_neg+1)(N_pos+V)))
+
+    where c_pos/c_neg are the term's occurrence counts inside/outside
+    the class, N_* the class token totals and V the vocabulary size —
+    every factor an exact integer, so the weight is one IEEE division
+    + half-up round. The model keeps the top-4096 terms by a total
+    order ((c_pos+c_neg) DESC, term), so scoring is a BROADCAST probe;
+    a document's score is the exact integer sum of matched weights and
+    its prediction compares the mean matched odds against neutral 1.0
+    (odds_sum_u > 1e6 * n_hits). Train + score are two shuffles over
+    skinny (term) rows — the 100 TB plan of text_bigram_lm_score."""
+    tune(spark)
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.explode(F.split(norm, " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    stats = toks.groupBy("term").agg(
+        F.sum("pos").alias("c_pos"),
+        F.sum(F.lit(1) - F.col("pos")).alias("c_neg"),
+    )
+    totals = stats.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    w = (
+        F.round(
+            F.lit(1000000.0)
+            * ((F.col("c_pos") + 1) * (F.col("n_neg") + F.col("v")))
+            / ((F.col("c_neg") + 1) * (F.col("n_pos") + F.col("v")))
+        )
+        .cast("long")
+        .alias("w_u")
+    )
+    model = (
+        stats.crossJoin(F.broadcast(totals))
+        .orderBy((F.col("c_pos") + F.col("c_neg")).desc(), F.col("term"))
+        .limit(LM_TOP_B)
+        .select("term", w)
+    )
+    per_doc = (
+        toks.join(F.broadcast(model), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("w_u").alias("n_hits"),
+            F.coalesce(F.sum("w_u"), F.lit(0)).alias("odds_sum_u"),
+        )
+    )
+    nh = F.coalesce(F.col("n_hits"), F.lit(0))
+    return docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("label")).join(
+        per_doc, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "label",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        nh.cast("long").alias("n_hits"),
+        F.coalesce(F.col("odds_sum_u"), F.lit(0)).cast("long").alias("odds_sum_u"),
+        (F.coalesce(F.col("odds_sum_u"), F.lit(0)) > F.lit(1000000) * nh)
+        .cast("int")
+        .alias("pred"),
+    )
+
+
+ORACLE_ODDS_CLASSIFIER = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos, term
+  FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+),
+stats AS MATERIALIZED (
+  SELECT term, SUM(pos) AS c_pos, SUM(1 - pos) AS c_neg
+  FROM toks GROUP BY term
+),
+totals AS (
+  SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, COUNT(*) AS v FROM stats
+),
+model AS (
+  SELECT term,
+         CAST(ROUND(1000000.0 * ((c_pos + 1) * (n_neg + v))
+                    / ((c_neg + 1) * (n_pos + v))) AS BIGINT) AS w_u
+  FROM stats CROSS JOIN totals
+  ORDER BY (c_pos + c_neg) DESC, term LIMIT 4096
+),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, COUNT(m.w_u) AS n_hits,
+         COALESCE(SUM(m.w_u), 0) AS odds_sum_u
+  FROM toks t LEFT JOIN model m ON t.term = m.term
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS label,
+       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(odds_sum_u, 0) AS BIGINT) AS odds_sum_u,
+       CAST(CASE WHEN COALESCE(odds_sum_u, 0) > 1000000 * COALESCE(n_hits, 0)
+            THEN 1 ELSE 0 END AS INT) AS pred
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+"""
+
+QUERIES["text_odds_classifier"] = text_odds_classifier
+ORACLES["text_odds_classifier"] = ORACLE_ODDS_CLASSIFIER
