@@ -133,6 +133,10 @@ TIER2 = [
     "mm_image_decode_g4",
     "text_kneser_ney_score",
     "mm_image_decode_g3",
+    "dedup_suffix_adjacent_dups",
+    "dedup_longest_repeat",
+    "text_odds_classifier",
+    "mm_image_decode_jpeg12",
 ]
 
 

@@ -7,10 +7,13 @@ sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0) — AND progressive
 (SOF2, r8): spectral selection + successive approximation with all four
 scan kinds (DC initial/refinement, AC initial with EOBn runs, AC
 refinement with newly-significant insertions and correction bits),
-unsubsampled. Restart markers and byte stuffing everywhere. Arithmetic
-coding, 12-bit, hierarchical and subsampled-progressive modes raise
-NotImplementedError — honest boundaries, the same convention as the
-PNG/GIF/BMP/WAV decoders in multimodal.py.
+unsubsampled. Restart markers and byte stuffing everywhere. Late r10:
+12-BIT grayscale via SOF1 extended sequential (T.81 restricts baseline
+to 8-bit) — precision-parametric level shift/clamp, DC categories to
+15, 16-bit DQT elements (Pq=1), uint16 output. Arithmetic coding,
+hierarchical, subsampled-progressive, 12-bit color and 12-bit
+progressive modes raise NotImplementedError — honest boundaries, the
+same convention as the PNG/GIF/BMP/WAV decoders in multimodal.py.
 
 Exactness contract: entropy decode, dequantization and dezigzag are
 integer-exact; the IDCT is the spec's real-valued transform evaluated
@@ -197,13 +200,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 15
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
                 tbl = np.zeros((8, 8), np.int64)
-                vals = seg[i + 1 : i + 65]
-                tbl[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(vals, np.uint8)
+                if pq == 0:
+                    vals = np.frombuffer(seg[i + 1 : i + 65], np.uint8)
+                    i += 65
+                elif pq == 1:  # 16-bit table values (12-bit precision)
+                    vals = np.frombuffer(seg[i + 1 : i + 129], ">u2")
+                    i += 129
+                else:
+                    raise ValueError(f"bad DQT element precision {pq}")
+                tbl[_ZZ_ROWS, _ZZ_COLS] = vals
                 qt[tq] = tbl
-                i += 65
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -213,15 +220,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = seg[i + 17 : i + 17 + n]
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, symbols)
                 i += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if marker == 0xC0 and prec != 8:
+                raise ValueError(f"baseline JPEG must be 8-bit, got {prec}")
+            if prec not in (8, 12) or (prec == 12 and marker == 0xC2):
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG precision for SOF 0xFF{marker:02X}"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps, "prog": marker == 0xC2}
+            if prec == 12 and nc != 1:
+                raise NotImplementedError("12-bit JPEG supported for grayscale")
+            frame = {"w": w, "h": h, "comps": comps, "prog": marker == 0xC2,
+                     "prec": prec}
             if frame["prog"]:
                 if any(c["h"] != 1 or c["v"] != 1 for c in comps):
                     raise NotImplementedError(
@@ -232,10 +247,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 prog_coefs = [
                     [[0] * 64 for _ in range(bw_ * bh_)] for _ in comps
                 ]
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline (SOF0) and progressive (SOF2) JPEG "
+                f"only sequential (SOF0/SOF1) and progressive (SOF2) JPEG "
                 f"supported, got SOF marker 0xFF{marker:02X}"
             )
         elif marker == 0xDD:  # DRI
@@ -446,9 +461,12 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         raise NotImplementedError("sampling factors beyond 1/2 not supported")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    prec = frame.get("prec", 8)
+    mid, maxv = 1 << (prec - 1), (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     planes = []
     for c in comps:
-        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.uint8))
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype))
         if c["id"] not in scan:
             raise ValueError(f"component {c['id']} missing from scan")
         if c["tq"] not in qt:
@@ -502,25 +520,28 @@ def _decode_scan(buf, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         arr = np.array(blk_zz[ci], np.float64)
         coefs = np.zeros((arr.shape[0], 8, 8), np.float64)
         coefs[:, _ZZ_ROWS, _ZZ_COLS] = arr
-        px = np.einsum("ux,nuv,vy->nxy", _IDCT_M, coefs * q, _IDCT_M) + 128.0
-        px = np.clip(np.floor(px + 0.5), 0, 255).astype(np.uint8)
+        px = np.einsum("ux,nuv,vy->nxy", _IDCT_M, coefs * q, _IDCT_M) + float(mid)
+        px = np.clip(np.floor(px + 0.5), 0, maxv).astype(dtype)
         plane = planes[ci]
         for i, (y0, x0) in enumerate(blk_xy[ci]):
             plane[y0 : y0 + 8, x0 : x0 + 8] = px[i]
-    return _planes_to_rgb(comps, planes, w, h, hmax, vmax)
+    return _planes_to_rgb(comps, planes, w, h, hmax, vmax, prec)
 
 
-def _planes_to_rgb(comps, planes, w, h, hmax, vmax):
+def _planes_to_rgb(comps, planes, w, h, hmax, vmax, prec=8):
     """Upsample component planes to full resolution (sample
-    replication), crop, and convert to (H, W, 3) uint8 RGB — shared by
-    the baseline and progressive paths."""
+    replication), crop, and convert to (H, W, 3) RGB — shared by the
+    baseline and progressive paths. 8-bit returns uint8; 12-bit
+    grayscale returns uint16 with values 0..4095 (the caller hashes
+    the wide samples; the other decoders' uint8 contract is unchanged
+    for every 8-bit stream)."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         full.append(p[:h, :w].astype(np.float64))
     if len(comps) == 1:
-        g = full[0].astype(np.uint8)
+        g = full[0].astype(np.uint8 if prec == 8 else np.uint16)
         return np.ascontiguousarray(np.stack([g, g, g], axis=2))
     if len(comps) != 3:
         raise NotImplementedError(f"{len(comps)}-component JPEG")
@@ -540,6 +561,11 @@ def _planes_to_rgb(comps, planes, w, h, hmax, vmax):
 # 8. Canonical codes never reach all-ones of their length + 1.
 _ENC_DC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
 _ENC_DC_SYMS = bytes(range(12))
+# 12-bit precision: DC categories reach 15 (T.81 Table F.1 extends the
+# magnitude range for 12-bit samples); 16 symbols at length 5 keeps the
+# canonical codes clear of the all-ones word
+_ENC_DC12_BITS = bytes([0, 0, 0, 0, 16] + [0] * 11)
+_ENC_DC12_SYMS = bytes(range(16))
 _AC_SYMBOLS = bytes(
     [0x00, 0xF0]
     + [(r << 4) for r in range(1, 15)]  # EOBn (progressive)
@@ -591,11 +617,11 @@ def _mag(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def _write_block(bw, zz, pred, dc_code, ac_code) -> int:
+def _write_block(bw, zz, pred, dc_code, ac_code, dc_cat_max: int = 11) -> int:
     diff = int(zz[0]) - pred
     s = _mag(diff)
-    if s > 11:
-        raise ValueError(f"DC difference {diff} exceeds baseline category 11")
+    if s > dc_cat_max:
+        raise ValueError(f"DC difference {diff} exceeds category {dc_cat_max}")
     ln, code = dc_code[s]
     bw.write(code, ln)
     if s:
@@ -630,16 +656,26 @@ def make_jpeg_gray_from_blocks(
     blocks_y: int,
     quant: "np.ndarray | None" = None,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Assemble a grayscale baseline JPEG straight from QUANTIZED
+    """Assemble a grayscale sequential JPEG straight from QUANTIZED
     zigzag-order coefficient blocks ((blocks_y*blocks_x, 64) int array)
     — the coefficient-domain fixture generator: the decoder's output
     must equal the reference IDCT of exactly these coefficients, so
     tests get value-exact assertions through the full entropy layer
     (categories, runs, ZRL, EOB, stuffing, restarts) with no lossy
-    round-trip in the way."""
+    round-trip in the way. ``precision=12`` emits SOF1 (extended
+    sequential — T.81 baseline is 8-bit only) with DC categories to 15
+    and, when any quant value exceeds 255, a 16-bit DQT."""
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     q = np.ones((8, 8), np.int64) if quant is None else np.asarray(quant, np.int64)
-    dc_code = _enc_codes(_ENC_DC_BITS, _ENC_DC_SYMS)
+    if precision == 12:
+        dc_code = _enc_codes(_ENC_DC12_BITS, _ENC_DC12_SYMS)
+        dc_bits, dc_syms, dc_cat_max, sof = _ENC_DC12_BITS, _ENC_DC12_SYMS, 15, 0xC1
+    else:
+        dc_code = _enc_codes(_ENC_DC_BITS, _ENC_DC_SYMS)
+        dc_bits, dc_syms, dc_cat_max, sof = _ENC_DC_BITS, _ENC_DC_SYMS, 11, 0xC0
     ac_code = _enc_codes(_ENC_AC_BITS, _AC_SYMBOLS)
     bw = _BitWriter()
     pred = 0
@@ -650,15 +686,20 @@ def make_jpeg_gray_from_blocks(
             bw.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
             rst_n += 1
             pred = 0
-        pred = _write_block(bw, blocks_zz[i], pred, dc_code, ac_code)
+        pred = _write_block(bw, blocks_zz[i], pred, dc_code, ac_code, dc_cat_max)
     bw.pad()
 
-    qzz = bytes([0]) + bytes(int(q[r, c]) for r, c in _ZIGZAG)
+    if int(q.max()) > 255:
+        qzz = bytes([0x10]) + b"".join(
+            struct.pack(">H", int(q[r, c])) for r, c in _ZIGZAG
+        )
+    else:
+        qzz = bytes([0]) + bytes(int(q[r, c]) for r, c in _ZIGZAG)
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, qzz)
-    out += _seg(0xC0, struct.pack(">BHHB", 8, blocks_y * 8, blocks_x * 8, 1)
+    out += _seg(sof, struct.pack(">BHHB", precision, blocks_y * 8, blocks_x * 8, 1)
                 + bytes([1, 0x11, 0]))
-    out += _seg(0xC4, bytes([0x00]) + _ENC_DC_BITS + _ENC_DC_SYMS)
+    out += _seg(0xC4, bytes([0x00]) + dc_bits + dc_syms)
     out += _seg(0xC4, bytes([0x10]) + _ENC_AC_BITS + _AC_SYMBOLS)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))

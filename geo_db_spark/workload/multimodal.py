@@ -1507,3 +1507,113 @@ def mm_image_decode_g3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mm_image_decode_g3"] = mm_image_decode_g3
 ORACLES["mm_image_decode_g3"] = ORACLE_MM_IMAGE_DECODE_G4
+
+
+def mm_image_decode_jpeg12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bit JPEG end-to-end (late r10; ITU-T T.81 SOF1 extended
+    sequential — the medical/archival-scan precision, closing another
+    named codec boundary): per document, the leading 4*H text bytes
+    become DC-only blocks with DC = 8*(16*b - 2048), so each block
+    decodes to exactly 16*b in 12-bit space (2048 + 16*(b-128) = 16*b)
+    — analytically exact through the SOF1 entropy layer (DC categories
+    past 11, length-5 canonical DC codes, restart markers every 7
+    MCUs), which is what lets the oracle rebuild the uint16 raster's
+    decimal string straight from text bytes. The lossy general 12-bit
+    path is pinned in test_jpeg against an independent IDCT. Same
+    256-byte cap and skinny repartition as mm_image_decode_jpeg."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from geo_db_spark.operators.jpeg import (
+        decode_jpeg,
+        make_jpeg_gray_from_blocks,
+    )
+
+    tune(spark)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 4)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_md5", T.StringType()),
+        ]
+    )
+    BLOCKS_X = 4
+
+    def fn(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                if len(raw) != len(text):  # byte==char invariant
+                    raise ValueError(
+                        f"non-ASCII text in doc {doc_id} breaks the "
+                        "byte==char raster/oracle arithmetic"
+                    )
+                nb = min(len(raw), 256) // BLOCKS_X
+                used = raw[: nb * BLOCKS_X]
+                zz = np.zeros((nb * BLOCKS_X, 64), np.int64)
+                zz[:, 0] = (
+                    8 * (16 * np.frombuffer(used, np.uint8).astype(np.int64) - 2048)
+                )
+                jpg = make_jpeg_gray_from_blocks(
+                    zz, blocks_x=BLOCKS_X, blocks_y=nb,
+                    restart_interval=7, precision=12,
+                )
+                arr = decode_jpeg(jpg)
+                assert arr.dtype == np.uint16
+                s = "".join(str(v) for v in arr[:, :, 0].ravel())
+                rows.append(
+                    (doc_id, arr.shape[1], arr.shape[0],
+                     hashlib.md5(s.encode()).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "pixel_md5"]
+            )
+
+    return docs.mapInPandas(fn, schema=out_schema)
+
+
+# raster = per text byte a constant 8x8 block of the VALUE 16*ascii(b),
+# 4 blocks wide; the hash is over the row-major decimal-string raster
+# (each value repeated 8x per row, each block row 8 rows tall)
+ORACLE_MM_IMAGE_DECODE_JPEG12 = r"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, text, least(length(text), 256) // 4 AS nb
+  FROM documents WHERE length(text) >= 4
+),
+g AS MATERIALIZED (
+  SELECT doc_id, nb, pos,
+         (pos - 1) // 4 AS br,
+         repeat(CAST(ascii(substr(text, CAST(pos AS INT), 1)) * 16 AS VARCHAR), 8) AS v8
+  FROM (SELECT doc_id, nb, text, unnest(range(1, nb * 4 + 1)) AS pos FROM d)
+),
+rows_ AS (
+  SELECT doc_id, br,
+         repeat(string_agg(v8, '' ORDER BY pos), 8) AS blockstr
+  FROM g GROUP BY doc_id, br
+)
+SELECT d.doc_id,
+       CAST(32 AS INT) AS width,
+       CAST(8 * d.nb AS INT) AS height,
+       md5(COALESCE(r.s, '')) AS pixel_md5
+FROM d LEFT JOIN (
+  SELECT doc_id, string_agg(blockstr, '' ORDER BY br) AS s
+  FROM rows_ GROUP BY doc_id
+) r ON d.doc_id = r.doc_id
+"""
+
+QUERIES["mm_image_decode_jpeg12"] = mm_image_decode_jpeg12
+ORACLES["mm_image_decode_jpeg12"] = ORACLE_MM_IMAGE_DECODE_JPEG12

@@ -152,10 +152,11 @@ def test_jpeg_refusals():
     # lossless (SOF3) refuses
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
-    # 12-bit precision
+    # 12-bit samples under a BASELINE (SOF0) marker violate T.81 —
+    # 12-bit decode itself works via SOF1 since late r10 (tests below)
     i = good.index(b"\xff\xc0")
     twelve = good[: i + 4] + struct.pack("B", 12) + good[i + 5 :]
-    with pytest.raises(NotImplementedError, match="12-bit"):
+    with pytest.raises(ValueError, match="baseline.*8-bit"):
         decode_jpeg(twelve)
     # not a JPEG / truncated garbage after SOI
     with pytest.raises(ValueError):
@@ -330,3 +331,75 @@ def test_jpeg_oversubscribed_dht_refuses():
     _build_huff.cache_clear()  # same-session cache must not mask the guard
     with pytest.raises(ValueError, match="over-subscribed"):
         decode_jpeg(patched)
+
+
+# ------------------------------------------------------------- 12-bit (r10)
+
+
+def _ref_idct12(zz_block, quant=None):
+    """Independent 12-bit reference: same sandwich, +2048 shift, 0..4095."""
+    q = np.ones((8, 8)) if quant is None else np.asarray(quant, np.float64)
+    coef = np.zeros((8, 8))
+    coef[_ZZ_ROWS, _ZZ_COLS] = zz_block
+    px = _IDCT_M.T @ (coef * q) @ _IDCT_M + 2048.0
+    return np.clip(np.floor(px + 0.5), 0, 4095).astype(np.uint16)
+
+
+def test_jpeg12_dc_only_is_analytically_exact():
+    """12-bit SOF1: DC = 8*(v-2048) with quant=1 decodes to exactly v
+    (uint16 output) — the property the 12-bit workload oracle uses."""
+    vals = [0, 1, 77, 2048, 4000, 4095]
+    zz = np.zeros((len(vals), 64), np.int64)
+    for i, v in enumerate(vals):
+        zz[i, 0] = 8 * (v - 2048)
+    img = decode_jpeg(
+        make_jpeg_gray_from_blocks(zz, blocks_x=3, blocks_y=2, precision=12)
+    )
+    assert img.dtype == np.uint16 and img.shape == (16, 24, 3)
+    for i, v in enumerate(vals):
+        by, bx = divmod(i, 3)
+        assert (img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] == v).all()
+
+
+def test_jpeg12_random_coefficients_and_16bit_dqt():
+    """Full entropy layer at 12-bit (DC categories past 11, restart
+    markers) against the independent reference, plus a Pq=1 16-bit
+    quant table (values > 255 are legal at 12-bit precision)."""
+    rng = np.random.RandomState(8)
+    zz = np.zeros((6, 64), np.int64)
+    zz[:, 0] = rng.randint(-16000, 16000, 6)  # DC cats up to 15
+    for i in range(6):
+        for k in rng.choice(np.arange(1, 64), 5, replace=False):
+            zz[i, k] = rng.randint(-1000, 1000)
+    img = decode_jpeg(
+        make_jpeg_gray_from_blocks(zz, blocks_x=2, blocks_y=3,
+                                   precision=12, restart_interval=2)
+    )
+    for i in range(6):
+        by, bx = divmod(i, 2)
+        got = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0]
+        assert (got == _ref_idct12(zz[i])).all(), i
+
+    q = np.full((8, 8), 300, np.int64)  # needs the 16-bit DQT form
+    zz2 = np.zeros((1, 64), np.int64)
+    zz2[0, 0] = 40
+    img = decode_jpeg(
+        make_jpeg_gray_from_blocks(zz2, blocks_x=1, blocks_y=1,
+                                   precision=12, quant=q)
+    )
+    assert (img[:, :, 0] == _ref_idct12(zz2[0], q)).all()
+
+
+def test_jpeg12_refusals():
+    zz = np.zeros((1, 64), np.int64)
+    good = make_jpeg_gray_from_blocks(zz, 1, 1, precision=12)
+    # patch SOF1 -> SOF0: baseline must refuse 12-bit loudly
+    bad = good.replace(b"\xff\xc1", b"\xff\xc0")
+    with pytest.raises(ValueError, match="baseline.*8-bit"):
+        decode_jpeg(bad)
+    # patch SOF1 -> SOF2: 12-bit progressive is an honest boundary
+    bad = good.replace(b"\xff\xc1", b"\xff\xc2")
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bad)
+    with pytest.raises(ValueError, match="precision"):
+        make_jpeg_gray_from_blocks(zz, 1, 1, precision=10)

@@ -48,6 +48,7 @@ BUDGETS = {
     # r10: CCITT G4 fax TIFF, same decode shape
     "mm_image_decode_g4": (1, 0, 1),
     "mm_image_decode_g3": (1, 0, 1),
+    "mm_image_decode_jpeg12": (1, 0, 1),
     # r8 multimodal capstone: decode runs ONCE inside the checkpoint
     # (plan shows no scan/python nodes past it); downstream = dedup agg
     # + final rollup exchanges only
