@@ -26,8 +26,8 @@ well-known anchor codewords, plus hand-composed golden streams decoded
 independently of the encoder twin.
 
 Closes the r9 verdict "What's missing" #4 (fax-encoded corpora hit the
-NotImplementedError at tiff.py). Lossy VP8/MP3/12-bit-JPEG remain
-honest library boundaries.
+NotImplementedError at tiff.py). Lossy VP8/MP3 remain honest
+library boundaries (12-bit JPEG landed late r10 via SOF1).
 
 Reference parity note: the reference repo (AksoEo/geo-db) has no image
 codecs at all — this belongs to the SURVEY §2-H engine-growth surface

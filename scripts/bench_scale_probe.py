@@ -41,7 +41,21 @@ def main() -> None:
     from geo_db_spark import workload
     from geo_db_spark.session import get_spark
 
-    spark = get_spark("geo_db_spark_scale_probe")
+    # a 100x corpus needs a bigger heap than the 8g test default (the
+    # single local JVM stands in for a whole cluster's executor memory)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "96g")
+    spark = get_spark(
+        "geo_db_spark_scale_probe",
+        shuffle_partitions=int(os.environ.get("SCALE_PROBE_SHUFFLE", "128")),
+    )
+    # extra runtime confs, "k=v,k=v" (e.g. shrink AQE's advisory
+    # partition size: coalescing sizes partitions by COMPRESSED shuffle
+    # bytes, which wildly underestimates stages whose in-memory state
+    # expands — the 100x containment aggregation got coalesced to 33
+    # tasks and spilled 40+ GB regardless of the initial partition count)
+    for kv in filter(None, os.environ.get("SCALE_PROBE_CONF", "").split(",")):
+        k, v = kv.split("=", 1)
+        spark.conf.set(k.strip(), v.strip())
     qs = workload.queries()
 
     def force(df):
