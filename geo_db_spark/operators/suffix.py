@@ -11,7 +11,7 @@ materialized string. Round 0 ranks suffixes by their first ``k0``
 characters; each doubling round re-keys suffix (d, p) by the pair
 (rank[d, p], rank[d, p + L]) — missing second half (suffix shorter
 than 2L) keys as 0, which sorts first, matching "abc" < "abcx" — and
-re-ranks densely. After ceil(log2(slice_len / k0)) rounds the rank
+re-ranks densely. After ceil(log4(slice_len / k0)) quadrupling rounds the rank
 order equals full lexicographic suffix order; ties (identical
 remaining text) are broken (doc_id, pos) for a deterministic total
 order. Dense ranking is assign_stable_ids (operators/ids.py): a range
@@ -57,8 +57,8 @@ def suffix_ranks(
 
     ``slice_len`` bounds per-document work (the decode-family cap
     convention — declared query semantics, mirrored by oracles); the
-    doubling loop runs ceil(log2(slice_len/k0)) rounds regardless of
-    corpus size.
+    re-rank loop runs ceil(log4(slice_len/k0)) rounds (quadrupling —
+    see the round comment) regardless of corpus size.
 
     ``min_tail`` filters the OUTPUT only — the doubling must rank over
     EVERY position, because two kept suffixes that agree through their
@@ -82,32 +82,44 @@ def suffix_ranks(
         "t",
     ).select("doc_id", "pos", F.expr(f"substring(t, pos, {k0})").alias("k"))
     suf = _dense_rank_by(suf, ["k"]).localCheckpoint(eager=True)
-    L = k0
-    while L < slice_len:
-        # rank of the suffix L characters later in the SAME doc; the
-        # right side renames every column so the checkpointed frame
-        # self-joins without reference ambiguity (the ids.py/editjoin
-        # renaming rule)
-        nxt = suf.select(
-            F.col("doc_id").alias("__d2"),
-            (F.col("pos") - F.lit(L)).alias("__p2"),
-            F.col("rank").alias("__r2"),
-        )
-        suf = (
-            suf.join(
+    n_suffixes = suf.count()
+    c = k0  # characters covered by the current rank
+    while c < slice_len:
+        # early exit: dense ranks mean max(rank) == #distinct keys; once
+        # every suffix has its own rank, further rounds are identity —
+        # on low-duplication text k0 chars already separate almost
+        # everything (each probe is one cheap agg on the checkpointed
+        # frame; on a replica-heavy corpus ties persist and the loop
+        # runs its full depth)
+        if suf.agg(F.max("rank")).collect()[0][0] == n_suffixes:
+            break
+        # QUADrupling, not doubling: the per-round cost here is Spark
+        # job latency (a distributed sort per re-rank), not data volume
+        # — so combine the ranks at pos, pos+c, pos+2c, pos+3c in ONE
+        # round (coverage 4c, log4 rounds: slice 256 at k0=16 takes 2
+        # rounds where doubling took 4). Each shifted lookup renames
+        # every column so the checkpointed frame self-joins without
+        # reference ambiguity (the ids.py/editjoin renaming rule).
+        keyed = suf.select("doc_id", "pos", F.col("rank").alias("r0"))
+        for j in (1, 2, 3):
+            nxt = suf.select(
+                F.col("doc_id").alias("__d"),
+                (F.col("pos") - F.lit(j * c)).alias("__p"),
+                F.col("rank").alias(f"__r{j}"),
+            )
+            keyed = keyed.join(
                 nxt,
-                (F.col("doc_id") == F.col("__d2")) & (F.col("pos") == F.col("__p2")),
+                (F.col("doc_id") == F.col("__d")) & (F.col("pos") == F.col("__p")),
                 "left",
+            ).select(
+                "doc_id", "pos",
+                *[F.col(f"r{i}") for i in range(j)],
+                F.coalesce(F.col(f"__r{j}"), F.lit(0)).alias(f"r{j}"),
             )
-            .select(
-                "doc_id",
-                "pos",
-                F.col("rank").alias("r1"),
-                F.coalesce(F.col("__r2"), F.lit(0)).alias("r2"),
-            )
-        )
-        suf = _dense_rank_by(suf, ["r1", "r2"]).localCheckpoint(eager=True)
-        L *= 2
+        suf = _dense_rank_by(
+            keyed, ["r0", "r1", "r2", "r3"]
+        ).localCheckpoint(eager=True)
+        c *= 4
     if min_tail > 1:
         lens = sliced.select(
             F.col("doc_id").alias("__ld"), F.length("t").alias("__n")
@@ -117,6 +129,24 @@ def suffix_ranks(
             .filter(F.col("pos") <= F.col("__n") - F.lit(min_tail - 1))
             .select("doc_id", "pos", "rank")
         )
-    return assign_stable_ids(
+    out = assign_stable_ids(
         suf, order_cols=["rank", "doc_id", "pos"], id_name="sa_rank"
     ).select("doc_id", "pos", "sa_rank")
+    # checkpoint hygiene: assign_stable_ids materialized its own eager
+    # checkpoint, so `out` no longer reads the per-round blocks — but
+    # localCheckpoint storage is only reclaimed when the DRIVER GC
+    # collects the RDD handles (ContextCleaner). Without the nudge,
+    # back-to-back builds in one long-lived session accumulate every
+    # round's blocks until eviction thrash (measured: an identical
+    # second 10x build ran 132 -> 673 s). Drop our references and ask
+    # both collectors politely; harmless when there is nothing to free.
+    del suf
+    import gc
+
+    gc.collect()
+    try:
+        sc = docs.sparkSession.sparkContext
+        sc._jvm.System.gc()  # type: ignore[union-attr]
+    except Exception:
+        pass
+    return out

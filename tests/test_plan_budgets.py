@@ -49,6 +49,15 @@ BUDGETS = {
     "mm_image_decode_g4": (1, 0, 1),
     "mm_image_decode_g3": (1, 0, 1),
     "mm_image_decode_jpeg12": (1, 0, 1),
+    # r10 pipeline additions: zero Python nodes everywhere; the
+    # single-partition exchange in the two model trainers is the 1-row
+    # corpus-totals aggregate (the q6 convention). The suffix-adjacency
+    # plan is post-checkpoint (doubling rounds materialize eagerly):
+    # the visible tail is the rank-keyed adjacency join + gram attach.
+    "dedup_suffix_adjacent_dups": (2, 0, 0),
+    "dedup_longest_repeat": (7, 0, 0),
+    "text_kneser_ney_score": (6, 1, 0),
+    "text_odds_classifier": (5, 1, 0),
     # r8 multimodal capstone: decode runs ONCE inside the checkpoint
     # (plan shows no scan/python nodes past it); downstream = dedup agg
     # + final rollup exchanges only
