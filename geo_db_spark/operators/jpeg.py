@@ -202,9 +202,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pq, tq = seg[i] >> 4, seg[i] & 15
                 tbl = np.zeros((8, 8), np.int64)
                 if pq == 0:
+                    if len(seg) < i + 65:
+                        raise ValueError("truncated DQT (8-bit table)")
                     vals = np.frombuffer(seg[i + 1 : i + 65], np.uint8)
                     i += 65
                 elif pq == 1:  # 16-bit table values (12-bit precision)
+                    if len(seg) < i + 129:
+                        raise ValueError("truncated DQT (16-bit table)")
                     vals = np.frombuffer(seg[i + 1 : i + 129], ">u2")
                     i += 129
                 else:

@@ -150,3 +150,139 @@ def suffix_ranks(
     except Exception:
         pass
     return out
+
+
+def sa_adjacent_pairs(
+    docs: DataFrame,
+    ranks: DataFrame,
+    min_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "t",
+) -> DataFrame:
+    """Every SA-adjacent suffix pair sharing at least its first
+    ``min_len`` characters: (doc_a, pos_a, doc_b, pos_b, gram).
+
+    ``ranks`` is a PREBUILT ``suffix_ranks(...)`` output (built with
+    ``min_tail >= min_len`` over the same ``docs`` slices) — factored
+    out (r10 verdict) so a composed pipeline pays the SA build ONCE and
+    derives both the duplicate pairs and the per-doc repeat lengths
+    from the same frame. Suffix-array adjacency keeps this exact AND
+    linear in output: any two suffixes' common prefix is <= every
+    adjacent LCP between them, so each duplicated region surfaces as a
+    chain of adjacent pairs, never a quadratic all-pairs set. The
+    ``min_len``-gram text rides along for the oracle's collision-proof
+    equality check."""
+    grams = (
+        docs.filter(F.length(text_col) >= min_len)
+        .select(
+            F.col(id_col).alias("g_doc"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - F.lit(min_len - 1))
+            ).alias("g_pos"),
+            F.col(text_col).alias("__gt"),
+        )
+        # explode positions THEN substring: stays in whole-stage codegen
+        # (a transform() lambda would run interpreted per gram)
+        .select(
+            "g_doc", "g_pos",
+            F.expr(f"substring(__gt, g_pos, {min_len})").alias("gram"),
+        )
+    )
+    withg = (
+        ranks.join(
+            grams,
+            (F.col("doc_id") == F.col("g_doc")) & (F.col("pos") == F.col("g_pos")),
+        )
+        .select("doc_id", "pos", "sa_rank", "gram")
+        .localCheckpoint(eager=True)  # consumed by both sides of the join
+    )
+    b = withg.select(
+        (F.col("sa_rank") - 1).alias("__prev"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("gram").alias("gram_b"),
+    )
+    return (
+        withg.join(b, F.col("sa_rank") == F.col("__prev"))
+        .filter(F.col("gram") == F.col("gram_b"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_a"),
+            F.col("pos").cast("long").alias("pos_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.col("pos_b").cast("long").alias("pos_b"),
+            "gram",
+        )
+    )
+
+
+def substring_dup_losers(pairs: DataFrame) -> DataFrame:
+    """Doc-level exact-substring dedup rule (the Lee et al. ACL'22
+    signal applied keep-earliest): from a ``sa_adjacent_pairs`` frame,
+    the doc_ids that share a qualifying substring with a SMALLER-id
+    document — greedy one-pass (a loser's witness may itself lose; the
+    shared content always survives in the chain's minimum id, computed
+    on the ORIGINAL corpus exactly as Lee et al. compute spans).
+    Doc-level drop rather than span excision is the declared semantics
+    — excision rewrites text payloads, which no downstream stage here
+    consumes, while the drop composes with the corpus pipeline's other
+    survivor rules. Returns a 1-column (doc_id) frame for left_anti."""
+    return (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
+def max_repeat_per_doc(
+    docs: DataFrame,
+    pairs: DataFrame,
+    min_len: int,
+    slice_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "t",
+) -> DataFrame:
+    """Per-document longest exact repeated substring length
+    (doc_id, max_repeat_len) from a PREBUILT ``sa_adjacent_pairs``
+    frame — the suffix-array property that the maximal repeat involving
+    any suffix is achieved against an SA-NEIGHBOR makes the per-doc max
+    exact from adjacent pairs alone. LCP per surviving pair is a
+    bounded k-explode (k in min_len..slice_len — prefix equality is
+    monotone in k, so max(k | equal) is the LCP, capped by the slice);
+    the explode runs only on pairs that already share ``min_len``
+    chars, not on the whole suffix set."""
+    ta = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("t_a")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("t_b")
+    )
+    lcp = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a", "pos_a", "doc_b", "pos_b",
+            F.explode(F.sequence(F.lit(min_len), F.lit(slice_len))).alias("k"),
+            "t_a", "t_b",
+        )
+        .filter(
+            F.expr("substring(t_a, cast(pos_a as int), k)")
+            == F.expr("substring(t_b, cast(pos_b as int), k)")
+        )
+        .groupBy("doc_a", "pos_a", "doc_b", "pos_b")
+        .agg(
+            # substring() clamps past the slice end, so two identical
+            # short tails match at every k: cap by the real remaining
+            # lengths (carried via min — they are key-functional)
+            F.least(
+                F.max("k"),
+                F.min(F.length("t_a") - F.col("pos_a") + 1),
+                F.min(F.length("t_b") - F.col("pos_b") + 1),
+            ).alias("lcp")
+        )
+    )
+    sides = lcp.select(F.col("doc_a").alias("doc_id"), "lcp").unionAll(
+        lcp.select(F.col("doc_b").alias("doc_id"), "lcp")
+    )
+    return sides.groupBy("doc_id").agg(
+        F.max("lcp").cast("long").alias("max_repeat_len")
+    )

@@ -27,6 +27,13 @@ from __future__ import annotations
 
 import struct
 
+# FillOrder=2 (tag 266): bits within each byte are stored LSB-first —
+# the common layout in scanned-fax TIFFs. Reversing every byte turns
+# the stream back into the MSB-first order the bit readers assume.
+_BITREV = bytes(
+    ((i * 0x0202020202 & 0x010884422010) % 1023) for i in range(256)
+)
+
 
 def _unpackbits(data: bytes, expected: int) -> bytes:
     """PackBits (TIFF §9): n in [0,127] -> copy n+1 literal bytes;
@@ -151,6 +158,9 @@ def decode_tiff(payload: bytes):
     rows_per_strip = one(278, h)
     predictor = one(317, 1)
     planar = one(284, 1)
+    fill_order = one(266, 1)
+    if fill_order not in (1, 2):
+        raise ValueError(f"bad TIFF FillOrder {fill_order}")
     if planar not in (1, 2):
         raise ValueError(f"bad TIFF planar configuration {planar}")
     if planar == 2 and spp == 1:
@@ -161,6 +171,10 @@ def decode_tiff(payload: bytes):
             f"TIFF compression {comp} needs a codec library (1/2/3/4/5/32773 decode)"
         )
     fax = comp in (2, 3, 4)
+    if fill_order == 2 and not fax:
+        # spec restricts FillOrder=2 to 1-bit data in practice; the
+        # byte-oriented codecs (LZW/PackBits/none) never use it
+        raise NotImplementedError("FillOrder=2 only supported for fax TIFFs")
     g3_two_d = False
     if fax:
         # CCITT fax bilevel — G4 (T.6) r10, G3/MH (T.4) late r10
@@ -240,6 +254,8 @@ def decode_tiff(payload: bytes):
             # (TIFF 6.0 §10-11); yields one 0/1 sample byte per pixel
             from geo_db_spark.operators.ccitt import decode_g3, decode_g4, decode_mh
 
+            if fill_order == 2:
+                body = body.translate(_BITREV)
             if comp == 4:
                 data = decode_g4(body, cols, rows)
             elif comp == 3:
@@ -367,6 +383,7 @@ def make_tiff(
     rows_per_strip: int | None = None,
     tile: tuple[int, int] | None = None,
     planar: int = 1,
+    fill_order: int = 1,
 ) -> bytes:
     """Assemble a real RGB TIFF from raw RGB bytes.
     ``compression``: 'none' / 'packbits' / 'lzw' / 'g4' / 'mh'
@@ -389,6 +406,10 @@ def make_tiff(
         raise ValueError(f"unknown compression {compression!r}")
     if planar not in (1, 2):
         raise ValueError(f"bad planar configuration {planar}")
+    if fill_order not in (1, 2):
+        raise ValueError(f"bad FillOrder {fill_order}")
+    if fill_order == 2 and compression not in ("g4", "mh", "g3", "g3_2d"):
+        raise ValueError("FillOrder=2 fixtures only for fax compressions")
     if tile is not None:
         if rows_per_strip is not None:
             raise ValueError("tile and rows_per_strip are exclusive")
@@ -437,8 +458,12 @@ def make_tiff(
             enc(u.tobytes(), u.shape[1], u.shape[0])
             for u in units_of(bil[:, :, None])
         ]
+        if fill_order == 2:
+            units = [u.translate(_BITREV) for u in units]
         comp_tag = {"g4": 4, "mh": 2, "g3": 3, "g3_2d": 3}[compression]
         extra = [(292, 3, [1])] if compression == "g3_2d" else []
+        if fill_order == 2:
+            extra = extra + [(266, 3, [2])]
         return _assemble_tiff(
             width, height, units, e, rps,
             bits=[1], comp_tag=comp_tag, photo=0, spp=1, predictor=False,

@@ -31,6 +31,24 @@ _RUNTIME_CONFS = {
     # ANSI off: the reference's semantics are warn-and-skip on malformed
     # data (SURVEY.md §1.4), i.e. NULL on bad cast, not an error.
     "spark.sql.ansi.enabled": "false",
+    # Spark's default, pinned EXPLICITLY so tune() restores it after a
+    # query ran under tune_expansion_heavy() — every query calls tune()
+    # on entry, so the expansion profile never leaks across queries.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+}
+
+# AQE's coalescePartitions sizes post-shuffle partitions by COMPRESSED
+# map-output bytes — a wild underestimate for stages whose in-memory
+# state EXPANDS (duplicate-heavy skinny pair rows compress ~50x while
+# the hash/sort state does not). Measured at the round-10 100x
+# containment probe (SCALE.md "second-decade scale probe"): the
+# candidate-pair aggregation coalesced to 33 tasks and spilled
+# ~30-45 GB from a 1.7 GB input (one attempt died disk-full) under the
+# 64m default; an 8m advisory re-split it to 123 tasks, wall
+# 2035 -> 1403 s, identical output. Queries with expansion-heavy
+# aggregations opt in via tune_expansion_heavy(spark) AFTER tune().
+_EXPANSION_HEAVY_CONFS = {
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
 }
 
 
@@ -41,6 +59,21 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime-settable on this build; startup conf covers it
+    return spark
+
+
+def tune_expansion_heavy(spark: SparkSession) -> SparkSession:
+    """Opt-in profile for queries dominated by an EXPANSION-HEAVY
+    aggregation (shuffle rows that compress far better than their
+    in-memory aggregation state): shrinks AQE's advisory partition
+    size so coalescing keeps enough tasks to hold the expanded state.
+    Call AFTER tune(); tune() restores the default, so the profile is
+    scoped to the calling query's execution."""
+    for k, v in _EXPANSION_HEAVY_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     return spark
 
 

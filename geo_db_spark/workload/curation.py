@@ -17,6 +17,8 @@ from geo_db_spark.operators.curation import (
     gopher_repetition,
 )
 from geo_db_spark.session import tune
+from geo_db_spark.workload.dedup import SA_SLICE as _SA_SLICE
+from geo_db_spark.workload.dedup import SA_T as _SA_T
 
 
 def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,19 +542,29 @@ ORACLES["text_stratified_sample_approx"] = ORACLE_STRATIFIED_APPROX
 
 
 def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CAPSTONE composition (r7b): the full training-corpus build as
-    ONE oracle-gated artifact — exact dedup (normalized-digest min-id
-    survivors) -> C4 keep gate -> deterministic md5 train/val/test split
-    -> token-balanced shard assignment via the distributed prefix sum,
-    per split. A user of this engine runs exactly this chain; gating the
-    COMPOSITION catches stage-interface bugs (a gate reordering, a
+    """The CAPSTONE composition (r7b; substring stage r11): the full
+    training-corpus build as ONE oracle-gated artifact — exact dedup
+    (normalized-digest min-id survivors) -> EXACT substring dedup
+    (SA-adjacency keep-earliest over the 256-char slices — the Lee et
+    al. ACL'22 order: substring dedup after exact, before quality) ->
+    C4 keep gate -> deterministic md5 train/val/test split ->
+    token-balanced shard assignment via the distributed prefix sum,
+    per split. A user of this engine runs exactly this chain; gating
+    the COMPOSITION catches stage-interface bugs (a gate reordering, a
     survivor set leaking dropped docs into the prefix sum) that
     per-stage oracles cannot.
 
-    Every stage is the already-verified operator — the pipeline adds no
-    new shuffle beyond their own (digest groupBy, prefix-sum exchanges);
-    C4 flags and the split are map-only and fuse into the scan."""
+    Every stage is the already-verified operator — exact dedup adds the
+    digest window, the substring stage the suffix-array build its
+    standalone twins pay (operators/suffix.py, one shared suffix_ranks
+    -> sa_adjacent_pairs -> substring_dup_losers), C4/split are
+    map-only and fuse into the scan; only skinny frames shuffle after.
+    Per-stage row counts ride along as free Observations
+    (corpus_exact_kept / corpus_substring_kept — the A10 telemetry
+    pattern, zero extra scans), read by the pytest composition gate."""
     tune(spark)
+    from pyspark.sql import Observation
+
     from geo_db_spark.operators.curation import (
         C4_BOILERPLATE,
         C4_MEAN_WORD_LEN_MAX,
@@ -561,6 +573,11 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from geo_db_spark.operators.dedup import normalize_text
     from geo_db_spark.operators.packing import _cum_token_positions, split_assign
+    from geo_db_spark.operators.suffix import (
+        sa_adjacent_pairs,
+        substring_dup_losers,
+        suffix_ranks,
+    )
 
     docs = load(spark, sf_dir, "documents")
     # ONE scan computes every per-row signal (digest, C4 keep, split) —
@@ -589,18 +606,40 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_assign().alias("__split"),
     )
     w_min = Window.partitionBy("__digest")
-    gated = (
-        base.withColumn("__min_id", F.min("doc_id").over(w_min))
-        .filter((F.col("doc_id") == F.col("__min_id")) & (F.col("keep") == 1))
-        .select("doc_id", "text", "__split")
+    exact_kept = base.withColumn("__min_id", F.min("doc_id").over(w_min)).filter(
+        F.col("doc_id") == F.col("__min_id")
+    )
+    obs_exact = Observation("corpus_exact_kept")
+    exact_kept = exact_kept.observe(obs_exact, F.count(F.lit(1)).alias("n"))
+    # the suffix build consumes exact_kept THREE ways (ranks, grams,
+    # loser anti-join) and checkpoints internally — checkpoint the
+    # survivor frame once so the scan + digest window run once
+    exact_kept = exact_kept.localCheckpoint(eager=True)
+    sliced = exact_kept.select(
+        "doc_id", F.substring("text", 1, _SA_SLICE).alias("t")
+    )
+    ranks = suffix_ranks(
+        sliced, id_col="doc_id", text_col="t",
+        slice_len=_SA_SLICE, k0=16, min_tail=_SA_T,
+    )
+    losers = substring_dup_losers(sa_adjacent_pairs(sliced, ranks, _SA_T))
+    obs_sub = Observation("corpus_substring_kept")
+    sub_kept = (
+        exact_kept.join(losers, "doc_id", "left_anti")
+        .observe(obs_sub, F.count(F.lit(1)).alias("n"))
+    )
+    gated = sub_kept.filter(F.col("keep") == 1).select(
+        "doc_id", "text", "__split"
     )
     pos = _cum_token_positions(gated, "__split", "doc_id", "text", 4096)
-    return pos.select(
+    out = pos.select(
         F.col("id").alias("doc_id"),
         F.col("source").alias("split"),
         F.col("n_tokens"),
         F.floor(F.col("cum_before") / F.lit(2000)).alias("shard"),
     )
+    out._corpus_observations = {"exact": obs_exact, "substring": obs_sub}
+    return out
 
 
 _SPLIT_CASE_C = (
@@ -615,8 +654,35 @@ WITH surv AS (
   FROM documents
   GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
 ),
-kept AS (
+exact_kept AS (
   SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+),
+-- substring-dedup stage (r11): brute-force suffix sort over the
+-- {_SA_SLICE}-char slices of the exact survivors; drop any doc sharing
+-- a >= {_SA_T}-char substring with a smaller-id doc (keep-earliest)
+sl AS MATERIALIZED (
+  SELECT doc_id, substr(text, 1, {_SA_SLICE}) AS t FROM exact_kept
+),
+suf AS MATERIALIZED (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         substr(t, CAST(pos AS INT)) AS suffix,
+         substr(t, CAST(pos AS INT), {_SA_T}) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - {_SA_T - 1} + 1)) AS pos
+        FROM sl WHERE length(t) >= {_SA_T})
+),
+rk AS MATERIALIZED (
+  SELECT doc_id, pos, g,
+         row_number() OVER (ORDER BY suffix, doc_id, pos) AS rk
+  FROM suf
+),
+sublosers AS MATERIALIZED (
+  SELECT DISTINCT GREATEST(a.doc_id, b.doc_id) AS doc_id
+  FROM rk a JOIN rk b ON b.rk = a.rk + 1 AND a.g = b.g
+                      AND a.doc_id <> b.doc_id
+),
+kept AS (
+  SELECT * FROM exact_kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM sublosers)
 ),
 c4 AS (
   SELECT doc_id,

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from geo_db_spark.io import load
 from geo_db_spark.operators.dedup import exact_dedup, normalize_text
-from geo_db_spark.session import tune
+from geo_db_spark.session import tune, tune_expansion_heavy
 
 
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -367,8 +367,18 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (containment has no index prefix), with the index pruned to
     prefix-witness tokens so stop-shingles never become join keys.
     Oracle = brute force over all ordered pairs, proving zero recall
-    loss."""
+    loss.
+
+    Scale guardrail (r11, from the r10 100x probe — SCALE.md
+    "second-decade scale probe"): the candidate-pair aggregation is
+    EXPANSION-HEAVY (skinny duplicate-laden pair rows compress ~50x;
+    the agg state does not), so AQE's compressed-bytes coalescing
+    starves it of tasks at scale (33 tasks / ~30-45 GB spill / 2035 s
+    at 100x; an 8m advisory re-split to 123 tasks, 1403 s, identical
+    output). tune_expansion_heavy applies that advisory here; tune()
+    restores the default on the next query's entry."""
     tune(spark)
+    tune_expansion_heavy(spark)
     from geo_db_spark.operators.simjoin import containment_join
 
     docs = load(spark, sf_dir, "documents")
@@ -517,8 +527,10 @@ def dedup_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the production stream; the oracle replays the prefix-filter
     candidate rule (rarest-first (tdf, token) order, probe prefix
     |A| - ceil(t|A|) + 1, size filter |B| >= ceil(t|A|)) against
-    brute-force hits."""
+    brute-force hits. Shares the pairs query's expansion-heavy AQE
+    profile (see dedup_containment_pairs' scale guardrail note)."""
     tune(spark)
+    tune_expansion_heavy(spark)
     from geo_db_spark.operators.simjoin import containment_candidate_profile
 
     docs = load(spark, sf_dir, "documents")
@@ -676,7 +688,9 @@ def dedup_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geo_db_spark.operators.dedup import winnow_match_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return winnow_match_pairs(docs, k=WINNOW_K, w=WINNOW_W, min_shared=2, hot_cap=64)
+    return winnow_match_pairs(
+        docs, k=WINNOW_K, w=WINNOW_W, min_shared=2, hot_cap=WINNOW_HOT_CAP
+    )
 
 
 ORACLE_WINNOW_MATCHES = f"""
@@ -696,10 +710,80 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 """
 
+WINNOW_HOT_CAP = 64
+
+
+def dedup_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the winnow-matches hot_cap=64 recall trade
+    (r11; the r9/r10 verdicts' open Next item — the containment-profile
+    pattern): the df distribution of SELECTED grams by integer
+    floor(log2 df) class, with the capped-gram count and the join work
+    each class would contribute, split kept vs capped. ``capped_pairs``
+    is exactly the candidate volume the hot-gram prune avoids (the
+    quadratic boilerplate blowup) and ``n_capped`` the recall surface
+    it costs — the two numbers that make the trade attributable from
+    query output instead of SCALE.md prose. Shares the PRODUCTION
+    fingerprint generator (winnow_fingerprints, same k/w), so the
+    profiled stream is the stream dedup_winnow_matches joins.
+    Integer-exact throughout (FLOORLOG2_SQL, div — no doubles)."""
+    tune(spark)
+    from geo_db_spark.operators.dedup import winnow_fingerprints
+    from geo_db_spark.operators.simjoin import FLOORLOG2_SQL
+
+    docs = load(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    dfc = (
+        fp.select("id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    capped = F.col("df") > WINNOW_HOT_CAP
+    work = F.expr("df * (df - 1) div 2")
+    return (
+        dfc.select(
+            F.expr(FLOORLOG2_SQL.format(col="df")).cast("long").alias("df_class"),
+            "df",
+        )
+        .groupBy("df_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(capped, 1).otherwise(0)).cast("long").alias("n_capped"),
+            F.sum(F.when(~capped, work).otherwise(0)).cast("long").alias("kept_pairs"),
+            F.sum(F.when(capped, work).otherwise(0)).cast("long").alias("capped_pairs"),
+        )
+    )
+
+
+def _winnow_profile_oracle() -> str:
+    from geo_db_spark.operators.simjoin import FLOORLOG2_SQL
+
+    return f"""
+WITH {_WINNOW_SEL},
+selgram AS (
+  SELECT DISTINCT s.doc_id,
+         substr(d.text, CAST(s.key % {1 << 20} AS INT), {WINNOW_K}) AS gram
+  FROM selected s JOIN documents d USING (doc_id)
+),
+dfc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM selgram GROUP BY gram)
+SELECT CAST({FLOORLOG2_SQL.format(col="df")} AS BIGINT) AS df_class,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df > {WINNOW_HOT_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped,
+       CAST(SUM(CASE WHEN df <= {WINNOW_HOT_CAP} THEN df * (df - 1) // 2
+                ELSE 0 END) AS BIGINT) AS kept_pairs,
+       CAST(SUM(CASE WHEN df > {WINNOW_HOT_CAP} THEN df * (df - 1) // 2
+                ELSE 0 END) AS BIGINT) AS capped_pairs
+FROM dfc GROUP BY 1
+"""
+
+
 QUERIES["text_winnow_fingerprints"] = text_winnow_fingerprints
 ORACLES["text_winnow_fingerprints"] = ORACLE_WINNOW_FPS
 QUERIES["dedup_winnow_matches"] = dedup_winnow_matches
 ORACLES["dedup_winnow_matches"] = ORACLE_WINNOW_MATCHES
+QUERIES["dedup_winnow_profile"] = dedup_winnow_profile
+ORACLES["dedup_winnow_profile"] = _winnow_profile_oracle()
 
 
 CDC_K = 8
@@ -814,9 +898,13 @@ def dedup_suffix_adjacent_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: suffix rows = corpus chars (the slice cap bounds per-doc
     blowup at 256x), every stage is a skinny (doc, pos, rank) shuffle;
     the adjacency join is rank-keyed. The oracle replays the full sort
-    brute-force (suffix strings materialize only there, at oracle SF)."""
+    brute-force (suffix strings materialize only there, at oracle SF).
+
+    Thin caller (r11): the pairs derivation lives in
+    operators/suffix.py `sa_adjacent_pairs` so composed pipelines share
+    ONE suffix_ranks build with `max_repeat_per_doc`."""
     tune(spark)
-    from geo_db_spark.operators.suffix import suffix_ranks
+    from geo_db_spark.operators.suffix import sa_adjacent_pairs, suffix_ranks
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, SA_SLICE).alias("t")
@@ -825,47 +913,7 @@ def dedup_suffix_adjacent_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="t",
         slice_len=SA_SLICE, k0=16, min_tail=SA_T,
     )
-    # explode positions THEN substring: stays in whole-stage codegen
-    # (a transform() lambda would run interpreted per gram)
-    grams = (
-        docs.filter(F.length("t") >= SA_T)
-        .select(
-            F.col("doc_id").alias("g_doc"),
-            F.explode(
-                F.sequence(F.lit(1), F.length("t") - F.lit(SA_T - 1))
-            ).alias("g_pos"),
-            "t",
-        )
-        .select(
-            "g_doc", "g_pos",
-            F.expr(f"substring(t, g_pos, {SA_T})").alias("gram"),
-        )
-    )
-    withg = (
-        sa.join(
-            grams,
-            (F.col("doc_id") == F.col("g_doc")) & (F.col("pos") == F.col("g_pos")),
-        )
-        .select("doc_id", "pos", "sa_rank", "gram")
-        .localCheckpoint(eager=True)  # consumed by both sides of the join
-    )
-    b = withg.select(
-        (F.col("sa_rank") - 1).alias("__prev"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-        F.col("gram").alias("gram_b"),
-    )
-    return (
-        withg.join(b, F.col("sa_rank") == F.col("__prev"))
-        .filter(F.col("gram") == F.col("gram_b"))
-        .select(
-            F.col("doc_id").cast("long").alias("doc_a"),
-            F.col("pos").cast("long").alias("pos_a"),
-            F.col("doc_b").cast("long").alias("doc_b"),
-            F.col("pos_b").cast("long").alias("pos_b"),
-            "gram",
-        )
-    )
+    return sa_adjacent_pairs(docs, sa, SA_T)
 
 
 ORACLE_SUFFIX_ADJACENT = f"""
@@ -899,44 +947,29 @@ def dedup_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k in SA_T..SA_SLICE — prefix equality is monotone in k, so
     max(k | equal) is the LCP, capped by the slice); the explode runs
     only on pairs that already share 32 chars, not on the whole
-    suffix set. Output: (doc_id, max_repeat_len)."""
+    suffix set. Output: (doc_id, max_repeat_len).
+
+    Thin caller (r11): suffix_ranks builds ONCE here and feeds
+    `sa_adjacent_pairs` then `max_repeat_per_doc` (operators/suffix.py)
+    — the r10 verdict flagged that this query used to re-run the
+    entire ~27 s SA build its sibling had just paid; a composed
+    pipeline now shares the build the same way this query does."""
     tune(spark)
-    pairs = QUERIES["dedup_suffix_adjacent_dups"](spark, sf_dir)
+    from geo_db_spark.operators.suffix import (
+        max_repeat_per_doc,
+        sa_adjacent_pairs,
+        suffix_ranks,
+    )
+
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, SA_SLICE).alias("t")
     )
-    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
-    lcp = (
-        pairs.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a", "pos_a", "doc_b", "pos_b",
-            F.explode(F.sequence(F.lit(SA_T), F.lit(SA_SLICE))).alias("k"),
-            "t_a", "t_b",
-        )
-        .filter(
-            F.expr("substring(t_a, cast(pos_a as int), k)")
-            == F.expr("substring(t_b, cast(pos_b as int), k)")
-        )
-        .groupBy("doc_a", "pos_a", "doc_b", "pos_b")
-        .agg(
-            # substring() clamps past the slice end, so two identical
-            # short tails match at every k: cap by the real remaining
-            # lengths (carried via min — they are key-functional)
-            F.least(
-                F.max("k"),
-                F.min(F.length("t_a") - F.col("pos_a") + 1),
-                F.min(F.length("t_b") - F.col("pos_b") + 1),
-            ).alias("lcp")
-        )
+    sa = suffix_ranks(
+        docs, id_col="doc_id", text_col="t",
+        slice_len=SA_SLICE, k0=16, min_tail=SA_T,
     )
-    sides = lcp.select(F.col("doc_a").alias("doc_id"), "lcp").unionAll(
-        lcp.select(F.col("doc_b").alias("doc_id"), "lcp")
-    )
-    return sides.groupBy("doc_id").agg(
-        F.max("lcp").cast("long").alias("max_repeat_len")
-    )
+    pairs = sa_adjacent_pairs(docs, sa, SA_T)
+    return max_repeat_per_doc(docs, pairs, SA_T, SA_SLICE)
 
 
 ORACLE_LONGEST_REPEAT = f"""

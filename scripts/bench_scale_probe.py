@@ -72,8 +72,8 @@ def main() -> None:
     for name in names:
         raw = []
         n = -1
+        load0 = os.getloadavg()[0]  # once, before ANY run of this query
         for _ in range(runs):
-            load0 = os.getloadavg()[0]
             t0 = time.perf_counter()
             n = force(qs[name](spark, sf_dir))
             raw.append(round(time.perf_counter() - t0, 2))

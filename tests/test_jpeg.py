@@ -403,3 +403,20 @@ def test_jpeg12_refusals():
         decode_jpeg(bad)
     with pytest.raises(ValueError, match="precision"):
         make_jpeg_gray_from_blocks(zz, 1, 1, precision=10)
+
+
+def test_truncated_dqt_raises_clear_error():
+    """A DQT segment whose length field claims fewer bytes than the
+    table needs raises a clear ValueError, not numpy's buffer-size
+    error (r10 ADVICE). Both the 8-bit (Pq=0) and 16-bit (Pq=1)
+    branches are covered."""
+    import struct as _struct
+
+    for pq, label in ((0x00, "8-bit"), (0x10, "16-bit")):
+        bad = (
+            b"\xff\xd8"                       # SOI
+            + b"\xff\xdb" + _struct.pack(">H", 10)  # DQT, 8 payload bytes
+            + bytes([pq]) + bytes(7)          # far short of 64/128 values
+        )
+        with pytest.raises(ValueError, match="truncated DQT"):
+            decode_jpeg(bad)

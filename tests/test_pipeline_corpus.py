@@ -159,3 +159,45 @@ def test_assemble_training_set_split_packing_mode(spark):
     assert exact > 0  # the exact-fill property was actually exercised
     with pytest.raises(ValueError, match="packing must be"):
         assemble_training_set(docs, packing="nope")
+
+
+def test_capstone_stage_counts_observed(spark):
+    """Capstone v2 (r11): the per-stage row counts ride along as free
+    Observations and must equal independently-computed stage sizes —
+    raw -> exact survivors -> substring survivors (SA-adjacency
+    keep-earliest) -> final gated/sharded rows. The chained DuckDB
+    oracle checks the VALUES; this gate checks the TELEMETRY (the
+    stage-interface contract pipeline users read)."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.dedup import normalize_text
+    from geo_db_spark.operators.suffix import (
+        sa_adjacent_pairs,
+        substring_dup_losers,
+        suffix_ranks,
+    )
+    from geo_db_spark.workload.curation import corpus_build_pipeline
+    from geo_db_spark.workload.dedup import SA_SLICE, SA_T
+
+    sf = "/root/testdata/sf0.001"
+    out = corpus_build_pipeline(spark, sf)
+    n_final = out.count()
+    got = {k: o.get["n"] for k, o in out._corpus_observations.items()}
+
+    docs = load(spark, sf, "documents")
+    dig = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text")).cast("binary")).alias("d")
+    )
+    winners = dig.groupBy("d").agg(F.min("doc_id").alias("doc_id"))
+    exact = docs.join(winners.select("doc_id"), "doc_id", "left_semi")
+    want_exact = exact.count()
+    sliced = exact.select("doc_id", F.substring("text", 1, SA_SLICE).alias("t"))
+    ranks = suffix_ranks(
+        sliced, id_col="doc_id", text_col="t",
+        slice_len=SA_SLICE, k0=16, min_tail=SA_T,
+    )
+    losers = substring_dup_losers(sa_adjacent_pairs(sliced, ranks, SA_T))
+    want_sub = exact.join(losers, "doc_id", "left_anti").count()
+
+    assert got == {"exact": want_exact, "substring": want_sub}
+    assert 0 < n_final <= want_sub < want_exact

@@ -102,3 +102,20 @@ def test_containment_finds_quote_case_jaccard_misses(spark):
         for r in set_similarity_join(docs, 1, 2).collect()
     }
     assert (1, 2) not in jac and (2, 1) not in jac  # Jaccard 4/38 misses it
+
+
+def test_expansion_heavy_profile_scoped_per_query(spark):
+    """r11 guardrail (r10 verdict Next #7): tune_expansion_heavy shrinks
+    AQE's advisory partition size for expansion-heavy aggregations (the
+    100x containment probe's 33-task / 30-45 GB-spill failure mode) and
+    tune() — which every query calls on entry — restores the default,
+    so the profile cannot leak into the next query."""
+    from geo_db_spark.session import tune, tune_expansion_heavy
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    tune(spark)
+    assert spark.conf.get(key) == "64m"
+    tune_expansion_heavy(spark)
+    assert spark.conf.get(key) == "8m"
+    tune(spark)  # next query's entry
+    assert spark.conf.get(key) == "64m"

@@ -90,3 +90,60 @@ def test_suffix_ranks_min_tail_and_short_docs(spark):
     without it Spark generates a DESCENDING range)."""
     docs = [(1, "abcdef"), (2, "ab"), (3, "a")]
     _check(spark, docs, slice_len=8, k0=4, min_tail=3)
+
+
+def test_shared_build_composition(spark):
+    """r11 refactor (r10 verdict Next #2): `sa_adjacent_pairs` and
+    `max_repeat_per_doc` take PREBUILT frames, so a composed pipeline
+    pays one suffix_ranks build for both outputs. Pins (a) the pairs
+    against an independent brute-force adjacent-LCP scan and (b) the
+    per-doc max repeat against a quadratic substring search — from ONE
+    shared ranks frame."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.suffix import (
+        max_repeat_per_doc,
+        sa_adjacent_pairs,
+    )
+
+    rng = random.Random(7)
+    slice_len, min_len = 24, 3
+    raw = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(4, 30))))
+        for i in range(1, 11)
+    ] + [(11, "xyzxyzxyz"), (12, "qqqqqqq")]
+    df = spark.createDataFrame(raw, "doc_id long, text string")
+    docs = df.select(
+        "doc_id", F.substring("text", 1, slice_len).alias("t")
+    )
+    ranks = suffix_ranks(
+        df, slice_len=slice_len, k0=2, min_tail=min_len
+    )
+    pairs_df = sa_adjacent_pairs(docs, ranks, min_len)
+    repeat_df = max_repeat_per_doc(docs, pairs_df, min_len, slice_len)
+
+    # brute force: sort all suffixes, keep adjacent pairs sharing
+    # >= min_len chars; per-doc max repeat = max LCP over its pairs
+    sufs = []
+    for doc_id, text in raw:
+        t = text[:slice_len]
+        for pos in range(1, len(t) - min_len + 2):
+            sufs.append((t[pos - 1 :], doc_id, pos))
+    sufs.sort()
+    want_pairs, want_rep = set(), {}
+    for (sa, da, pa), (sb, db, pb) in zip(sufs, sufs[1:]):
+        if sa[:min_len] == sb[:min_len]:
+            want_pairs.add((da, pa, db, pb, sa[:min_len]))
+            lcp = 0
+            while lcp < min(len(sa), len(sb)) and sa[lcp] == sb[lcp]:
+                lcp += 1
+            for d in (da, db):
+                want_rep[d] = max(want_rep.get(d, 0), lcp)
+
+    got_pairs = {
+        (r.doc_a, r.pos_a, r.doc_b, r.pos_b, r.gram)
+        for r in pairs_df.collect()
+    }
+    assert got_pairs == want_pairs
+    got_rep = {r.doc_id: r.max_repeat_len for r in repeat_df.collect()}
+    assert got_rep == want_rep

@@ -280,3 +280,43 @@ def test_golden_lzw_earlychange_width_bump():
     strip = _pack_msb(codes, widths)
     out = decode_tiff(_tiff_gray_lzw(254, 1, strip))
     assert out[:, :, 0].ravel().tolist() == literals
+
+
+def test_tiff_fax_fillorder2_roundtrip():
+    """FillOrder=2 (tag 266, LSB-first bytes — the common scanned-fax
+    layout): the decoder bit-reverses each payload byte before the fax
+    bit reader, so the FillOrder=2 fixture decodes identically to its
+    FillOrder=1 twin across all four fax compressions (r10 ADVICE)."""
+    rng = np.random.RandomState(41)
+    w, h = 37, 23
+    bil = (rng.rand(h, w) < 0.4).astype(np.uint8) * 255
+    rgb = np.repeat(bil[:, :, None], 3, axis=2).tobytes()
+    for comp in ("g4", "mh", "g3", "g3_2d"):
+        ref = decode_tiff(make_tiff(w, h, rgb, compression=comp))
+        got = decode_tiff(make_tiff(w, h, rgb, compression=comp, fill_order=2))
+        assert np.array_equal(np.asarray(got), np.asarray(ref)), comp
+    # the two streams genuinely differ on the wire (tag + reversed bits)
+    assert make_tiff(w, h, rgb, compression="g4", fill_order=2) != make_tiff(
+        w, h, rgb, compression="g4"
+    )
+    # FillOrder=2 with byte-oriented codecs: encoder refuses loudly
+    with pytest.raises(ValueError, match="FillOrder=2"):
+        make_tiff(4, 4, bytes(48), compression="lzw", fill_order=2)
+
+
+def test_tiff_fillorder2_nonfax_decode_refusal():
+    """A FillOrder=2 tag on a non-fax TIFF raises NotImplementedError
+    (honest boundary), not a confusing codec error."""
+    t = bytearray(make_tiff(4, 4, bytes(48), compression="lzw"))
+    # II header: IFD at offset read from bytes 4:8; walk entries and
+    # inject tag 266=2 by rewriting an existing SHORT tag is fragile —
+    # instead rebuild via the private assembler with an extra tag.
+    from geo_db_spark.operators.tiff import _assemble_tiff, _lzw_encode_tiff
+
+    body = _lzw_encode_tiff(bytes(48))
+    t2 = _assemble_tiff(
+        4, 4, [body], "<", 4, bits=[8, 8, 8], comp_tag=5, photo=2, spp=3,
+        predictor=False, extra_tags=[(266, 3, [2])],
+    )
+    with pytest.raises(NotImplementedError, match="FillOrder"):
+        decode_tiff(t2)
