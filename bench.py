@@ -137,7 +137,55 @@ TIER2 = [
     "dedup_longest_repeat",
     "text_odds_classifier",
     "mm_image_decode_jpeg12",
+    # r11 additions
+    "dedup_winnow_profile",
 ]
+
+
+def _quiet_comparison(timings, per_query_load, sf):
+    """Round-over-round quiet comparison (r9 Next #7 / r10 Next #3,
+    automated): compare this run's per-query minima against the
+    committed quiet-host baseline BENCH_QUIET.json (same SF only) and
+    return the table the SCALE.md adjudications used to build by hand —
+    median ratio over common queries, the outliers beyond 1.3x each
+    way WITH both sides' loadavg, so 'host shift vs code regression' is
+    answerable from the artifact alone. Refresh the baseline on an idle
+    host with SPARK_GRAFT_SET_QUIET_BASELINE=1."""
+    path = os.path.join(REPO, "BENCH_QUIET.json")
+    if not os.path.exists(path):
+        return {"status": "no baseline (set SPARK_GRAFT_SET_QUIET_BASELINE=1 on a quiet host)"}
+    with open(path) as f:
+        base = json.load(f)
+    if str(base.get("sf")) != str(sf if isinstance(sf, str) else float(sf)):
+        return {"status": f"baseline sf {base.get('sf')} != run sf {sf}"}
+    common = sorted(set(timings) & set(base["queries"]))
+    if not common:
+        return {"status": "no common queries with baseline"}
+    ratios = sorted(
+        (round(timings[n] / base["queries"][n], 3), n) for n in common
+        if base["queries"][n] > 0
+    )
+    med = ratios[len(ratios) // 2][0]
+    base_load = base.get("per_query_loadavg", {})
+    outliers = [
+        {
+            "query": n,
+            "ratio": r,
+            "sec": timings[n],
+            "base_sec": base["queries"][n],
+            "loadavg": per_query_load.get(n),
+            "base_loadavg": base_load.get(n),
+        }
+        for r, n in ratios
+        if r > 1.3 or r < 1 / 1.3
+    ]
+    return {
+        "status": "ok",
+        "n_common": len(common),
+        "median_ratio": med,
+        "baseline_loadavg_start": base.get("loadavg_start"),
+        "outliers": outliers,
+    }
 
 
 def main() -> None:
@@ -177,9 +225,14 @@ def main() -> None:
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     runs_raw: dict[str, list[float]] = {}
+    per_query_load: dict[str, float] = {}
     for name in HEADLINE + TIER2:
         fn = qs[name]
         raw = []
+        # per-query 1-min loadavg, captured BEFORE this query's runs
+        # (r10 verdict Next #3: a host shift is only adjudicable when
+        # every committed wall carries its own load context)
+        per_query_load[name] = round(os.getloadavg()[0], 2)
         for _ in range(RUNS):
             t0 = time.perf_counter()
             n = force(fn(spark, sf_dir))
@@ -196,12 +249,29 @@ def main() -> None:
         "runs": RUNS,
         "queries": timings,
         "runs_raw": runs_raw,
+        "per_query_loadavg": per_query_load,
         "tier2": TIER2,
         "value_with_tier2": round(sum(timings.values()), 4),
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    full["quiet_comparison"] = _quiet_comparison(timings, per_query_load, sf)
+    if os.environ.get("SPARK_GRAFT_SET_QUIET_BASELINE") == "1":
+        # promote THIS run to the committed quiet baseline (run it on an
+        # idle host: the whole point is a load-attributed reference)
+        with open(os.path.join(REPO, "BENCH_QUIET.json"), "w") as f:
+            json.dump(
+                {
+                    "queries": timings,
+                    "per_query_loadavg": per_query_load,
+                    "loadavg_start": [round(x, 2) for x in load_start],
+                    "sf": full["sf"],
+                    "headline_total": total,
+                },
+                f,
+            )
+            f.write("\n")
     # r7 verdict #9: the driver records only the TAIL of stdout, which
     # can truncate the earliest per-query pairs out of BENCH_rN.json.
     # Persist the COMPLETE record to a sibling artifact (referenced from
@@ -211,6 +281,9 @@ def main() -> None:
         f.write("\n")
     # full per-query line on stdout too, for greps and SCALE.md bookkeeping
     print(json.dumps(full))
+    # quiet-baseline comparison on its own line (compact enough to
+    # survive the driver's stdout tail next to the summary)
+    print(json.dumps({"metric": "quiet_comparison", **full["quiet_comparison"]}))
     # Compact summary LAST (r6 verdict #7): the driver records only the
     # TAIL of stdout, which truncated the full line's leading fields
     # (value included) out of every BENCH_rN.json. This short line always

@@ -3,6 +3,8 @@ operators exist for.
 
     raw documents
       -> exact dedup        (content-digest winners; dedup.exact_dedup)
+      -> substring dedup    (OPTIONAL, r11: SA-adjacency keep-earliest,
+                             operators/suffix.py — the Lee ACL'22 order)
       -> near-dup clusters  (MinHash+LSH pairs -> connected components)
       -> cluster survivors  (min doc_id per component)
       -> quality gate       (text.quality_metrics thresholds)
@@ -48,6 +50,9 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     gate: QualityGate = QualityGate(),
     stage_dir: str | None = None,
+    substring_dedup: bool = False,
+    substring_slice: int = 256,
+    substring_min_len: int = 32,
 ) -> DataFrame:
     """The curated corpus as a DataFrame (call ``write_curated`` to
     persist). Keeps every original column of the surviving documents.
@@ -57,7 +62,16 @@ def curate_corpus(
     run, where the near-dup pass re-reads its input several times
     (signatures + candidate re-shingle) and recomputing the exact-dedup
     semi-join each time would re-scan the raw corpus. Locally the lazy
-    plan is fine; at scale always pass a stage_dir."""
+    plan is fine; at scale always pass a stage_dir.
+
+    ``substring_dedup`` (r11): inserts EXACT substring dedup between
+    exact dedup and the near-dup pass (the Lee et al. ACL'22 stage
+    order) — one shared suffix-array build (operators/suffix.py)
+    feeding SA-adjacency pairs and the keep-earliest loser rule over
+    the leading ``substring_slice`` chars, dropping docs that share a
+    >= ``substring_min_len``-char substring with a smaller-id doc.
+    Off by default: the SA build is the most expensive stage in the
+    family (measured envelopes in SCALE.md), so callers opt in."""
     # 1. exact dedup: winner doc_id per normalized-content digest
     exact_winners = exact_dedup(docs, text_col, id_col).select(id_col)
     exact_kept = docs.join(exact_winners, id_col, "left_semi")
@@ -65,6 +79,27 @@ def curate_corpus(
         path = f"{stage_dir}/exact_kept"
         exact_kept.write.mode("overwrite").parquet(path)
         exact_kept = docs.sparkSession.read.parquet(path)
+
+    # 1b. optional exact-substring dedup (one shared SA build)
+    if substring_dedup:
+        from geo_db_spark.operators.suffix import (
+            sa_adjacent_pairs,
+            substring_dup_losers,
+            suffix_ranks,
+        )
+
+        sliced = exact_kept.select(
+            F.col(id_col).alias("doc_id"),
+            F.substring(F.col(text_col), 1, substring_slice).alias("t"),
+        )
+        ranks = suffix_ranks(
+            sliced, id_col="doc_id", text_col="t",
+            slice_len=substring_slice, k0=16, min_tail=substring_min_len,
+        )
+        losers = substring_dup_losers(
+            sa_adjacent_pairs(sliced, ranks, substring_min_len)
+        ).withColumnRenamed("doc_id", id_col)
+        exact_kept = exact_kept.join(losers, id_col, "left_anti")
 
     # 2-3. near-dup clusters on the exact-deduped corpus; drop every
     # clustered doc except its component's min id

@@ -309,3 +309,35 @@ def test_tiff_g3_uncompressed_mode_refused():
             struct.pack_into("<H", tif, off + 8, 2)
     with pytest.raises(NotImplementedError, match="uncompressed"):
         decode_tiff(bytes(tif))
+
+
+def test_golden_g3_2d_mixed_modes_and_first_row():
+    """Hand-composed Compression=3 2-D stream exercising the tag-bit
+    grammar beyond V0 copies (r10 verdict Next #6):
+
+    row 0: EOL+tag=0 — a 2-D FIRST row, coded against the imaginary
+           all-white reference (b1 = width): H(white-2 '0111',
+           black-3 '10') then V0 -> 00111000;
+    row 1: five fill zeros, EOL+tag=1 — 1-D MH row white-0
+           ('00110101') + black-8 ('000101') -> all black;
+    row 2: EOL+tag=0 — VR1 ('011', a1 = b1+1 = 1), VL1 ('010',
+           a1 = b1-1 = 7), V0 -> 01111110;
+    row 3: EOL+tag=0 — Pass ('0001', a0 jumps to b2 = 7 staying
+           white), V0 -> all white.
+
+    Each mode's a1/b1 geometry is worked by hand in the comments; a
+    decoder that mis-seeds the first-row reference, mis-reads the tag
+    bit after fill, or swaps VR/VL cannot reproduce all four rows."""
+    from geo_db_spark.operators.ccitt import decode_g3
+
+    bits = (
+        EOL + "0" + "001" + "0111" + "10" + "1"
+        + "00000" + EOL + "1" + "00110101" + "000101"
+        + EOL + "0" + "011" + "010" + "1"
+        + EOL + "0" + "0001" + "1"
+    )
+    out = decode_g3(_bits_to_bytes(bits), 8, 4, two_d=True)
+    assert list(out[0:8]) == [0, 0, 1, 1, 1, 0, 0, 0]
+    assert list(out[8:16]) == [1] * 8
+    assert list(out[16:24]) == [0, 1, 1, 1, 1, 1, 1, 0]
+    assert list(out[24:32]) == [0] * 8

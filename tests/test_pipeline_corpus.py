@@ -201,3 +201,32 @@ def test_capstone_stage_counts_observed(spark):
 
     assert got == {"exact": want_exact, "substring": want_sub}
     assert 0 < n_final <= want_sub < want_exact
+
+
+def test_curate_corpus_substring_stage_optin(spark):
+    """curate_corpus(substring_dedup=True) drops later docs sharing a
+    >= min_len-char substring with an earlier doc, BEFORE the near-dup
+    pass; off by default (the SA build is the family's most expensive
+    stage). Doc 3 copies a 40-char span of doc 1 but differs otherwise
+    (so exact dedup keeps it and MinHash at 0.9 keeps it); only the
+    substring stage can drop it."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from geo_db_spark.pipeline_corpus import curate_corpus
+
+    span = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} alpha beta gamma delta epsilon zeta", "en"),
+            (2, "completely unrelated text with its own words here", "en"),
+            (3, f"totally different framing yet {span} appears inside", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    gate_off = dict(jaccard_threshold=0.9)
+    base = curate_corpus(docs, **gate_off)
+    assert {r.doc_id for r in base.collect()} == {1, 2, 3}
+    curated = curate_corpus(
+        docs, substring_dedup=True, substring_min_len=32, **gate_off
+    )
+    assert {r.doc_id for r in curated.collect()} == {1, 2}

@@ -320,3 +320,41 @@ def test_tiff_fillorder2_nonfax_decode_refusal():
     )
     with pytest.raises(NotImplementedError, match="FillOrder"):
         decode_tiff(t2)
+
+
+def test_golden_planar2_predictor2_lzw_cross():
+    """Planar configuration 2 x Predictor 2 x LZW in one stream — the
+    cross product the r10 verdict flagged as twin-only (each pairwise
+    combination roundtrips via make_tiff, which shares its forward pass
+    with the decoder). Here the horizontally-DIFFERENCED per-plane
+    bytes are written by hand from TIFF 6.0 §14 (component planes,
+    R-plane units first) and the Predictor-2 rule (difference restarts
+    at every row), LZW-wrapped by _lzw_encode_tiff (itself pinned by
+    the §13 worked-example golden, independent of this geometry), and
+    assembled directly — make_tiff's splitting/differencing never runs.
+    A decoder that un-differences across row boundaries, applies the
+    predictor before plane placement, or lands planes in the wrong
+    channel cannot reproduce the hand-stated pixels."""
+    from geo_db_spark.operators.tiff import _assemble_tiff, _lzw_encode_tiff
+
+    # target pixels (3 wide x 2 high, RGB)
+    want = [
+        [(10, 100, 200), (13, 100, 190), (9, 130, 210)],
+        [(50, 60, 70), (55, 58, 73), (60, 56, 76)],
+    ]
+    # hand-differenced planes (per row: first byte verbatim, then deltas
+    # mod 256): R rows [10,3,252],[50,5,5]; G [100,0,30],[60,254,254];
+    # B [200,246,20],[70,3,3]
+    planes = [
+        bytes([10, 3, 252, 50, 5, 5]),
+        bytes([100, 0, 30, 60, 254, 254]),
+        bytes([200, 246, 20, 70, 3, 3]),
+    ]
+    units = [_lzw_encode_tiff(p) for p in planes]
+    t = _assemble_tiff(
+        3, 2, units, "<", 2, bits=[8, 8, 8], comp_tag=5, photo=2, spp=3,
+        predictor=True, planar=2,
+    )
+    got = decode_tiff(t)
+    assert got.shape == (2, 3, 3)
+    assert [[tuple(px) for px in row] for row in got.tolist()] == want

@@ -415,3 +415,76 @@ def test_golden_select_predictor_tie_picks_top():
     assert out[0, 1].tolist() == [20, 10, 10]
     assert out[1, 0].tolist() == [10, 20, 10]
     assert out[1, 1].tolist() == [30, 20, 20]
+
+
+def test_golden_meta_huffman_color_cache_combined():
+    """8x1 image, NO transforms, color cache (cache_bits=1) AND
+    meta-Huffman (meta_bits=2 -> two 4-wide blocks, two code groups) in
+    ONE stream — the combination the r10 verdict flagged as twin-only.
+    Composed bit by bit from the published spec:
+
+    - entropy image 2x1 routes block x<4 to group 0, x>=4 to group 1;
+    - group 0 greens {2, 10} are literals: C1=(a255,r0,g10,b0),
+      C2=(a255,r0,g2,b0); every literal inserts into the cache at
+      (0x1E35A7BD * ARGB) >> 31, computed by hand: C1 -> slot 0,
+      C2 -> slot 1 (distinct, so neither insert evicts the other);
+    - group 1's GREEN code is a hand-written NORMAL (code-length-coded)
+      code — cache symbols 280/281 exceed the simple form's 8-bit
+      symbol cap — built from a 2-symbol code-length code {1, 18} and
+      three 18-runs (127+127+26 zeros) covering symbols 0..279, the
+      first encoder-independent exercise of that path;
+    - pixels 4-7 are pure cache references (280=slot0, 281=slot1),
+      which read ONLY the green code.
+
+    Expected row: C1 C2 C1 C2 C1 C2 C1 C2. A decoder that mis-routes
+    meta blocks, mis-keys the cache hash, or mis-reads 18-runs cannot
+    produce it."""
+    bw = _SpecBits()
+    bw.put(7, 14)  # width - 1
+    bw.put(0, 14)  # height - 1
+    bw.put(0, 1)  # alpha hint
+    bw.put(0, 3)  # version
+    bw.put(0, 1)  # no transforms
+    # main entropy image header
+    bw.put(1, 1)  # color cache present
+    bw.put(1, 4)  # cache_bits = 1 (2 slots)
+    bw.put(1, 1)  # meta-Huffman present
+    bw.put(0, 3)  # meta_bits - 2 = 0 -> 4-pixel blocks, entropy img 2x1
+    # entropy (meta) sub-image: no cache; greens {0,1} = group indices
+    bw.put(0, 1)
+    bw.simple_code([0, 1])  # green: 0 -> bit 0, 1 -> bit 1 (canonical)
+    for s in (0, 0, 0, 0):  # red, blue, alpha, distance: 1-symbol codes
+        bw.simple_code([s])
+    bw.put(0, 1)  # meta pixel 0: green 0 -> group 0
+    bw.put(1, 1)  # meta pixel 1: green 1 -> group 1
+    # group 0: literal greens {2, 10} (canonical: 2 -> bit 0, 10 -> bit 1)
+    bw.simple_code([2, 10])
+    for s in (0, 0, 255, 0):
+        bw.simple_code([s])
+    # group 1: NORMAL green code, lengths[280] = lengths[281] = 1
+    bw.put(0, 1)  # not simple
+    bw.put(0, 4)  # num_code_lengths = 4 -> order slots [17, 18, 0, 1]
+    bw.put(0, 3)  # cl_len(17) = 0
+    bw.put(1, 3)  # cl_len(18) = 1
+    bw.put(0, 3)  # cl_len(0)  = 0
+    bw.put(1, 3)  # cl_len(1)  = 1   (canonical: sym 1 -> 0, sym 18 -> 1)
+    bw.put(0, 1)  # no transmitted-symbol cap
+    for run in (127, 127, 26):  # 280 zeros via three 18-runs
+        bw.put(1, 1)  # cl symbol 18
+        bw.put(run - 11, 7)
+    bw.put(0, 1)  # cl symbol 1: lengths[280] = 1
+    bw.put(0, 1)  # cl symbol 1: lengths[281] = 1
+    for s in (0, 0, 255, 0):
+        bw.simple_code([s])
+    # pixel stream: literals C1 C2 C1 C2 then cache refs 280 281 280 281
+    for bit in (1, 0, 1, 0):  # g10=C1 -> bit 1, g2=C2 -> bit 0
+        bw.put(bit, 1)
+    for bit in (0, 1, 0, 1):  # sym 280 -> bit 0 (slot 0=C1), 281 -> bit 1
+        bw.put(bit, 1)
+    out = decode_vp8l(bw.vp8l())
+    assert out.shape == (1, 8, 3)
+    want = [[0, 10, 0], [0, 2, 0]] * 4
+    assert out[0].tolist() == want
+    # the hand hash computation the stream relies on
+    key = lambda argb: ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> 31  # noqa: E731
+    assert key(0xFF000A00) == 0 and key(0xFF000200) == 1
