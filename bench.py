@@ -139,6 +139,7 @@ TIER2 = [
     "mm_image_decode_jpeg12",
     # r11 additions
     "dedup_winnow_profile",
+    "dedup_substring_excision",
 ]
 
 

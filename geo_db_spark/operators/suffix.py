@@ -97,25 +97,44 @@ def suffix_ranks(
         # job latency (a distributed sort per re-rank), not data volume
         # — so combine the ranks at pos, pos+c, pos+2c, pos+3c in ONE
         # round (coverage 4c, log4 rounds: slice 256 at k0=16 takes 2
-        # rounds where doubling took 4). Each shifted lookup renames
-        # every column so the checkpointed frame self-joins without
-        # reference ambiguity (the ids.py/editjoin renaming rule).
-        keyed = suf.select("doc_id", "pos", F.col("rank").alias("r0"))
-        for j in (1, 2, 3):
-            nxt = suf.select(
-                F.col("doc_id").alias("__d"),
-                (F.col("pos") - F.lit(j * c)).alias("__p"),
-                F.col("rank").alias(f"__r{j}"),
-            )
-            keyed = keyed.join(
-                nxt,
-                (F.col("doc_id") == F.col("__d")) & (F.col("pos") == F.col("__p")),
-                "left",
-            ).select(
-                "doc_id", "pos",
-                *[F.col(f"r{i}") for i in range(j)],
-                F.coalesce(F.col(f"__r{j}"), F.lit(0)).alias(f"r{j}"),
-            )
+        # rounds where doubling took 4). r11 rework: instead of THREE
+        # shifted self-JOINS (each shuffling both sides), every suffix
+        # row SCATTERS its rank to the four positions that will read it
+        # (j = 0..3, target pos - j*c) and ONE groupBy((doc, pos))
+        # gathers them — 4x skinny rows through a single exchange with
+        # map-side partial aggregation (contributions to a position
+        # come from the same doc's nearby rows, so they combine before
+        # the shuffle). Every targeted position >= 1 is itself a real
+        # suffix position, so each group carries its own j=0 row and
+        # r0 is never null; a missing shifted rank keys as 0 (sorts
+        # first — "abc" < "abcx", as before).
+        contrib = suf.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("pos") - F.lit(j * c)).alias("p"),
+                            F.lit(j).alias("j"),
+                            F.col("rank").alias("r"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("e"),
+        ).select(
+            "doc_id", F.col("e.p").alias("pos"), F.col("e.j").alias("j"),
+            F.col("e.r").alias("r"),
+        ).filter(F.col("pos") >= 1)
+        keyed = contrib.groupBy("doc_id", "pos").agg(
+            F.max(F.when(F.col("j") == 0, F.col("r"))).alias("r0"),
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("j") == jj, F.col("r"))), F.lit(0)
+                ).alias(f"r{jj}")
+                for jj in (1, 2, 3)
+            ],
+        )
         suf = _dense_rank_by(
             keyed, ["r0", "r1", "r2", "r3"]
         ).localCheckpoint(eager=True)
@@ -233,6 +252,73 @@ def substring_dup_losers(pairs: DataFrame) -> DataFrame:
     )
 
 
+def sa_pair_lcp(
+    docs: DataFrame,
+    pairs: DataFrame,
+    min_len: int,
+    slice_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "t",
+) -> DataFrame:
+    """Per-pair LCP for a PREBUILT ``sa_adjacent_pairs`` frame:
+    (doc_a, pos_a, doc_b, pos_b, lcp). Prefix equality is monotone in
+    k, so the LCP is found by a per-row BINARY SEARCH over
+    [min_len, min(remaining_a, remaining_b)] — ceil(log2(slice_len))
+    unrolled when/substring rounds, each a named projection so the
+    expression tree stays linear. r11 rework of the r10 k-explode:
+    at 10x the explode was 1.28M pairs x 225 k-values = 289M rows
+    through a 4-key groupBy (the family's measured bottleneck,
+    ~250 s of the 377 s wall); the search does <= 8 prefix compares
+    per pair with NO row expansion and NO aggregation shuffle.
+    min_len is a known-equal lower bound (pairs share the min_len
+    gram), and within the remaining-length cap substring() never
+    clamps, so exact equality at mid is the true prefix test."""
+    import math
+
+    ta = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("t_a")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("t_b")
+    )
+    df = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("lo", F.lit(min_len).cast("long"))
+        .withColumn(
+            "hi",
+            F.least(
+                F.length("t_a") - F.col("pos_a") + 1,
+                F.length("t_b") - F.col("pos_b") + 1,
+                F.lit(slice_len),
+            ).cast("long"),
+        )
+    )
+    for _ in range(int(math.ceil(math.log2(slice_len))) ):
+        df = df.withColumn(
+            "mid", ((F.col("lo") + F.col("hi") + 1) / 2).cast("long")
+        )
+        eq = F.expr(
+            "substring(t_a, cast(pos_a as int), cast(mid as int))"
+        ) == F.expr("substring(t_b, cast(pos_b as int), cast(mid as int))")
+        open_ = F.col("lo") < F.col("hi")
+        df = (
+            df.withColumn(
+                "lo2", F.when(open_ & eq, F.col("mid")).otherwise(F.col("lo"))
+            )
+            .withColumn(
+                "hi",
+                F.when(
+                    open_, F.when(eq, F.col("hi")).otherwise(F.col("mid") - 1)
+                ).otherwise(F.col("hi")),
+            )
+            .withColumn("lo", F.col("lo2"))
+        )
+    return df.select(
+        "doc_a", "pos_a", "doc_b", "pos_b", F.col("lo").alias("lcp")
+    )
+
+
 def max_repeat_per_doc(
     docs: DataFrame,
     pairs: DataFrame,
@@ -245,44 +331,117 @@ def max_repeat_per_doc(
     (doc_id, max_repeat_len) from a PREBUILT ``sa_adjacent_pairs``
     frame — the suffix-array property that the maximal repeat involving
     any suffix is achieved against an SA-NEIGHBOR makes the per-doc max
-    exact from adjacent pairs alone. LCP per surviving pair is a
-    bounded k-explode (k in min_len..slice_len — prefix equality is
-    monotone in k, so max(k | equal) is the LCP, capped by the slice);
-    the explode runs only on pairs that already share ``min_len``
-    chars, not on the whole suffix set."""
-    ta = docs.select(
-        F.col(id_col).alias("doc_a"), F.col(text_col).alias("t_a")
-    )
-    tb = docs.select(
-        F.col(id_col).alias("doc_b"), F.col(text_col).alias("t_b")
-    )
-    lcp = (
-        pairs.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select(
-            "doc_a", "pos_a", "doc_b", "pos_b",
-            F.explode(F.sequence(F.lit(min_len), F.lit(slice_len))).alias("k"),
-            "t_a", "t_b",
-        )
-        .filter(
-            F.expr("substring(t_a, cast(pos_a as int), k)")
-            == F.expr("substring(t_b, cast(pos_b as int), k)")
-        )
-        .groupBy("doc_a", "pos_a", "doc_b", "pos_b")
-        .agg(
-            # substring() clamps past the slice end, so two identical
-            # short tails match at every k: cap by the real remaining
-            # lengths (carried via min — they are key-functional)
-            F.least(
-                F.max("k"),
-                F.min(F.length("t_a") - F.col("pos_a") + 1),
-                F.min(F.length("t_b") - F.col("pos_b") + 1),
-            ).alias("lcp")
-        )
-    )
-    sides = lcp.select(F.col("doc_a").alias("doc_id"), "lcp").unionAll(
-        lcp.select(F.col("doc_b").alias("doc_id"), "lcp")
-    )
+    exact from adjacent pairs alone (LCP derivation shared with the
+    excision operator via ``sa_pair_lcp``).
+
+    The two per-doc sides come from ONE explode, not a unionAll of two
+    selects over the same frame — the union form re-executed the whole
+    un-checkpointed LCP lineage twice (measured at 10x: ~250 s of a
+    ~380 s wall, invisible at sf0.1 where the lineage is seconds)."""
+    lcp = sa_pair_lcp(docs, pairs, min_len, slice_len, id_col, text_col)
+    sides = lcp.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("doc_id"), F.col("lcp")),
+                F.struct(F.col("doc_b").alias("doc_id"), F.col("lcp")),
+            )
+        ).alias("e")
+    ).select(F.col("e.doc_id").alias("doc_id"), F.col("e.lcp").alias("lcp"))
     return sides.groupBy("doc_id").agg(
         F.max("lcp").cast("long").alias("max_repeat_len")
+    )
+
+
+def excise_substring_dups(
+    docs: DataFrame,
+    pair_lcp: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "t",
+) -> DataFrame:
+    """EXACT substring EXCISION (Lee et al. ACL'22 §4.1's actual
+    semantics — remove every occurrence of a duplicated substring
+    except one, computed on the ORIGINAL corpus): from a PREBUILT
+    ``sa_pair_lcp`` frame, each SA-adjacent pair marks the interval
+    [pos, pos+lcp) of its LOSER occurrence — the (doc_id, pos)-greater
+    side, so within any run of occurrences of the same substring
+    (which is an SA-consecutive run: everything between two suffixes
+    shares at least their LCP) every occurrence except the
+    (doc_id, pos)-minimum gets marked. Intervals are unioned per doc
+    with a gaps-and-islands pass (per-DOC window — never a single
+    task), and the kept text is rebuilt from the complement gaps.
+
+    Returns (doc_id, n_chars, n_excised, kept_len, kept_text) over the
+    slice domain; n_chars - n_excised == kept_len by construction
+    (a free internal consistency check the tests pin).
+
+    Scale shape: intervals are skinny (doc, s, e) rows; the island
+    window and the rebuild are per-doc; the rebuild's higher-order
+    aggregate runs interpreted but over <= slice_len/min_len islands
+    per doc (bounded, the decode-family cap argument)."""
+    from pyspark.sql import Window
+
+    a_lt_b = (F.col("doc_a") < F.col("doc_b")) | (
+        (F.col("doc_a") == F.col("doc_b")) & (F.col("pos_a") < F.col("pos_b"))
+    )
+    iv = pair_lcp.select(
+        F.when(a_lt_b, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_id"),
+        F.when(a_lt_b, F.col("pos_b")).otherwise(F.col("pos_a")).alias("s"),
+        (
+            F.when(a_lt_b, F.col("pos_b")).otherwise(F.col("pos_a"))
+            + F.col("lcp")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (
+        iv.withColumn(
+            "ni", F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0)
+        )
+        .withColumn(
+            "island",
+            F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    merged = isl.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("iv"),
+        F.sum(F.col("e") - F.col("s")).alias("n_excised"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    )
+    joined = base.join(merged, "doc_id", "left")
+    # fold the (bounded) island list into the kept text: accumulator
+    # carries (next gap start, text so far); finish appends the tail
+    kept = F.when(F.col("iv").isNull(), F.col("__t")).otherwise(
+        F.aggregate(
+            F.col("iv"),
+            F.struct(
+                F.lit(1).cast("long").alias("cur"), F.lit("").alias("acc")
+            ),
+            lambda st, x: F.struct(
+                x["e"].alias("cur"),
+                F.concat(
+                    st["acc"],
+                    F.expr("__t").substr(
+                        st["cur"].cast("int"), (x["s"] - st["cur"]).cast("int")
+                    ),
+                ).alias("acc"),
+            ),
+            lambda st: F.concat(
+                st["acc"],
+                F.expr("__t").substr(
+                    st["cur"].cast("int"),
+                    (F.length("__t") - st["cur"] + 1).cast("int"),
+                ),
+            ),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.length("__t").cast("long").alias("n_chars"),
+        F.coalesce(F.col("n_excised"), F.lit(0)).cast("long").alias("n_excised"),
+        F.length(kept).cast("long").alias("kept_len"),
+        kept.alias("kept_text"),
     )

@@ -1013,7 +1013,133 @@ FROM (
 ) GROUP BY doc_id
 """
 
+def dedup_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring EXCISION (r11; Lee et al. ACL'22 §4.1's actual
+    span-removal semantics, where the adjacency/drop queries are the
+    doc-level approximations): every occurrence of a duplicated
+    >= SA_T-char substring except the (doc_id, pos)-minimum one is
+    removed from the slice and the text rebuilt. One shared SA build
+    feeds pairs -> per-pair LCP -> loser intervals -> per-doc interval
+    union (gaps-and-islands, per-DOC window) -> complement-gap rebuild
+    (bounded higher-order fold: <= slice/SA_T islands per doc). The
+    oracle replays the whole chain and hashes the REBUILT TEXT, so the
+    value check proves the excision geometry, not just counts;
+    n_chars - n_excised == kept_len is pinned in pytest as the free
+    internal invariant."""
+    tune(spark)
+    from geo_db_spark.operators.suffix import (
+        excise_substring_dups,
+        sa_adjacent_pairs,
+        sa_pair_lcp,
+        suffix_ranks,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, SA_SLICE).alias("t")
+    )
+    sa = suffix_ranks(
+        docs, id_col="doc_id", text_col="t",
+        slice_len=SA_SLICE, k0=16, min_tail=SA_T,
+    )
+    pairs = sa_adjacent_pairs(docs, sa, SA_T)
+    lcp = sa_pair_lcp(docs, pairs, SA_T, SA_SLICE)
+    out = excise_substring_dups(docs, lcp)
+    return out.select(
+        "doc_id", "n_chars", "n_excised", "kept_len",
+        F.md5(F.col("kept_text").cast("binary")).alias("kept_md5"),
+    )
+
+
+ORACLE_SUBSTRING_EXCISION = f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, substr(text, 1, {SA_SLICE}) AS t FROM documents
+),
+suf AS MATERIALIZED (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         substr(t, CAST(pos AS INT)) AS suffix,
+         substr(t, CAST(pos AS INT), {SA_T}) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - {SA_T - 1} + 1)) AS pos
+        FROM s WHERE length(t) >= {SA_T})
+),
+r AS MATERIALIZED (
+  SELECT doc_id, pos, g,
+         row_number() OVER (ORDER BY suffix, doc_id, pos) AS rk
+  FROM suf
+),
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+  FROM r a JOIN r b ON b.rk = a.rk + 1 AND a.g = b.g
+),
+lcp AS MATERIALIZED (
+  SELECT doc_a, pos_a, doc_b, pos_b,
+         LEAST(MAX(k),
+               MIN(length(sa.t) - pos_a + 1),
+               MIN(length(sb.t) - pos_b + 1)) AS lcp
+  FROM pairs
+  JOIN s sa ON sa.doc_id = doc_a
+  JOIN s sb ON sb.doc_id = doc_b
+  CROSS JOIN (SELECT unnest(range({SA_T}, {SA_SLICE} + 1)) AS k) ks
+  WHERE substr(sa.t, CAST(pos_a AS INT), CAST(k AS INT))
+        = substr(sb.t, CAST(pos_b AS INT), CAST(k AS INT))
+  GROUP BY doc_a, pos_a, doc_b, pos_b
+),
+iv AS (
+  SELECT CASE WHEN (doc_a, pos_a) < (doc_b, pos_b) THEN doc_b ELSE doc_a END
+           AS doc_id,
+         CASE WHEN (doc_a, pos_a) < (doc_b, pos_b) THEN pos_b ELSE pos_a END
+           AS st,
+         CASE WHEN (doc_a, pos_a) < (doc_b, pos_b) THEN pos_b ELSE pos_a END
+           + lcp AS en
+  FROM lcp
+),
+isl AS (
+  SELECT doc_id, st, en,
+         CASE WHEN st > COALESCE(MAX(en) OVER (
+                PARTITION BY doc_id ORDER BY st, en
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM iv
+),
+isl2 AS (
+  SELECT doc_id, st, en,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY st, en) AS island
+  FROM isl
+),
+merged AS MATERIALIZED (
+  SELECT doc_id, MIN(st) AS st, MAX(en) AS en
+  FROM isl2 GROUP BY doc_id, island
+),
+pieces AS (
+  SELECT doc_id,
+         COALESCE(LAG(en) OVER (PARTITION BY doc_id ORDER BY st), 1) AS gs,
+         st AS ge
+  FROM merged
+  UNION ALL
+  SELECT doc_id, MAX(en) AS gs, NULL AS ge FROM merged GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT p.doc_id,
+         string_agg(substr(t, CAST(gs AS INT),
+                           CAST(COALESCE(ge, length(t) + 1) - gs AS INT)),
+                    '' ORDER BY gs) AS kept
+  FROM pieces p JOIN s USING (doc_id)
+  GROUP BY p.doc_id, t
+),
+nex AS (SELECT doc_id, SUM(en - st) AS n_excised FROM merged GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(length(s.t) AS BIGINT) AS n_chars,
+       CAST(COALESCE(nex.n_excised, 0) AS BIGINT) AS n_excised,
+       CAST(length(COALESCE(rebuilt.kept, s.t)) AS BIGINT) AS kept_len,
+       md5(COALESCE(rebuilt.kept, s.t)) AS kept_md5
+FROM s
+LEFT JOIN rebuilt USING (doc_id)
+LEFT JOIN nex USING (doc_id)
+"""
+
+
 QUERIES["dedup_suffix_adjacent_dups"] = dedup_suffix_adjacent_dups
 ORACLES["dedup_suffix_adjacent_dups"] = ORACLE_SUFFIX_ADJACENT
 QUERIES["dedup_longest_repeat"] = dedup_longest_repeat
 ORACLES["dedup_longest_repeat"] = ORACLE_LONGEST_REPEAT
+QUERIES["dedup_substring_excision"] = dedup_substring_excision
+ORACLES["dedup_substring_excision"] = ORACLE_SUBSTRING_EXCISION

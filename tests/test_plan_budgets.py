@@ -59,6 +59,8 @@ BUDGETS = {
     # the visible tail is the rank-keyed adjacency join + gram attach.
     "dedup_suffix_adjacent_dups": (2, 0, 0),
     "dedup_longest_repeat": (7, 0, 0),
+    # r11: excision's visible tail = LCP joins + island window + rebuild
+    "dedup_substring_excision": (4, 0, 0),
     "text_kneser_ney_score": (6, 1, 0),
     "text_odds_classifier": (5, 1, 0),
     # r8 multimodal capstone: decode runs ONCE inside the checkpoint

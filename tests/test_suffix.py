@@ -147,3 +147,71 @@ def test_shared_build_composition(spark):
     assert got_pairs == want_pairs
     got_rep = {r.doc_id: r.max_repeat_len for r in repeat_df.collect()}
     assert got_rep == want_rep
+
+
+def test_excise_substring_dups_matches_brute_force(spark):
+    """Excision pinned against an independent Python replay: brute
+    suffix sort -> adjacent pairs sharing >= min_len chars -> LCP ->
+    loser ((doc,pos)-greater) intervals -> interval union -> rebuild.
+    Also pins the free invariant n_chars - n_excised == kept_len and
+    that the (doc,pos)-minimum occurrence of each duplicated substring
+    is never excised (keep-first semantics)."""
+    from pyspark.sql import functions as F
+
+    from geo_db_spark.operators.suffix import (
+        excise_substring_dups,
+        sa_adjacent_pairs,
+        sa_pair_lcp,
+        suffix_ranks,
+    )
+
+    rng = random.Random(13)
+    slice_len, min_len = 24, 3
+    raw = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(4, 30))))
+        for i in range(1, 11)
+    ] + [(11, "xyzqxyzq"), (12, "hello hello"), (13, "zz")]
+    df = spark.createDataFrame(raw, "doc_id long, text string")
+    docs = df.select("doc_id", F.substring("text", 1, slice_len).alias("t"))
+    ranks = suffix_ranks(df, slice_len=slice_len, k0=2, min_tail=min_len)
+    pairs = sa_adjacent_pairs(docs, ranks, min_len)
+    lcp = sa_pair_lcp(docs, pairs, min_len, slice_len)
+    got = {
+        r.doc_id: (r.n_chars, r.n_excised, r.kept_len, r.kept_text)
+        for r in excise_substring_dups(docs, lcp).collect()
+    }
+
+    # independent replay
+    sufs = []
+    for doc_id, text in raw:
+        t = text[:slice_len]
+        for pos in range(1, len(t) - min_len + 2):
+            sufs.append((t[pos - 1 :], doc_id, pos))
+    sufs.sort()
+    intervals: dict[int, list[tuple[int, int]]] = {}
+    for (sa, da, pa), (sb, db, pb) in zip(sufs, sufs[1:]):
+        if sa[:min_len] != sb[:min_len]:
+            continue
+        k = 0
+        while k < min(len(sa), len(sb)) and sa[k] == sb[k]:
+            k += 1
+        d, p = max(((da, pa), (db, pb)))
+        intervals.setdefault(d, []).append((p, p + k))
+    for doc_id, text in raw:
+        t = text[:slice_len]
+        ivs = sorted(intervals.get(doc_id, []))
+        merged: list[list[int]] = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        kept, cur = [], 1
+        for s, e in merged:
+            kept.append(t[cur - 1 : s - 1])
+            cur = e
+        kept.append(t[cur - 1 :])
+        kt = "".join(kept)
+        nex = sum(e - s for s, e in merged)
+        assert got[doc_id] == (len(t), nex, len(kt), kt), doc_id
+        assert got[doc_id][0] - got[doc_id][1] == got[doc_id][2]
