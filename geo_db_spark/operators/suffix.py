@@ -14,12 +14,17 @@ than 2L) keys as 0, which sorts first, matching "abc" < "abcx" — and
 re-ranks densely. After ceil(log4(slice_len / k0)) quadrupling rounds the rank
 order equals full lexicographic suffix order; ties (identical
 remaining text) are broken (doc_id, pos) for a deterministic total
-order. Dense ranking is assign_stable_ids (operators/ids.py): a range
-exchange + per-partition offsets, NO single-partition window — every
-round is a constant number of linear shuffles, so the whole build is
-O(log slice_len) linear passes. That is the 100 TB contract: corpus
-chars in, log-many skinny (doc, pos, rank) shuffles, no stage that
-holds a whole suffix string set.
+order. The shifted-rank lookup is SCATTER/GATHER (r11): each suffix
+row explodes its rank to the <= 4 positions that read it and one
+groupBy gathers — one exchange per round where the join form paid
+four (A/B'd at 10x: first build 457.9 -> 126.7 s; SCALE.md r11
+optimization section). Dense ranking is assign_stable_ids
+(operators/ids.py): a range exchange + per-partition offsets, NO
+single-partition window — every round is a constant number of linear
+shuffles, so the whole build is O(log slice_len) linear passes. That
+is the 100 TB contract: corpus chars in, log-many skinny
+(doc, pos, rank) shuffles, no stage that holds a whole suffix string
+set.
 
 No reference counterpart (SURVEY §2-H engine growth: the LLM-pipeline
 dedup family).

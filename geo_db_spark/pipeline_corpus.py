@@ -53,6 +53,7 @@ def curate_corpus(
     substring_dedup: bool = False,
     substring_slice: int = 256,
     substring_min_len: int = 32,
+    substring_mode: str = "drop",
 ) -> DataFrame:
     """The curated corpus as a DataFrame (call ``write_curated`` to
     persist). Keeps every original column of the surviving documents.
@@ -66,12 +67,19 @@ def curate_corpus(
 
     ``substring_dedup`` (r11): inserts EXACT substring dedup between
     exact dedup and the near-dup pass (the Lee et al. ACL'22 stage
-    order) — one shared suffix-array build (operators/suffix.py)
-    feeding SA-adjacency pairs and the keep-earliest loser rule over
-    the leading ``substring_slice`` chars, dropping docs that share a
-    >= ``substring_min_len``-char substring with a smaller-id doc.
-    Off by default: the SA build is the most expensive stage in the
-    family (measured envelopes in SCALE.md), so callers opt in."""
+    order) — one shared suffix-array build (operators/suffix.py) over
+    the leading ``substring_slice`` chars. ``substring_mode``:
+    ``"drop"`` removes whole docs that share a
+    >= ``substring_min_len``-char substring with a smaller-id doc
+    (keep-earliest); ``"excise"`` is Lee's actual semantics — the
+    duplicated SPANS (every occurrence but the (doc, pos)-minimum) are
+    cut out of the slice and ``text_col`` rewritten, the tail past the
+    slice untouched, so downstream stages (near-dup signatures, the
+    quality gate) see the cleaned text. Off by default: the SA build
+    is the most expensive stage in the family (measured envelopes in
+    SCALE.md), so callers opt in."""
+    if substring_mode not in ("drop", "excise"):
+        raise ValueError(f"substring_mode must be 'drop' or 'excise': {substring_mode!r}")
     # 1. exact dedup: winner doc_id per normalized-content digest
     exact_winners = exact_dedup(docs, text_col, id_col).select(id_col)
     exact_kept = docs.join(exact_winners, id_col, "left_semi")
@@ -83,7 +91,9 @@ def curate_corpus(
     # 1b. optional exact-substring dedup (one shared SA build)
     if substring_dedup:
         from geo_db_spark.operators.suffix import (
+            excise_substring_dups,
             sa_adjacent_pairs,
+            sa_pair_lcp,
             substring_dup_losers,
             suffix_ranks,
         )
@@ -96,10 +106,36 @@ def curate_corpus(
             sliced, id_col="doc_id", text_col="t",
             slice_len=substring_slice, k0=16, min_tail=substring_min_len,
         )
-        losers = substring_dup_losers(
-            sa_adjacent_pairs(sliced, ranks, substring_min_len)
-        ).withColumnRenamed("doc_id", id_col)
-        exact_kept = exact_kept.join(losers, id_col, "left_anti")
+        pairs = sa_adjacent_pairs(sliced, ranks, substring_min_len)
+        if substring_mode == "drop":
+            losers = substring_dup_losers(pairs).withColumnRenamed(
+                "doc_id", id_col
+            )
+            exact_kept = exact_kept.join(losers, id_col, "left_anti")
+        else:
+            lcp = sa_pair_lcp(sliced, pairs, substring_min_len, substring_slice)
+            kept = excise_substring_dups(sliced, lcp).select(
+                F.col("doc_id").alias("__xid"), "kept_text"
+            )
+            exact_kept = (
+                exact_kept.join(
+                    kept, F.col(id_col) == F.col("__xid"), "left"
+                )
+                .withColumn(
+                    text_col,
+                    F.when(
+                        F.col("kept_text").isNull(), F.col(text_col)
+                    ).otherwise(
+                        F.concat(
+                            F.col("kept_text"),
+                            F.expr(
+                                f"substring({text_col}, {substring_slice + 1})"
+                            ),
+                        )
+                    ),
+                )
+                .drop("__xid", "kept_text")
+            )
 
     # 2-3. near-dup clusters on the exact-deduped corpus; drop every
     # clustered doc except its component's min id

@@ -230,3 +230,42 @@ def test_curate_corpus_substring_stage_optin(spark):
         docs, substring_dedup=True, substring_min_len=32, **gate_off
     )
     assert {r.doc_id for r in curated.collect()} == {1, 2}
+
+
+def test_curate_corpus_substring_excise_mode(spark):
+    """substring_mode='excise' rewrites text_col: duplicated spans
+    (every occurrence but the (doc,pos)-minimum) cut from the slice,
+    the tail past the slice preserved verbatim; docs without duplicated
+    spans pass through byte-identical. Hand-computed expectation."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from geo_db_spark.pipeline_corpus import curate_corpus
+
+    span = "the quick brown fox jumps over the lazy dog here"  # 49 chars
+    tail = " TAIL" * 3
+    # doc 3's slice starts with filler then the span; slice = 64 chars
+    d3_text = ("filler words pad " + span + " x" * 20)[:64] + tail
+    docs = spark.createDataFrame(
+        [
+            (1, span + " alpha beta gamma delta epsilon", "en"),
+            (2, "completely unrelated text with its own words here", "en"),
+            (3, d3_text, "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = curate_corpus(
+        docs, substring_dedup=True, substring_slice=64,
+        substring_min_len=32, substring_mode="excise",
+        jaccard_threshold=0.99,
+    )
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert got[1] == span + " alpha beta gamma delta epsilon"
+    assert got[2] == "completely unrelated text with its own words here"
+    # doc 3: the span occurrence (a >=32-char shared substring with
+    # doc 1) is excised from its slice; the tail survives verbatim
+    assert got[3] != d3_text
+    assert got[3].endswith(tail)
+    assert span[:32] not in got[3]
+    with _pytest.raises(ValueError, match="substring_mode"):
+        curate_corpus(docs, substring_dedup=True, substring_mode="nope")
