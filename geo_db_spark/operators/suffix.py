@@ -40,10 +40,16 @@ from geo_db_spark.operators.ids import assign_stable_ids
 def _dense_rank_by(suf: DataFrame, order_cols: list[str]) -> DataFrame:
     """Replace ``order_cols`` with a dense 1-based ``rank`` consistent
     with their lexicographic order: rank the DISTINCT key tuples with
-    assign_stable_ids, then join back — two linear shuffles."""
+    assign_stable_ids, then join back — two linear shuffles. The
+    join-back carries a MERGE hint: at 100x AQE broadcast the ranked
+    keys table off its COMPRESSED shuffle size (< the 64m threshold —
+    sorted near-dense keys compress brutally) and the in-memory
+    relation exploded to 14.7 GiB, killing the job at the 8 GiB
+    broadcast cap; a sort-merge join of two already-clustered skinny
+    frames is the scale-safe shape and costs ms at test SF."""
     keys = suf.select(*order_cols).distinct()
     ranked = assign_stable_ids(keys, order_cols=order_cols, id_name="rank")
-    return suf.join(ranked, order_cols).drop(*order_cols)
+    return suf.join(ranked.hint("merge"), order_cols).drop(*order_cols)
 
 
 def suffix_ranks(
@@ -214,7 +220,8 @@ def sa_adjacent_pairs(
     )
     withg = (
         ranks.join(
-            grams,
+            grams.hint("merge"),  # same 100x compressed-size broadcast
+            # deception as _dense_rank_by — gram strings compress ~50x
             (F.col("doc_id") == F.col("g_doc")) & (F.col("pos") == F.col("g_pos")),
         )
         .select("doc_id", "pos", "sa_rank", "gram")

@@ -90,6 +90,14 @@ def get_spark(app_name: str = "geo_db_spark", shuffle_partitions: int | None = N
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the 100x suffix-array probe died on the 1g default: eager
+        # localCheckpoint of a ~115M-row round frame ships task results
+        # past it (builder-level conf, so raised here, not in tune();
+        # local mode shares one JVM — the "driver" IS the executor pool)
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
