@@ -157,7 +157,14 @@ def _quiet_comparison(timings, per_query_load, sf):
         return {"status": "no baseline (set SPARK_GRAFT_SET_QUIET_BASELINE=1 on a quiet host)"}
     with open(path) as f:
         base = json.load(f)
-    if str(base.get("sf")) != str(sf if isinstance(sf, str) else float(sf)):
+    # numeric compare when both sides parse (r11 advice: str-compare
+    # silently disabled the whole comparison on formatting drift like
+    # '0.10' vs '0.1'); string equality only as the non-numeric fallback
+    try:
+        sf_match = float(base.get("sf")) == float(sf)
+    except (TypeError, ValueError):
+        sf_match = str(base.get("sf")) == str(sf)
+    if not sf_match:
         return {"status": f"baseline sf {base.get('sf')} != run sf {sf}"}
     common = sorted(set(timings) & set(base["queries"]))
     if not common:

@@ -201,7 +201,11 @@ def sa_adjacent_pairs(
     adjacent LCP between them, so each duplicated region surfaces as a
     chain of adjacent pairs, never a quadratic all-pairs set. The
     ``min_len``-gram text rides along for the oracle's collision-proof
-    equality check."""
+    equality check; ``rank_lo`` (the a-side suffix's sa_rank, so the
+    pair covers SA positions rank_lo and rank_lo+1) rides along for the
+    run segmentation ``sa_runs`` performs — adjacency pairs with
+    consecutive rank_lo form one maximal run of suffixes whose every
+    adjacent LCP is >= min_len."""
     grams = (
         docs.filter(F.length(text_col) >= min_len)
         .select(
@@ -237,6 +241,7 @@ def sa_adjacent_pairs(
         withg.join(b, F.col("sa_rank") == F.col("__prev"))
         .filter(F.col("gram") == F.col("gram_b"))
         .select(
+            F.col("sa_rank").cast("long").alias("rank_lo"),
             F.col("doc_id").cast("long").alias("doc_a"),
             F.col("pos").cast("long").alias("pos_a"),
             F.col("doc_b").cast("long").alias("doc_b"),
@@ -246,20 +251,62 @@ def sa_adjacent_pairs(
     )
 
 
+def sa_runs(pairs: DataFrame) -> DataFrame:
+    """Attach a ``run_id`` to every ``sa_adjacent_pairs`` row: pairs
+    with CONSECUTIVE ``rank_lo`` belong to one maximal run of suffixes
+    whose every adjacent LCP is >= min_len — i.e. every occurrence set
+    of any duplicated >= min_len-char substring lies inside exactly one
+    run (any suffix SA-between two occurrences shares their >= |s| LCP,
+    hence is itself an occurrence). The run-level rules below need this
+    segmentation because the r11 per-pair greedy marked only the
+    (doc,pos)-GREATER side of each pair, which keeps every LOCAL
+    minimum of a non-monotone run alive (r11 verdict counterexample:
+    docs (1,"abcA"),(9,"abcM"),(5,"abcZ") left "abc" in docs 1 AND 5).
+
+    Scale shape: run_id = rank_lo - seq, where seq is the pair's dense
+    1-based ordinal under rank_lo (assign_stable_ids — range exchange +
+    offsets, NO single-partition window). rank_lo is strictly
+    increasing and unique, so rank_lo - seq is constant exactly along a
+    chain of consecutive ranks and strictly increases across every gap:
+    a collision-free run key from one linear pass."""
+    seq = assign_stable_ids(pairs, order_cols=["rank_lo"], id_name="__seq")
+    return seq.withColumn(
+        "run_id", (F.col("rank_lo") - F.col("__seq")).cast("long")
+    ).drop("__seq")
+
+
 def substring_dup_losers(pairs: DataFrame) -> DataFrame:
     """Doc-level exact-substring dedup rule (the Lee et al. ACL'22
     signal applied keep-earliest): from a ``sa_adjacent_pairs`` frame,
-    the doc_ids that share a qualifying substring with a SMALLER-id
-    document — greedy one-pass (a loser's witness may itself lose; the
-    shared content always survives in the chain's minimum id, computed
-    on the ORIGINAL corpus exactly as Lee et al. compute spans).
-    Doc-level drop rather than span excision is the declared semantics
-    — excision rewrites text payloads, which no downstream stage here
-    consumes, while the drop composes with the corpus pipeline's other
-    survivor rules. Returns a 1-column (doc_id) frame for left_anti."""
+    segment the SA into maximal runs (``sa_runs``) and return every
+    doc_id that appears in some run with a smaller-id member — i.e.
+    per run only the MINIMUM doc_id survives (r12: the r11 per-pair
+    greedy only dropped adjacent-pair losers, so a run with doc order
+    [3,5,1] kept docs 3 AND 1 sharing the substring). Guarantee (the
+    independent test asserts it, not a replay): NO TWO SURVIVING DOCS
+    share any >= min_len-char substring within the slice domain — two
+    survivors sharing s would both be members of s's unique run, where
+    all but the min doc are returned. Greedy in one direction only: a
+    run's keeper may itself lose a DIFFERENT run, so shared content
+    can lose all its holders (the exact-dedup chain caveat); doc-level
+    drop rather than span excision composes with the corpus pipeline's
+    other survivor rules. Returns a 1-column (doc_id) frame for
+    left_anti."""
+    from pyspark.sql import Window
+
+    members = (
+        sa_runs(pairs)
+        .select(
+            "run_id",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("run_id")
     return (
-        pairs.filter(F.col("doc_a") != F.col("doc_b"))
-        .select(F.greatest("doc_a", "doc_b").alias("doc_id"))
+        members.withColumn("__mn", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("__mn"))
+        .select("doc_id")
         .distinct()
     )
 
@@ -277,7 +324,12 @@ def sa_pair_lcp(
     k, so the LCP is found by a per-row BINARY SEARCH over
     [min_len, min(remaining_a, remaining_b)] — ceil(log2(slice_len))
     unrolled when/substring rounds, each a named projection so the
-    expression tree stays linear. r11 rework of the r10 k-explode:
+    expression tree stays linear: the round count ADAPTS to the
+    slice_len argument (8 rounds at the default 256, 10 at 1024 —
+    pinned by test_sa_pair_lcp_non_default_slice_len), and each round
+    adds O(1) named columns referencing the previous round's names,
+    so plan size grows O(log slice_len), never exponentially (no
+    inlined expression trees). r11 rework of the r10 k-explode:
     at 10x the explode was 1.28M pairs x 225 k-values = 289M rows
     through a 4-key groupBy (the family's measured bottleneck,
     ~250 s of the 377 s wall); the search does <= 8 prefix compares
@@ -327,7 +379,8 @@ def sa_pair_lcp(
             .withColumn("lo", F.col("lo2"))
         )
     return df.select(
-        "doc_a", "pos_a", "doc_b", "pos_b", F.col("lo").alias("lcp")
+        "rank_lo", "doc_a", "pos_a", "doc_b", "pos_b",
+        F.col("lo").alias("lcp"),
     )
 
 
@@ -364,48 +417,81 @@ def max_repeat_per_doc(
     )
 
 
-def excise_substring_dups(
-    docs: DataFrame,
-    pair_lcp: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "t",
-) -> DataFrame:
-    """EXACT substring EXCISION (Lee et al. ACL'22 §4.1's actual
-    semantics — remove every occurrence of a duplicated substring
-    except one, computed on the ORIGINAL corpus): from a PREBUILT
-    ``sa_pair_lcp`` frame, each SA-adjacent pair marks the interval
-    [pos, pos+lcp) of its LOSER occurrence — the (doc_id, pos)-greater
-    side, so within any run of occurrences of the same substring
-    (which is an SA-consecutive run: everything between two suffixes
-    shares at least their LCP) every occurrence except the
-    (doc_id, pos)-minimum gets marked. Intervals are unioned per doc
-    with a gaps-and-islands pass (per-DOC window — never a single
-    task), and the kept text is rebuilt from the complement gaps.
+def excision_intervals(pair_lcp: DataFrame) -> DataFrame:
+    """Merged per-doc excision islands (doc_id, s, e) — the character
+    ranges [s, e) ``excise_substring_dups`` removes — exposed so an
+    independent test can assert the coverage guarantee directly
+    against a brute-force occurrence enumeration (a rebuilt-text
+    replay cannot: it replays whatever rule produced the intervals).
 
-    Returns (doc_id, n_chars, n_excised, kept_len, kept_text) over the
-    slice domain; n_chars - n_excised == kept_len by construction
-    (a free internal consistency check the tests pin).
+    Rule (r12, run-based — replaces the r11 per-pair greedy whose
+    survivors were every LOCAL (doc,pos)-minimum of a run): segment
+    the SA into maximal runs (``sa_runs``); within each run keep ONLY
+    the (doc_id, pos)-minimum member and mark every other member's
+    interval [pos, pos + X) where X = the max LCP of the member's
+    (<= 2) adjacent pairs inside the run. GUARANTEE: every duplicated
+    >= min_len-char substring s survives in AT MOST one occurrence —
+    s's occurrence set is SA-consecutive (everything between two
+    occurrences shares >= |s| chars, hence is an occurrence) and so
+    lies inside one run where each occurrence has an adjacent
+    co-occurrence at LCP >= |s|, giving every non-run-min member
+    X >= |s|; at most the run minimum (marked by no pair of this run)
+    survives. Exactly-one is NOT guaranteed: the keeper's span may
+    overlap an interval marked for a different substring (interval
+    union is destructive), and its doc may be excised around it —
+    over-excision never under-excision, the safe direction for
+    training-data dedup.
 
-    Scale shape: intervals are skinny (doc, s, e) rows; the island
-    window and the rebuild are per-doc; the rebuild's higher-order
-    aggregate runs interpreted but over <= slice_len/min_len islands
-    per doc (bounded, the decode-family cap argument)."""
+    Scale shape: runs come from one assign_stable_ids pass (no
+    single-partition stage); member consolidation is a (run_id, rank)
+    groupBy; the run-min is a per-RUN window (hash-partitioned by
+    run_id); island merging a per-DOC window."""
     from pyspark.sql import Window
 
-    a_lt_b = (F.col("doc_a") < F.col("doc_b")) | (
-        (F.col("doc_a") == F.col("doc_b")) & (F.col("pos_a") < F.col("pos_b"))
-    )
-    iv = pair_lcp.select(
-        F.when(a_lt_b, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_id"),
-        F.when(a_lt_b, F.col("pos_b")).otherwise(F.col("pos_a")).alias("s"),
-        (
-            F.when(a_lt_b, F.col("pos_b")).otherwise(F.col("pos_a"))
-            + F.col("lcp")
+    runs = sa_runs(pair_lcp)
+    members = runs.select(
+        "run_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("rank_lo").alias("rk"),
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("pos_a").alias("pos"),
+                    F.col("lcp"),
+                ),
+                F.struct(
+                    (F.col("rank_lo") + 1).alias("rk"),
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("pos_b").alias("pos"),
+                    F.col("lcp"),
+                ),
+            )
         ).alias("e"),
+    ).select("run_id", "e.rk", "e.doc_id", "e.pos", "e.lcp")
+    # one row per suffix in the run: a middle member appears in both
+    # its pairs — doc/pos are rank-determined, X = max adjacent LCP
+    per_member = members.groupBy("run_id", "rk").agg(
+        F.max("doc_id").alias("doc_id"),
+        F.max("pos").alias("pos"),
+        F.max("lcp").alias("x"),
+    )
+    w_run = Window.partitionBy("run_id")
+    losers = per_member.withColumn(
+        "__mn", F.min(F.struct("doc_id", "pos")).over(w_run)
+    ).filter(
+        ~(
+            (F.col("doc_id") == F.col("__mn.doc_id"))
+            & (F.col("pos") == F.col("__mn.pos"))
+        )
+    )
+    iv = losers.select(
+        "doc_id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.col("x")).alias("e"),
     )
     w = Window.partitionBy("doc_id").orderBy("s", "e")
     prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    isl = (
+    return (
         iv.withColumn(
             "ni", F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0)
         )
@@ -415,7 +501,32 @@ def excise_substring_dups(
         )
         .groupBy("doc_id", "island")
         .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .select("doc_id", "s", "e")
     )
+
+
+def excise_substring_dups(
+    docs: DataFrame,
+    pair_lcp: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "t",
+) -> DataFrame:
+    """EXACT substring EXCISION (Lee et al. ACL'22 §4.1's span-removal
+    semantics, computed on the ORIGINAL corpus): cut the
+    ``excision_intervals`` islands out of each doc's slice and rebuild
+    the kept text from the complement gaps — the rule and its
+    AT-MOST-ONE-survivor-per-duplicated-substring guarantee are
+    documented (and independently tested) on ``excision_intervals``.
+
+    Returns (doc_id, n_chars, n_excised, kept_len, kept_text) over the
+    slice domain; n_chars - n_excised == kept_len by construction
+    (a free internal consistency check the tests pin).
+
+    Scale shape: intervals are skinny (doc, s, e) rows; the rebuild is
+    per-doc; its higher-order aggregate runs interpreted but over
+    <= slice_len/min_len islands per doc (bounded, the decode-family
+    cap argument)."""
+    isl = excision_intervals(pair_lcp)
     merged = isl.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("iv"),
         F.sum(F.col("e") - F.col("s")).alias("n_excised"),

@@ -68,11 +68,14 @@ def curate_corpus(
     ``substring_dedup`` (r11): inserts EXACT substring dedup between
     exact dedup and the near-dup pass (the Lee et al. ACL'22 stage
     order) — one shared suffix-array build (operators/suffix.py) over
-    the leading ``substring_slice`` chars. ``substring_mode``:
-    ``"drop"`` removes whole docs that share a
-    >= ``substring_min_len``-char substring with a smaller-id doc
-    (keep-earliest); ``"excise"`` is Lee's actual semantics — the
-    duplicated SPANS (every occurrence but the (doc, pos)-minimum) are
+    the leading ``substring_slice`` chars, segmented into maximal
+    SA runs (suffixes whose every adjacent LCP is
+    >= ``substring_min_len``). ``substring_mode``: ``"drop"`` removes,
+    per run, every doc except the run's minimum doc_id (keep-earliest;
+    guarantee: no two SURVIVING docs share a qualifying substring
+    within the slice domain); ``"excise"`` is Lee's actual semantics —
+    the duplicated SPANS (every run member but the (doc, pos)-minimum;
+    at most one occurrence of each duplicated substring survives) are
     cut out of the slice and ``text_col`` rewritten, the tail past the
     slice untouched, so downstream stages (near-dup signatures, the
     quality gate) see the cleaned text. Off by default: the SA build

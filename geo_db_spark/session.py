@@ -77,6 +77,22 @@ def tune_expansion_heavy(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _half_mem() -> str:
+    """Half of SPARK_GRAFT_DRIVER_MEM (default 8g) in MB — the default
+    spark.driver.maxResultSize. JVM memory strings: bare number =
+    bytes, k/m/g/t suffixes binary."""
+    raw = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    try:
+        if raw and raw[-1] in mult:
+            nbytes = int(float(raw[:-1]) * mult[raw[-1]])
+        else:
+            nbytes = int(raw)
+    except ValueError:
+        nbytes = 8 << 30
+    return f"{max(1, nbytes // 2 // (1 << 20))}m"
+
+
 def get_spark(app_name: str = "geo_db_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Create (or get) a tuned SparkSession.
 
@@ -93,10 +109,15 @@ def get_spark(app_name: str = "geo_db_spark", shuffle_partitions: int | None = N
         # the 100x suffix-array probe died on the 1g default: eager
         # localCheckpoint of a ~115M-row round frame ships task results
         # past it (builder-level conf, so raised here, not in tune();
-        # local mode shares one JVM — the "driver" IS the executor pool)
+        # local mode shares one JVM — the "driver" IS the executor pool).
+        # Default = HALF the driver heap (r11 advice: a cap equal to the
+        # heap lets a near-cap result OOM the JVM before the guard
+        # fires, turning a clean 'result too large' error into a heap
+        # death); SPARK_GRAFT_MAX_RESULT overrides, and must stay well
+        # below SPARK_GRAFT_DRIVER_MEM.
         .config(
             "spark.driver.maxResultSize",
-            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", _half_mem()),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

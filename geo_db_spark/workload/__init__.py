@@ -70,4 +70,4 @@ def oracle_sql() -> dict[str, str]:
 # (r6 verdict #6: README said 147 while 148 were registered — the tally
 # now lives HERE, README cites it, and test_workload_oracle asserts the
 # registry matches it, so the two can never drift again).
-N_QUERIES = 211
+N_QUERIES = 212

@@ -545,8 +545,9 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CAPSTONE composition (r7b; substring stage r11): the full
     training-corpus build as ONE oracle-gated artifact — exact dedup
     (normalized-digest min-id survivors) -> EXACT substring dedup
-    (SA-adjacency keep-earliest over the 256-char slices — the Lee et
-    al. ACL'22 order: substring dedup after exact, before quality) ->
+    (per-SA-run keep-earliest over the 256-char slices, r12 run-based
+    rule — the Lee et al. ACL'22 order: substring dedup after exact,
+    before quality) ->
     C4 keep gate -> deterministic md5 train/val/test split ->
     token-balanced shard assignment via the distributed prefix sum,
     per split. A user of this engine runs exactly this chain; gating
@@ -657,9 +658,12 @@ WITH surv AS (
 exact_kept AS (
   SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
 ),
--- substring-dedup stage (r11): brute-force suffix sort over the
--- {_SA_SLICE}-char slices of the exact survivors; drop any doc sharing
--- a >= {_SA_T}-char substring with a smaller-id doc (keep-earliest)
+-- substring-dedup stage (r11, run-based r12): brute-force suffix sort
+-- over the {_SA_SLICE}-char slices of the exact survivors; segment the
+-- SA into maximal runs of adjacent suffixes sharing >= {_SA_T} chars
+-- and drop every doc in a run except the run's minimum doc_id
+-- (keep-earliest; so no two SURVIVING docs share a qualifying
+-- substring — the r11 per-pair greedy could keep several)
 sl AS MATERIALIZED (
   SELECT doc_id, substr(text, 1, {_SA_SLICE}) AS t FROM exact_kept
 ),
@@ -675,10 +679,24 @@ rk AS MATERIALIZED (
          row_number() OVER (ORDER BY suffix, doc_id, pos) AS rk
   FROM suf
 ),
-sublosers AS MATERIALIZED (
-  SELECT DISTINCT GREATEST(a.doc_id, b.doc_id) AS doc_id
+subpairs AS MATERIALIZED (
+  SELECT a.rk AS rank_lo, a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM rk a JOIN rk b ON b.rk = a.rk + 1 AND a.g = b.g
-                      AND a.doc_id <> b.doc_id
+),
+subruns AS (
+  SELECT *, rank_lo - row_number() OVER (ORDER BY rank_lo) AS run_id
+  FROM subpairs
+),
+submemb AS (
+  SELECT DISTINCT run_id, doc_id FROM (
+    SELECT run_id, doc_a AS doc_id FROM subruns
+    UNION ALL SELECT run_id, doc_b FROM subruns)
+),
+sublosers AS MATERIALIZED (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY run_id) AS mn
+    FROM submemb)
+  WHERE doc_id <> mn
 ),
 kept AS (
   SELECT * FROM exact_kept
@@ -712,3 +730,256 @@ FROM placed
 
 QUERIES["corpus_build_pipeline"] = corpus_build_pipeline
 ORACLES["corpus_build_pipeline"] = ORACLE_CORPUS_BUILD
+
+
+def corpus_build_pipeline_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone in EXCISE mode (r12; r11 verdict Next #4): exact
+    dedup -> exact substring EXCISION (duplicated spans cut from the
+    256-char slice and the text REWRITTEN, tail preserved — the Lee et
+    al. ACL'22 span-removal semantics the drop-mode capstone
+    approximates at doc level) -> C4 keep gate ON THE REWRITTEN TEXT ->
+    md5 split -> token-balanced shards. This gates the
+    rewrite-then-filter interface drop mode cannot: the C4 gate and the
+    token counts must read the cleaned text (a doc can *pass* the gate
+    only because its boilerplate span was excised, and every shard
+    boundary shifts with the rewritten token totals). ``text_md5`` of
+    the rewritten text rides in the output so the oracle hashes the
+    rebuilt PAYLOAD through the whole pipeline, not just counts.
+
+    Scale shape: one shared SA build (checkpointed internally);
+    ``gated`` is checkpointed ONCE before fanning out to the prefix sum
+    and the hash projection (else both branches re-run the excision
+    join; at 100 TB use a parquet stage barrier instead —
+    pipeline_corpus.curate_corpus(stage_dir=...) is the library form).
+    Stage counts ride as Observations (zero extra scans)."""
+    tune(spark)
+    from pyspark.sql import Observation
+
+    from geo_db_spark.operators.curation import (
+        C4_BOILERPLATE,
+        C4_MEAN_WORD_LEN_MAX,
+        C4_MEAN_WORD_LEN_MIN,
+        C4_MIN_TOKENS,
+    )
+    from geo_db_spark.operators.dedup import normalize_text
+    from geo_db_spark.operators.packing import _cum_token_positions, split_assign
+    from geo_db_spark.operators.suffix import (
+        excise_substring_dups,
+        sa_adjacent_pairs,
+        sa_pair_lcp,
+        suffix_ranks,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("__digest"),
+        split_assign().alias("__split"),
+    )
+    w_min = Window.partitionBy("__digest")
+    exact_kept = base.withColumn("__min_id", F.min("doc_id").over(w_min)).filter(
+        F.col("doc_id") == F.col("__min_id")
+    )
+    obs_exact = Observation("corpus_x_exact_kept")
+    exact_kept = exact_kept.observe(obs_exact, F.count(F.lit(1)).alias("n"))
+    exact_kept = exact_kept.localCheckpoint(eager=True)
+    sliced = exact_kept.select(
+        "doc_id", F.substring("text", 1, _SA_SLICE).alias("t")
+    )
+    ranks = suffix_ranks(
+        sliced, id_col="doc_id", text_col="t",
+        slice_len=_SA_SLICE, k0=16, min_tail=_SA_T,
+    )
+    pairs = sa_adjacent_pairs(sliced, ranks, _SA_T)
+    lcp = sa_pair_lcp(sliced, pairs, _SA_T, _SA_SLICE)
+    kept = excise_substring_dups(sliced, lcp).select(
+        F.col("doc_id").alias("__xid"), "kept_text", "n_excised"
+    )
+    rewritten = (
+        exact_kept.join(kept, F.col("doc_id") == F.col("__xid"), "left")
+        .withColumn(
+            "__rt",
+            F.when(F.col("kept_text").isNull(), F.col("text")).otherwise(
+                F.concat(
+                    F.col("kept_text"),
+                    F.expr(f"substring(text, {_SA_SLICE + 1})"),
+                )
+            ),
+        )
+    )
+    obs_x = Observation("corpus_x_excised_docs")
+    rewritten = rewritten.observe(
+        obs_x,
+        F.sum(
+            F.when(F.coalesce(F.col("n_excised"), F.lit(0)) > 0, 1).otherwise(0)
+        ).alias("n"),
+    )
+    # C4 gate on the REWRITTEN text — the stage-order point of the query
+    t = F.col("__rt")
+    n_tok = F.size(F.split(F.trim(t), r"\s+"))
+    mean_wlen = F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_tok
+    boiler = F.lit(False)
+    for marker in C4_BOILERPLATE:
+        boiler = boiler | F.lower(t).contains(marker)
+    keep = ~(
+        (n_tok < C4_MIN_TOKENS)
+        | (mean_wlen < C4_MEAN_WORD_LEN_MIN)
+        | (mean_wlen > C4_MEAN_WORD_LEN_MAX)
+        | t.contains("{")
+        | boiler
+    )
+    gated = (
+        rewritten.filter(keep)
+        .select("doc_id", F.col("__rt").alias("text"), "__split")
+        .localCheckpoint(eager=True)  # consumed by prefix sum AND hashes
+    )
+    pos = _cum_token_positions(gated, "__split", "doc_id", "text", 4096)
+    hashes = gated.select(
+        F.col("doc_id").alias("__hid"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+    out = pos.join(hashes, F.col("id") == F.col("__hid")).select(
+        F.col("id").alias("doc_id"),
+        F.col("source").alias("split"),
+        F.col("n_tokens"),
+        F.floor(F.col("cum_before") / F.lit(2000)).alias("shard"),
+        "text_md5",
+    )
+    out._corpus_observations = {"exact": obs_exact, "excised_docs": obs_x}
+    return out
+
+
+ORACLE_CORPUS_BUILD_EXCISE = rf"""
+WITH surv AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+),
+exact_kept AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+),
+sl AS MATERIALIZED (
+  SELECT doc_id, substr(text, 1, {_SA_SLICE}) AS t FROM exact_kept
+),
+suf AS MATERIALIZED (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         substr(t, CAST(pos AS INT)) AS suffix,
+         substr(t, CAST(pos AS INT), {_SA_T}) AS g
+  FROM (SELECT doc_id, t, unnest(range(1, length(t) - {_SA_T - 1} + 1)) AS pos
+        FROM sl WHERE length(t) >= {_SA_T})
+),
+r AS MATERIALIZED (
+  SELECT doc_id, pos, g,
+         row_number() OVER (ORDER BY suffix, doc_id, pos) AS rk
+  FROM suf
+),
+pairs AS MATERIALIZED (
+  SELECT a.rk AS rank_lo,
+         a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+  FROM r a JOIN r b ON b.rk = a.rk + 1 AND a.g = b.g
+),
+lcp AS MATERIALIZED (
+  SELECT rank_lo, doc_a, pos_a, doc_b, pos_b,
+         LEAST(MAX(k),
+               MIN(length(sa.t) - pos_a + 1),
+               MIN(length(sb.t) - pos_b + 1)) AS lcp
+  FROM pairs
+  JOIN sl sa ON sa.doc_id = doc_a
+  JOIN sl sb ON sb.doc_id = doc_b
+  CROSS JOIN (SELECT unnest(range({_SA_T}, {_SA_SLICE} + 1)) AS k) ks
+  WHERE substr(sa.t, CAST(pos_a AS INT), CAST(k AS INT))
+        = substr(sb.t, CAST(pos_b AS INT), CAST(k AS INT))
+  GROUP BY rank_lo, doc_a, pos_a, doc_b, pos_b
+),
+runs AS (
+  SELECT *, rank_lo - row_number() OVER (ORDER BY rank_lo) AS run_id
+  FROM lcp
+),
+memb AS (
+  SELECT run_id, rk, MAX(doc_id) AS doc_id, MAX(pos) AS pos, MAX(lcp) AS x
+  FROM (
+    SELECT run_id, rank_lo AS rk, doc_a AS doc_id, pos_a AS pos, lcp FROM runs
+    UNION ALL
+    SELECT run_id, rank_lo + 1, doc_b, pos_b, lcp FROM runs
+  ) GROUP BY run_id, rk
+),
+iv AS (
+  SELECT doc_id, st, en FROM (
+    SELECT doc_id, pos AS st, pos + x AS en,
+           first_value(doc_id) OVER w AS md,
+           first_value(pos) OVER w AS mp
+    FROM memb
+    WINDOW w AS (PARTITION BY run_id ORDER BY doc_id, pos)
+  ) WHERE NOT (doc_id = md AND st = mp)
+),
+isl AS (
+  SELECT doc_id, st, en,
+         CASE WHEN st > COALESCE(MAX(en) OVER (
+                PARTITION BY doc_id ORDER BY st, en
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM iv
+),
+isl2 AS (
+  SELECT doc_id, st, en,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY st, en) AS island
+  FROM isl
+),
+merged AS MATERIALIZED (
+  SELECT doc_id, MIN(st) AS st, MAX(en) AS en
+  FROM isl2 GROUP BY doc_id, island
+),
+pieces AS (
+  SELECT doc_id,
+         COALESCE(LAG(en) OVER (PARTITION BY doc_id ORDER BY st), 1) AS gs,
+         st AS ge
+  FROM merged
+  UNION ALL
+  SELECT doc_id, MAX(en) AS gs, NULL AS ge FROM merged GROUP BY doc_id
+),
+rebuilt AS MATERIALIZED (
+  SELECT p.doc_id,
+         string_agg(substr(t, CAST(gs AS INT),
+                           CAST(COALESCE(ge, length(t) + 1) - gs AS INT)),
+                    '' ORDER BY gs) AS kept
+  FROM pieces p JOIN sl USING (doc_id)
+  GROUP BY p.doc_id, t
+),
+rewritten AS MATERIALIZED (
+  SELECT e.doc_id,
+         COALESCE(rb.kept, sl.t) || substr(e.text, {_SA_SLICE + 1}) AS text
+  FROM exact_kept e
+  JOIN sl USING (doc_id)
+  LEFT JOIN rebuilt rb USING (doc_id)
+),
+c4 AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\s+')) AS mean_wlen,
+         contains(text, '{{') AS curly,
+         (contains(lower(text), 'lorem ipsum') OR contains(lower(text), 'javascript')
+          OR contains(lower(text), 'terms of use') OR contains(lower(text), 'cookie policy')) AS boiler
+  FROM rewritten
+),
+gated AS (
+  SELECT k.doc_id, k.text, c.n_tok
+  FROM rewritten k JOIN c4 c USING (doc_id)
+  WHERE NOT (c.n_tok < 30 OR c.mean_wlen < 3.0 OR c.mean_wlen > 10.0 OR c.curly OR c.boiler)
+),
+placed AS (
+  SELECT doc_id, {_SPLIT_CASE_C} AS split, CAST(n_tok AS BIGINT) AS n_tokens,
+         md5(text) AS text_md5
+  FROM gated
+)
+SELECT doc_id, split, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+         PARTITION BY split ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0) AS BIGINT) AS shard,
+       text_md5
+FROM placed
+"""
+
+QUERIES["corpus_build_pipeline_excise"] = corpus_build_pipeline_excise
+ORACLES["corpus_build_pipeline_excise"] = ORACLE_CORPUS_BUILD_EXCISE

@@ -932,7 +932,8 @@ r AS MATERIALIZED (
          row_number() OVER (ORDER BY suffix, doc_id, pos) AS rk
   FROM suf
 )
-SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+SELECT CAST(a.rk AS BIGINT) AS rank_lo,
+       a.doc_id AS doc_a, a.pos AS pos_a,
        b.doc_id AS doc_b, b.pos AS pos_b, a.g AS gram
 FROM r a JOIN r b ON b.rk = a.rk + 1 AND a.g = b.g
 """
@@ -1014,18 +1015,24 @@ FROM (
 """
 
 def dedup_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT substring EXCISION (r11; Lee et al. ACL'22 §4.1's actual
-    span-removal semantics, where the adjacency/drop queries are the
-    doc-level approximations): every occurrence of a duplicated
-    >= SA_T-char substring except the (doc_id, pos)-minimum one is
-    removed from the slice and the text rebuilt. One shared SA build
-    feeds pairs -> per-pair LCP -> loser intervals -> per-doc interval
-    union (gaps-and-islands, per-DOC window) -> complement-gap rebuild
-    (bounded higher-order fold: <= slice/SA_T islands per doc). The
-    oracle replays the whole chain and hashes the REBUILT TEXT, so the
-    value check proves the excision geometry, not just counts;
-    n_chars - n_excised == kept_len is pinned in pytest as the free
-    internal invariant."""
+    """EXACT substring EXCISION (r11, rule strengthened r12; Lee et
+    al. ACL'22 §4.1's actual span-removal semantics, where the
+    adjacency/drop queries are the doc-level approximations): the SA
+    is segmented into maximal runs of adjacent suffixes sharing
+    >= SA_T chars; within each run every member except the
+    (doc_id, pos)-minimum has its shared span removed and the text
+    rebuilt — so every duplicated >= SA_T-char substring survives in
+    AT MOST one occurrence (the r11 per-pair greedy kept every LOCAL
+    minimum of a non-monotone run; r11 verdict counterexample). One
+    shared SA build feeds pairs -> per-pair LCP -> run segmentation
+    (assign_stable_ids, no single-partition stage) -> loser intervals
+    -> per-doc interval union (gaps-and-islands, per-DOC window) ->
+    complement-gap rebuild (bounded higher-order fold: <= slice/SA_T
+    islands per doc). The oracle replays the whole chain and hashes
+    the REBUILT TEXT, so the value check proves the excision geometry,
+    not just counts; the at-most-one guarantee itself is pinned by an
+    INDEPENDENT (non-replay) pytest over crafted non-monotone runs;
+    n_chars - n_excised == kept_len rides as the free invariant."""
     tune(spark)
     from geo_db_spark.operators.suffix import (
         excise_substring_dups,
@@ -1067,11 +1074,12 @@ r AS MATERIALIZED (
   FROM suf
 ),
 pairs AS MATERIALIZED (
-  SELECT a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
+  SELECT a.rk AS rank_lo,
+         a.doc_id AS doc_a, a.pos AS pos_a, b.doc_id AS doc_b, b.pos AS pos_b
   FROM r a JOIN r b ON b.rk = a.rk + 1 AND a.g = b.g
 ),
 lcp AS MATERIALIZED (
-  SELECT doc_a, pos_a, doc_b, pos_b,
+  SELECT rank_lo, doc_a, pos_a, doc_b, pos_b,
          LEAST(MAX(k),
                MIN(length(sa.t) - pos_a + 1),
                MIN(length(sb.t) - pos_b + 1)) AS lcp
@@ -1081,16 +1089,31 @@ lcp AS MATERIALIZED (
   CROSS JOIN (SELECT unnest(range({SA_T}, {SA_SLICE} + 1)) AS k) ks
   WHERE substr(sa.t, CAST(pos_a AS INT), CAST(k AS INT))
         = substr(sb.t, CAST(pos_b AS INT), CAST(k AS INT))
-  GROUP BY doc_a, pos_a, doc_b, pos_b
+  GROUP BY rank_lo, doc_a, pos_a, doc_b, pos_b
+),
+-- run segmentation (r12): consecutive rank_lo pairs = one maximal run
+-- of suffixes whose every adjacent LCP >= min_len; per member
+-- X = max adjacent LCP; only each run's (doc,pos)-minimum survives
+runs AS (
+  SELECT *, rank_lo - row_number() OVER (ORDER BY rank_lo) AS run_id
+  FROM lcp
+),
+memb AS (
+  SELECT run_id, rk, MAX(doc_id) AS doc_id, MAX(pos) AS pos, MAX(lcp) AS x
+  FROM (
+    SELECT run_id, rank_lo AS rk, doc_a AS doc_id, pos_a AS pos, lcp FROM runs
+    UNION ALL
+    SELECT run_id, rank_lo + 1, doc_b, pos_b, lcp FROM runs
+  ) GROUP BY run_id, rk
 ),
 iv AS (
-  SELECT CASE WHEN (doc_a, pos_a) < (doc_b, pos_b) THEN doc_b ELSE doc_a END
-           AS doc_id,
-         CASE WHEN (doc_a, pos_a) < (doc_b, pos_b) THEN pos_b ELSE pos_a END
-           AS st,
-         CASE WHEN (doc_a, pos_a) < (doc_b, pos_b) THEN pos_b ELSE pos_a END
-           + lcp AS en
-  FROM lcp
+  SELECT doc_id, st, en FROM (
+    SELECT doc_id, pos AS st, pos + x AS en,
+           first_value(doc_id) OVER w AS md,
+           first_value(pos) OVER w AS mp
+    FROM memb
+    WINDOW w AS (PARTITION BY run_id ORDER BY doc_id, pos)
+  ) WHERE NOT (doc_id = md AND st = mp)
 ),
 isl AS (
   SELECT doc_id, st, en,

@@ -234,7 +234,7 @@ def test_curate_corpus_substring_stage_optin(spark):
 
 def test_curate_corpus_substring_excise_mode(spark):
     """substring_mode='excise' rewrites text_col: duplicated spans
-    (every occurrence but the (doc,pos)-minimum) cut from the slice,
+    (every run member but the run's (doc,pos)-minimum) cut from the slice,
     the tail past the slice preserved verbatim; docs without duplicated
     spans pass through byte-identical. Hand-computed expectation."""
     import pytest as _pytest
