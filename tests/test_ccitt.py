@@ -341,3 +341,49 @@ def test_golden_g3_2d_mixed_modes_and_first_row():
     assert list(out[8:16]) == [1] * 8
     assert list(out[16:24]) == [0, 1, 1, 1, 1, 1, 1, 0]
     assert list(out[24:32]) == [0] * 8
+
+
+def test_golden_g3_2d_chained_extended_makeups():
+    """Hand-composed Compression=3 2-D stream whose H-mode runs need
+    CHAINED >= 2560 extended makeups (r11 verdict Next #5 — the 2560+
+    run space was previously exercised only through the encoder twin's
+    G4 roundtrip). Width 5400, three rows, codewords written as
+    literal ITU-T T.4 Table 1-3 strings:
+
+    row 0: EOL+tag=0, first 2-D row against the imaginary all-white
+           reference — H ('001') with white 5204 = ext-makeup 2560
+           ('000000011111') x2 + white makeup 64 ('11011') + white
+           term 20 ('0001000'), then black 196 = black makeup 192
+           ('000011001001') + black term 4 ('011'); a2 = 5400 closes
+           the row;
+    row 1: EOL+tag=0 — V0, V0 copies both transitions (5204, 5400) of
+           the monster reference row;
+    row 2: EOL+tag=0 — H with white 100 = white makeup 64 + white
+           term 36 ('00010101'), BLACK 5236 = ext-makeup 2560 x2 +
+           black makeup 64 ('0000001111') + black term 52
+           ('000000100100') (the chained space in the BLACK color
+           table), then V0: b1 for white after a0=5336 skips ref
+           transition 5400 (parity mismatch) and lands at width.
+
+    A decoder that stops accumulating after one makeup, drops the
+    color-independence of extended makeups, or mis-parities b1 after
+    a huge H jump cannot reproduce all three rows."""
+    from geo_db_spark.operators.ccitt import decode_g3
+
+    ext2560 = "000000011111"
+    assert EXT_MAKEUP[2560] == ext2560  # literal pinned to the table
+    bits = (
+        EOL + "0"
+        + "001" + ext2560 + ext2560 + "11011" + "0001000"  # white 5204
+        + "000011001001" + "011"  # black 196
+        + EOL + "0" + "1" + "1"  # V0 V0
+        + EOL + "0"
+        + "001" + "11011" + "00010101"  # white 100
+        + ext2560 + ext2560 + "0000001111" + "000000100100"  # black 5236
+        + "1"  # V0 closes the trailing white 64
+    )
+    out = decode_g3(_bits_to_bytes(bits), 5400, 3, two_d=True)
+    row0 = [0] * 5204 + [1] * 196
+    assert list(out[0:5400]) == row0
+    assert list(out[5400:10800]) == row0
+    assert list(out[10800:]) == [0] * 100 + [1] * 5236 + [0] * 64

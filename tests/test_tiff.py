@@ -358,3 +358,56 @@ def test_golden_planar2_predictor2_lzw_cross():
     got = decode_tiff(t)
     assert got.shape == (2, 3, 3)
     assert [[tuple(px) for px in row] for row in got.tolist()] == want
+
+
+def test_golden_fillorder2_hand_built_container():
+    """FillOrder=2 (tag 266) golden INDEPENDENT of make_tiff (r11
+    verdict Next #5 — the r10 FillOrder=2 coverage decoded only the
+    encoder twin's output): the TIFF container is struct-packed by
+    hand here, and the strip is the hand-composed G4 bit stream from
+    test_golden_hand_composed_h_and_v_modes with each byte's bits
+    REVERSED by this test's own arithmetic (LSB-first storage, the
+    scanned-fax convention). Photometric 0 (WhiteIsZero) maps the G4
+    1-bits to black. A decoder that applies the bit reversal to the
+    wrong codecs, reverses across byte boundaries, or double-reverses
+    cannot reproduce the two rows."""
+    from geo_db_spark.operators.tiff import decode_tiff
+
+    # G4 8x2: row0 = 00111000, row1 = 01111000 (H white-2/black-3 + V0;
+    # then VL1 V0 V0) — 15 bits, MSB-first, zero-padded to 2 bytes
+    bits = "001" + "0111" + "10" + "1" + "010" + "1" + "1"
+    bits += "0" * (-len(bits) % 8)
+    msb_first = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    # FillOrder=2 storage: reverse the bits WITHIN each byte (own math)
+    strip = bytes(
+        sum(((b >> i) & 1) << (7 - i) for i in range(8)) for b in msb_first
+    )
+
+    entries = [  # (tag, type, count, value) — SHORT(3) / LONG(4)
+        (256, 3, 1, 8),    # width
+        (257, 3, 1, 2),    # height
+        (258, 3, 1, 1),    # 1 bit/sample
+        (259, 3, 1, 4),    # Compression = 4 (T.6)
+        (262, 3, 1, 0),    # WhiteIsZero
+        (266, 3, 1, 2),    # FillOrder = 2
+        (273, 4, 1, 0),    # strip offset (patched below)
+        (277, 3, 1, 1),    # samples/pixel
+        (279, 4, 1, len(strip)),
+    ]
+    ifd_off = 8
+    strip_off = ifd_off + 2 + 12 * len(entries) + 4
+    payload = struct.pack("<2sHI", b"II", 42, ifd_off)
+    payload += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = strip_off
+        payload += struct.pack("<HHI", tag, typ, cnt)
+        payload += struct.pack("<I", val) if typ == 4 else struct.pack("<HH", val, 0)
+    payload += struct.pack("<I", 0)  # no next IFD
+    payload += strip
+
+    out = decode_tiff(payload)
+    assert out.shape == (2, 8, 3)
+    row = lambda bits_: [[0] * 3 if b else [255] * 3 for b in bits_]  # noqa: E731
+    assert out[0].tolist() == row([0, 0, 1, 1, 1, 0, 0, 0])
+    assert out[1].tolist() == row([0, 1, 1, 1, 1, 0, 0, 0])

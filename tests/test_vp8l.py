@@ -488,3 +488,78 @@ def test_golden_meta_huffman_color_cache_combined():
     # the hand hash computation the stream relies on
     key = lambda argb: ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> 31  # noqa: E731
     assert key(0xFF000A00) == 0 and key(0xFF000200) == 1
+
+
+def test_golden_lz77_meta_huffman_combined():
+    """8x1 image, NO transforms, no color cache, meta-Huffman
+    (meta_bits=2 -> two 4-wide blocks, two code groups) with LZ77
+    back-references decoded through group 1 — the LZ77 x meta-Huffman
+    combination the r11 verdict listed as twin-only. Composed bit by
+    bit from the published spec:
+
+    - entropy image 2x1 routes block x<4 to group 0, x>=4 to group 1;
+    - group 0 codes pixels 0-3 as literals with greens 10,2,2,10;
+    - group 1's GREEN code is a hand-written NORMAL code over symbols
+      {256, 258} (length-prefix codes 0 and 2 -> copy lengths 1 and
+      3), built from a 3-symbol code-length code {18:'0', 0:'10',
+      1:'11'} with two 18-runs (127+129 zeros = symbols 0..255) and —
+      first exercise of this path — the TRANSMITTED-SYMBOL CAP
+      (max_symbol = 5 reads) ending the code-length stream early;
+    - group 1's distance code is the 1-symbol prefix code {13}, whose
+      5 extra bits select dist_code 124 (pos 4: plain distance 4) and
+      127 (pos 7: plain distance 7);
+    - pixel 4 is a copy of length 3 / distance 4 (pixels 0-2), pixel 7
+      a copy of length 1 / distance 7 (pixel 0).
+
+    Expected greens: 10 2 2 10 | 10 2 2 10. A decoder that routes the
+    copy through the wrong group, mis-maps length/distance prefix
+    extra bits, or ignores the max_symbol cap cannot produce it."""
+    bw = _SpecBits()
+    bw.put(7, 14)  # width - 1
+    bw.put(0, 14)  # height - 1
+    bw.put(0, 1)  # alpha hint
+    bw.put(0, 3)  # version
+    bw.put(0, 1)  # no transforms
+    bw.put(0, 1)  # no color cache
+    bw.put(1, 1)  # meta-Huffman present
+    bw.put(0, 3)  # meta_bits - 2 = 0 -> 4-pixel blocks, entropy img 2x1
+    # entropy (meta) sub-image: no cache; greens {0,1} = group indices
+    bw.put(0, 1)
+    bw.simple_code([0, 1])  # green: 0 -> bit 0, 1 -> bit 1 (canonical)
+    for s in (0, 0, 255, 0):  # red, blue, alpha, distance
+        bw.simple_code([s])
+    bw.put(0, 1)  # meta pixel 0: green 0 -> group 0
+    bw.put(1, 1)  # meta pixel 1: green 1 -> group 1
+    # group 0: literal greens {2, 10} (canonical: 2 -> bit 0, 10 -> bit 1)
+    bw.simple_code([2, 10])
+    for s in (0, 0, 255, 0):
+        bw.simple_code([s])
+    # group 1: NORMAL green code, lengths[256] = lengths[258] = 1
+    bw.put(0, 1)  # not simple
+    bw.put(0, 4)  # num_code_lengths = 4 -> order slots [17, 18, 0, 1]
+    bw.put(0, 3)  # cl_len(17) = 0
+    bw.put(1, 3)  # cl_len(18) = 1   (canonical: 18 -> '0')
+    bw.put(2, 3)  # cl_len(0)  = 2   (0 -> '10')
+    bw.put(2, 3)  # cl_len(1)  = 2   (1 -> '11')
+    bw.put(1, 1)  # transmitted-symbol cap PRESENT
+    bw.put(0, 3)  # length_nbits = 2
+    bw.put(3, 2)  # max_symbol = 2 + 3 = 5 code-length reads
+    bw.put(0, 1); bw.put(116, 7)  # 18-run 127: symbols 0..126 zero
+    bw.put(0, 1); bw.put(118, 7)  # 18-run 129: symbols 127..255 zero
+    bw.put(1, 1); bw.put(1, 1)    # cl 1 ('11'): lengths[256] = 1
+    bw.put(1, 1); bw.put(0, 1)    # cl 0 ('10'): lengths[257] = 0
+    bw.put(1, 1); bw.put(1, 1)    # cl 1 ('11'): lengths[258] = 1
+    for s in (0, 0, 255):  # red, blue, alpha: 1-symbol codes
+        bw.simple_code([s])
+    bw.simple_code([13])  # distance: 1-symbol prefix code 13
+    # pixel stream
+    for bit in (1, 0, 0, 1):  # group 0 literals: greens 10, 2, 2, 10
+        bw.put(bit, 1)
+    bw.put(1, 1)   # group 1 green '1' -> 258 -> length prefix 2 -> len 3
+    bw.put(27, 5)  # distance extra: 96 + 27 + 1 = 124 -> dist 4
+    bw.put(0, 1)   # group 1 green '0' -> 256 -> length prefix 0 -> len 1
+    bw.put(30, 5)  # distance extra: 96 + 30 + 1 = 127 -> dist 7
+    out = decode_vp8l(bw.vp8l())
+    assert out.shape == (1, 8, 3)
+    want = [[0, 10, 0], [0, 2, 0], [0, 2, 0], [0, 10, 0]] * 2
+    assert out[0].tolist() == want
