@@ -53,12 +53,26 @@ _EXPANSION_HEAVY_CONFS = {
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (driver-provided or ours)."""
+    """Apply runtime confs to an existing session (driver-provided or ours).
+
+    ``SPARK_GRAFT_TUNE_OVERRIDES`` ("k=v,k=v") is applied LAST: every
+    query calls tune() on entry, so a conf tune() pins (AQE, Arrow,
+    timezone, ...) cannot be changed per-run any other way. Needed by
+    fixed-plan measurement (the r12 variance probe runs the suffix
+    build with spark.sql.adaptive.enabled=false to separate AQE plan
+    variation from JIT/GC) and by cluster profiles that disagree with
+    a pinned default."""
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime-settable on this build; startup conf covers it
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_TUNE_OVERRIDES", "").split(",")):
+        k, _, v = kv.partition("=")
+        try:
+            spark.conf.set(k.strip(), v.strip())
+        except Exception:
+            pass
     return spark
 
 

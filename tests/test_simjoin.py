@@ -119,3 +119,21 @@ def test_expansion_heavy_profile_scoped_per_query(spark):
     assert spark.conf.get(key) == "8m"
     tune(spark)  # next query's entry
     assert spark.conf.get(key) == "64m"
+
+
+def test_tune_overrides_env_applied_last(spark, monkeypatch):
+    """SPARK_GRAFT_TUNE_OVERRIDES (r12) wins over tune()'s pinned
+    confs — the fixed-plan measurement escape hatch (every query calls
+    tune() on entry, so an AQE-off probe is impossible without it) —
+    and unsetting it restores the pinned default on the next tune()."""
+    from geo_db_spark.session import tune
+
+    key = "spark.sql.adaptive.enabled"
+    monkeypatch.setenv(
+        "SPARK_GRAFT_TUNE_OVERRIDES", f"{key}=false, spark.sql.session.timeZone=UTC"
+    )
+    tune(spark)
+    assert spark.conf.get(key) == "false"
+    monkeypatch.delenv("SPARK_GRAFT_TUNE_OVERRIDES")
+    tune(spark)  # next query's entry without the override
+    assert spark.conf.get(key) == "true"
