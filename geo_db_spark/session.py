@@ -135,7 +135,25 @@ def get_spark(app_name: str = "geo_db_spark", shuffle_partitions: int | None = N
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Liveness detection relaxed for big-heap local mode (r12): the
+        # 100x suffix-array build twice killed ITSELF — 32 saturated
+        # cores + 96g-heap GC pauses starved the heartbeat thread past
+        # 60 misses of the 10s default and the executor exited
+        # ("unable to send heartbeats to driver more than 60 times"),
+        # taking the shared-JVM SparkContext down mid-localCheckpoint.
+        # In local mode a heartbeat can only detect the process killing
+        # itself, so aggressive liveness is pure downside; on a real
+        # cluster 30s/600s are still conservative (heartbeat must stay
+        # well under network.timeout).
+        .config("spark.executor.heartbeatInterval", "30s")
+        .config("spark.network.timeout", "600s")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # builder-level escape hatch (the spark-submit --conf equivalent):
+    # applied LAST, for confs tune() cannot set at runtime (timeouts,
+    # memory, codegen) — the runtime sibling is SPARK_GRAFT_TUNE_OVERRIDES
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_BUILDER_CONFS", "").split(",")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return tune(builder.getOrCreate())
