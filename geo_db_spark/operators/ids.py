@@ -56,13 +56,42 @@ def assign_stable_ids(
     df: DataFrame,
     order_cols: list[str],
     id_name: str = "stable_id",
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """All input columns plus ``id_name`` = the 1-based rank of the row
     under ``order_cols`` — computed without any single-partition stage
     and without re-shuffling the data after the range exchange."""
+    return assign_stable_ids_counted(df, order_cols, id_name, n_partitions)[0]
+
+
+def assign_stable_ids_counted(
+    df: DataFrame,
+    order_cols: list[str],
+    id_name: str = "stable_id",
+    n_partitions: int | None = None,
+    materialize_input: bool = False,
+) -> tuple[DataFrame, int]:
+    """``assign_stable_ids`` that ALSO returns the exact input row count
+    — the per-partition counts the offset pass collects already sum to
+    it, so callers that need the total (e.g. the suffix build's dense
+    ranks, where #distinct keys == max rank drives the early exit) get
+    it without a separate aggregation job (r13 optimization).
+
+    ``materialize_input`` eagerly localCheckpoints ``df`` first: the
+    range exchange's boundary SAMPLING pass executes the input subtree
+    in full before the exchange executes it again, so an expensive
+    un-materialized input is otherwise computed twice (r13, measured on
+    the suffix build's per-round distinct).
+
+    ``n_partitions`` defaults to ``spark.sql.shuffle.partitions`` so the
+    range exchange scales with the session's configured parallelism
+    instead of a local-mode constant."""
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
+    if materialize_input:
+        df = df.localCheckpoint(eager=True)
+    if n_partitions is None:
+        n_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n_partitions, *order_cols).sortWithinPartitions(
         *order_cols
     )
@@ -104,8 +133,9 @@ def assign_stable_ids(
     off_df = df.sparkSession.createDataFrame(
         offsets or [(0, 0)], "__pid int, __off long"
     )
-    return (
+    out = (
         marked.join(F.broadcast(off_df), "__pid")
         .withColumn(id_name, (F.col("__off") + F.col("__ord") + F.lit(1)).cast("long"))
         .drop("__pid", "__ord", "__off")
     )
+    return out, acc

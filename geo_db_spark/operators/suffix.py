@@ -34,10 +34,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from geo_db_spark.operators.ids import assign_stable_ids
+from geo_db_spark.operators.ids import assign_stable_ids, assign_stable_ids_counted
 
 
-def _dense_rank_by(suf: DataFrame, order_cols: list[str]) -> DataFrame:
+def _dense_rank_by(suf: DataFrame, order_cols: list[str]) -> tuple[DataFrame, int]:
     """Replace ``order_cols`` with a dense 1-based ``rank`` consistent
     with their lexicographic order: rank the DISTINCT key tuples with
     assign_stable_ids, then join back — two linear shuffles. The
@@ -46,10 +46,20 @@ def _dense_rank_by(suf: DataFrame, order_cols: list[str]) -> DataFrame:
     sorted near-dense keys compress brutally) and the in-memory
     relation exploded to 14.7 GiB, killing the job at the 8 GiB
     broadcast cap; a sort-merge join of two already-clustered skinny
-    frames is the scale-safe shape and costs ms at test SF."""
+    frames is the scale-safe shape and costs ms at test SF.
+
+    r13: returns ``(df, n_distinct_keys)`` — the key count falls out of
+    the stable-ids offset collect for free, and #distinct == #suffixes
+    is exactly the doubling loop's early-exit test, so the caller no
+    longer pays a per-round max(rank) job. The distinct is materialized
+    before the range exchange (``materialize_input``): the boundary
+    sampler otherwise executes the whole distinct subtree a second
+    time."""
     keys = suf.select(*order_cols).distinct()
-    ranked = assign_stable_ids(keys, order_cols=order_cols, id_name="rank")
-    return suf.join(ranked.hint("merge"), order_cols).drop(*order_cols)
+    ranked, n_keys = assign_stable_ids_counted(
+        keys, order_cols=order_cols, id_name="rank", materialize_input=True
+    )
+    return suf.join(ranked.hint("merge"), order_cols).drop(*order_cols), n_keys
 
 
 def suffix_ranks(
@@ -92,17 +102,18 @@ def suffix_ranks(
         F.explode(F.sequence(F.lit(1), F.length("t"))).alias("pos"),
         "t",
     ).select("doc_id", "pos", F.expr(f"substring(t, pos, {k0})").alias("k"))
-    suf = _dense_rank_by(suf, ["k"]).localCheckpoint(eager=True)
+    suf, n_keys = _dense_rank_by(suf, ["k"])
+    suf = suf.localCheckpoint(eager=True)
     n_suffixes = suf.count()
     c = k0  # characters covered by the current rank
     while c < slice_len:
-        # early exit: dense ranks mean max(rank) == #distinct keys; once
-        # every suffix has its own rank, further rounds are identity —
-        # on low-duplication text k0 chars already separate almost
-        # everything (each probe is one cheap agg on the checkpointed
-        # frame; on a replica-heavy corpus ties persist and the loop
-        # runs its full depth)
-        if suf.agg(F.max("rank")).collect()[0][0] == n_suffixes:
+        # early exit: dense ranks mean #distinct keys == #suffixes once
+        # every suffix has its own rank, and further rounds are identity
+        # — on low-duplication text k0 chars already separate almost
+        # everything. r13: the key count rides out of _dense_rank_by's
+        # offset collect, so the probe costs NO extra job (it used to be
+        # a per-round max(rank) aggregation).
+        if n_keys == n_suffixes:
             break
         # QUADrupling, not doubling: the per-round cost here is Spark
         # job latency (a distributed sort per re-rank), not data volume
@@ -146,9 +157,8 @@ def suffix_ranks(
                 for jj in (1, 2, 3)
             ],
         )
-        suf = _dense_rank_by(
-            keyed, ["r0", "r1", "r2", "r3"]
-        ).localCheckpoint(eager=True)
+        suf, n_keys = _dense_rank_by(keyed, ["r0", "r1", "r2", "r3"])
+        suf = suf.localCheckpoint(eager=True)
         c *= 4
     if min_tail > 1:
         lens = sliced.select(
@@ -205,48 +215,70 @@ def sa_adjacent_pairs(
     pair covers SA positions rank_lo and rank_lo+1) rides along for the
     run segmentation ``sa_runs`` performs — adjacency pairs with
     consecutive rank_lo form one maximal run of suffixes whose every
-    adjacent LCP is >= min_len."""
-    grams = (
-        docs.filter(F.length(text_col) >= min_len)
-        .select(
-            F.col(id_col).alias("g_doc"),
-            F.explode(
-                F.sequence(F.lit(1), F.length(text_col) - F.lit(min_len - 1))
-            ).alias("g_pos"),
-            F.col(text_col).alias("__gt"),
-        )
-        # explode positions THEN substring: stays in whole-stage codegen
-        # (a transform() lambda would run interpreted per gram)
-        .select(
-            "g_doc", "g_pos",
-            F.expr(f"substring(__gt, g_pos, {min_len})").alias("gram"),
-        )
+    adjacent LCP is >= min_len.
+
+    r13 shape (measured at sf0.1: the old gram-table merge join + rank
+    self-join was ~9 s of the family's wall): the gram attaches by
+    joining ranks to the DOC frame on doc_id — ONE slice of text per
+    doc crosses the join instead of a min_len-char gram per POSITION
+    through a sorted (doc, pos) exchange (per-doc join bytes shrink
+    ~min_len-fold), and AQE broadcasts the doc side when it fits.
+    Adjacency then comes from a SCATTER/GATHER on sa_rank (the
+    suffix_ranks round trick applied to the pair join: each suffix row
+    contributes itself as the a-side of pair sa_rank and the b-side of
+    pair sa_rank - 1; one groupBy gathers) — ONE exchange with map-side
+    partial aggregation replacing the self-join's two sorted exchanges
+    + eager checkpoint, and since ranks leave assign_stable_ids
+    range-clustered by rank, both contributions to a pair usually sit
+    in the same map partition and combine before the shuffle. No
+    intermediate checkpoint: the frame is consumed exactly once."""
+    texts = docs.select(
+        F.col(id_col).alias("__td"), F.col(text_col).alias("__tt")
     )
     withg = (
-        ranks.join(
-            grams.hint("merge"),  # same 100x compressed-size broadcast
-            # deception as _dense_rank_by — gram strings compress ~50x
-            (F.col("doc_id") == F.col("g_doc")) & (F.col("pos") == F.col("g_pos")),
+        ranks.join(texts, F.col("doc_id") == F.col("__td"))
+        .select(
+            "doc_id", "pos", "sa_rank",
+            F.expr(f"substring(__tt, pos, {min_len})").alias("gram"),
         )
-        .select("doc_id", "pos", "sa_rank", "gram")
-        .localCheckpoint(eager=True)  # consumed by both sides of the join
+        # positions with < min_len chars remaining yield a CLAMPED gram;
+        # the old gram-table inner join excluded them (its explode bound)
+        # — keep that contract for ranks built with min_tail < min_len
+        .filter(F.length("gram") >= min_len)
     )
-    b = withg.select(
-        (F.col("sa_rank") - 1).alias("__prev"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-        F.col("gram").alias("gram_b"),
+    contrib = withg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("sa_rank").alias("k"), F.lit(0).alias("side"),
+                    F.col("doc_id").alias("d"), F.col("pos").alias("p"),
+                    F.col("gram").alias("g"),
+                ),
+                F.struct(
+                    (F.col("sa_rank") - 1).alias("k"), F.lit(1).alias("side"),
+                    F.col("doc_id").alias("d"), F.col("pos").alias("p"),
+                    F.col("gram").alias("g"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.k", "e.side", "e.d", "e.p", "e.g")
+    gathered = contrib.groupBy("k").agg(
+        F.max(F.when(F.col("side") == 0, F.struct("d", "p", "g"))).alias("a"),
+        F.max(F.when(F.col("side") == 1, F.struct("d", "p", "g"))).alias("b"),
     )
     return (
-        withg.join(b, F.col("sa_rank") == F.col("__prev"))
-        .filter(F.col("gram") == F.col("gram_b"))
+        gathered.filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a.g") == F.col("b.g"))
+        )
         .select(
-            F.col("sa_rank").cast("long").alias("rank_lo"),
-            F.col("doc_id").cast("long").alias("doc_a"),
-            F.col("pos").cast("long").alias("pos_a"),
-            F.col("doc_b").cast("long").alias("doc_b"),
-            F.col("pos_b").cast("long").alias("pos_b"),
-            "gram",
+            F.col("k").cast("long").alias("rank_lo"),
+            F.col("a.d").cast("long").alias("doc_a"),
+            F.col("a.p").cast("long").alias("pos_a"),
+            F.col("b.d").cast("long").alias("doc_b"),
+            F.col("b.p").cast("long").alias("pos_b"),
+            F.col("a.g").alias("gram"),
         )
     )
 
@@ -268,8 +300,14 @@ def sa_runs(pairs: DataFrame) -> DataFrame:
     offsets, NO single-partition window). rank_lo is strictly
     increasing and unique, so rank_lo - seq is constant exactly along a
     chain of consecutive ranks and strictly increases across every gap:
-    a collision-free run key from one linear pass."""
-    seq = assign_stable_ids(pairs, order_cols=["rank_lo"], id_name="__seq")
+    a collision-free run key from one linear pass.
+
+    r13: the pairs frame is materialized before the range exchange
+    (``materialize_input``) — the boundary sampler otherwise re-executes
+    the caller's whole pair/LCP lineage a second time."""
+    seq, _ = assign_stable_ids_counted(
+        pairs, order_cols=["rank_lo"], id_name="__seq", materialize_input=True
+    )
     return seq.withColumn(
         "run_id", (F.col("rank_lo") - F.col("__seq")).cast("long")
     ).drop("__seq")

@@ -107,7 +107,7 @@ def curate_corpus(
         )
         ranks = suffix_ranks(
             sliced, id_col="doc_id", text_col="t",
-            slice_len=substring_slice, k0=16, min_tail=substring_min_len,
+            slice_len=substring_slice, k0=64, min_tail=substring_min_len,
         )
         pairs = sa_adjacent_pairs(sliced, ranks, substring_min_len)
         if substring_mode == "drop":

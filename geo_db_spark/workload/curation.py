@@ -621,7 +621,7 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = suffix_ranks(
         sliced, id_col="doc_id", text_col="t",
-        slice_len=_SA_SLICE, k0=16, min_tail=_SA_T,
+        slice_len=_SA_SLICE, k0=64, min_tail=_SA_T,  # k0=64: 1 quadrupling round (r13)
     )
     losers = substring_dup_losers(sa_adjacent_pairs(sliced, ranks, _SA_T))
     obs_sub = Observation("corpus_substring_kept")
@@ -789,7 +789,7 @@ def corpus_build_pipeline_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = suffix_ranks(
         sliced, id_col="doc_id", text_col="t",
-        slice_len=_SA_SLICE, k0=16, min_tail=_SA_T,
+        slice_len=_SA_SLICE, k0=64, min_tail=_SA_T,  # k0=64: 1 quadrupling round (r13)
     )
     pairs = sa_adjacent_pairs(sliced, ranks, _SA_T)
     lcp = sa_pair_lcp(sliced, pairs, _SA_T, _SA_SLICE)

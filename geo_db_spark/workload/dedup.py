@@ -885,8 +885,9 @@ def dedup_suffix_adjacent_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT substring duplication via a corpus suffix array (late r10;
     Lee et al. ACL'22 §4.1 — the exact method winnowing approximates):
     build the suffix array of every document's leading 256-char slice
-    with distributed prefix doubling (operators/suffix.py — log2(256/16)
-    = 4 rounds of linear shuffles, dense ranks from assign_stable_ids,
+    with distributed prefix doubling (operators/suffix.py — k0=64 base
+    ranking + ONE quadrupling round of linear shuffles (r13), dense
+    ranks from assign_stable_ids,
     NO single-partition stage), then report every SA-ADJACENT suffix
     pair sharing at least the first SA_T=32 characters. Suffix-array
     adjacency is what makes this exact AND linear in output: any two
@@ -911,7 +912,7 @@ def dedup_suffix_adjacent_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = suffix_ranks(
         docs, id_col="doc_id", text_col="t",
-        slice_len=SA_SLICE, k0=16, min_tail=SA_T,
+        slice_len=SA_SLICE, k0=64, min_tail=SA_T,  # k0=64: 1 quadrupling round (r13)
     )
     return sa_adjacent_pairs(docs, sa, SA_T)
 
@@ -967,7 +968,7 @@ def dedup_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = suffix_ranks(
         docs, id_col="doc_id", text_col="t",
-        slice_len=SA_SLICE, k0=16, min_tail=SA_T,
+        slice_len=SA_SLICE, k0=64, min_tail=SA_T,  # k0=64: 1 quadrupling round (r13)
     )
     pairs = sa_adjacent_pairs(docs, sa, SA_T)
     return max_repeat_per_doc(docs, pairs, SA_T, SA_SLICE)
@@ -1046,7 +1047,7 @@ def dedup_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = suffix_ranks(
         docs, id_col="doc_id", text_col="t",
-        slice_len=SA_SLICE, k0=16, min_tail=SA_T,
+        slice_len=SA_SLICE, k0=64, min_tail=SA_T,  # k0=64: 1 quadrupling round (r13)
     )
     pairs = sa_adjacent_pairs(docs, sa, SA_T)
     lcp = sa_pair_lcp(docs, pairs, SA_T, SA_SLICE)

@@ -254,6 +254,12 @@ def g20_sssp_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("a"), F.col("pk2").alias("b"))
         .distinct()
         .withColumn("w", F.lit(1) + (F.col("a") + F.col("b")) % 5)
+        # r13: materialize the co-occurrence derivation ONCE — the
+        # source collect below and the operator's symmetrize both
+        # consume it, so the un-checkpointed lineage ran the lineitem
+        # self-join + distinct TWICE (guide §2.4: remove redundant
+        # passes; measured in plans/r13)
+        .localCheckpoint(eager=True)
     )
     source = pairs.agg(F.min("a")).collect()[0][0]  # bounded driver scalar
     out = sssp_bellman_ford(pairs, source, rounds=None, max_rounds=8)
