@@ -182,6 +182,13 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .join(deg.withColumnsRenamed({"id": "v", "dg": "dv"}), "v")
     )
     fwd = F.struct("du", "u") < F.struct("dv", "v")
+    # r13 note: checkpointing `oriented` here was measured SLOWER at
+    # sf0.1 (7.2 -> 10.0 s) despite collapsing 94 plan Exchanges to 10:
+    # a checkpointed frame loses size statistics, so the degree joins
+    # fell from BroadcastHashJoin to SortMergeJoin. The duplicated
+    # subtrees are instead bounded by the CALLER checkpointing the edge
+    # input (see g15_triangle_count), which keeps stats-driven
+    # broadcasts intact above it.
     oriented = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),

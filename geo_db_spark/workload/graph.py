@@ -188,6 +188,12 @@ def g15_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_partkey") < F.col("pk2"))
         .select(F.col("l_partkey").alias("a"), F.col("pk2").alias("b"))
         .distinct()
+        # r13: materialize the co-occurrence derivation ONCE — the
+        # operator's degree/orientation/adjacency branches otherwise
+        # re-run the lineitem self-join + distinct per consumer (the
+        # un-checkpointed final plan carried 94 Exchange nodes; guide
+        # §2.4: remove redundant passes)
+        .localCheckpoint(eager=True)
     )
     return triangle_count(pairs)
 
@@ -328,6 +334,10 @@ def g26_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_partkey") < F.col("pk2"))
         .select(F.col("l_partkey").alias("a"), F.col("pk2").alias("b"))
         .distinct()
+        # r13: the operator's symmetrize union consumes the edge frame
+        # twice — checkpoint so the lineitem self-join + distinct runs
+        # once (guide §2.4), same fix as g20/g15
+        .localCheckpoint(eager=True)
     )
     return kcore_peel(pairs, k=3, rounds=None)
 
