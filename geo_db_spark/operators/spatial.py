@@ -317,6 +317,19 @@ def grid_knn_join_exact(
                     point_id, site_id, "dist2", F.col("rank").cast("int").alias("rank")
                 )
             )
+        # Materialize the round's ranked candidates ONCE (r13, guide
+        # §2.4 remove redundant passes): `ranked` feeds done_pts, the
+        # output semi-join, AND (via done_pts) the pending anti-join —
+        # un-checkpointed, the probe explode + cell join + window ran
+        # up to three times per round. The frame is per-round small
+        # (<= k rows per pending point). The alias projection mints
+        # fresh attribute ids: localCheckpoint PRESERVES them, and
+        # done_pts (derived from this frame) is re-joined against
+        # `pending`, the pre-checkpoint lineage (the editjoin `gs`
+        # renaming pattern).
+        ranked = ranked.localCheckpoint(eager=True).select(
+            *[F.col(c).alias(c) for c in ranked.columns]
+        )
         # done = k candidates found AND the worst accepted one is
         # STRICTLY closer than anything the unprobed cells could hold —
         # strict, because an unprobed site can sit at exactly r*cell_deg

@@ -67,12 +67,21 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime-settable on this build; startup conf covers it
+    # NOTE: values may not contain ',' (the pair separator) — confs like
+    # extraJavaOptions need SPARK_GRAFT_BUILDER_CONFS' builder path anyway.
     for kv in filter(None, os.environ.get("SPARK_GRAFT_TUNE_OVERRIDES", "").split(",")):
         k, _, v = kv.partition("=")
         try:
             spark.conf.set(k.strip(), v.strip())
-        except Exception:
-            pass
+        except Exception as exc:  # surface, don't swallow: this is a
+            # measurement escape hatch — a silently dropped override
+            # invalidates the experiment it was set for (r12 advice)
+            import sys
+
+            print(
+                f"SPARK_GRAFT_TUNE_OVERRIDES: could not set {k.strip()!r}: {exc}",
+                file=sys.stderr,
+            )
     return spark
 
 
@@ -93,15 +102,18 @@ def tune_expansion_heavy(spark: SparkSession) -> SparkSession:
 
 def _half_mem() -> str:
     """Half of SPARK_GRAFT_DRIVER_MEM (default 8g) in MB — the default
-    spark.driver.maxResultSize. JVM memory strings: bare number =
-    bytes, k/m/g/t suffixes binary."""
+    spark.driver.maxResultSize. Spark parses a bare spark.driver.memory
+    number as MiB (ByteUnit.MiB), so the bare branch matches that here
+    (r12 advice: treating it as bytes computed maxResultSize from e.g.
+    8192 BYTES while Spark gave the driver an 8 GiB heap, clamping every
+    collect to the 1m floor); k/m/g/t suffixes are binary."""
     raw = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").strip().lower()
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     try:
         if raw and raw[-1] in mult:
             nbytes = int(float(raw[:-1]) * mult[raw[-1]])
         else:
-            nbytes = int(raw)
+            nbytes = int(raw) << 20  # bare number = MiB, as Spark parses it
     except ValueError:
         nbytes = 8 << 30
     return f"{max(1, nbytes // 2 // (1 << 20))}m"

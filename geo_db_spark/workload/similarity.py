@@ -589,20 +589,38 @@ def semdedup_pairs_with_recovery(
     pairs1 = semdedup_cell_pairs(assigned, max_cell=max_cell).localCheckpoint(
         eager=False
     )
-    losers1 = (
-        connected_components(pairs1, "id_a", "id_b")
-        .filter(F.col("id") != F.col("cluster_id"))
-        .select(F.col("id").alias("vec_id"))
-    )
     hot = (
         assigned.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") > max_cell)
         .select("cell")
     )
-    surv_hot = assigned.join(hot, "cell", "left_semi").join(
-        losers1, "vec_id", "left_anti"
+    # r13 (guide §1.2 "don't compute things you throw away"): pass 2
+    # exists only for HOT cells, and pass-1 pairs are CELL-LOCAL (both
+    # endpoints share the cell), so the pass-1 loser set is only ever
+    # consulted for hot-cell members — run the intermediate CC over the
+    # hot-cell pair subset instead of the whole corpus' pairs (at 100 TB
+    # that is the power-law tail, not the corpus), and when NO cell is
+    # hot (every test SF; healthy production sizing) skip the CC and the
+    # pass-2 Gram entirely — a bounded-scalar driver probe, the
+    # closure.py convergence idiom. Results are identical by the
+    # cell-locality argument: a hot-cell member's every pass-1 edge lies
+    # inside its own (hot) cell, so CC restricted to hot cells assigns
+    # hot members exactly the components the global CC would (the old
+    # shape measured ~2.2 s of intermediate-CC job latency at sf0.1 for
+    # a pass 2 that processed zero rows).
+    if hot.isEmpty():
+        return pairs1
+    hot_members = assigned.join(hot, "cell", "left_semi")
+    hot_pairs = pairs1.join(
+        hot_members.select(F.col("vec_id").alias("id_a")), "id_a", "left_semi"
     )
+    losers1_hot = (
+        connected_components(hot_pairs, "id_a", "id_b")
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("vec_id"))
+    )
+    surv_hot = hot_members.join(losers1_hot, "vec_id", "left_anti")
     pairs2 = semdedup_cell_pairs(surv_hot, max_cell=max_cell)
     return pairs1.unionByName(pairs2)
 
