@@ -69,6 +69,7 @@ def suffix_ranks(
     slice_len: int = 256,
     k0: int = 16,
     min_tail: int = 1,
+    direct_max: int = 1024,
 ) -> DataFrame:
     """(doc_id, pos, sa_rank) for every suffix position of each
     document's leading ``slice_len``-char slice with at least
@@ -87,7 +88,27 @@ def suffix_ranks(
     dropping those positions from the rank domain silently turns that
     comparison into a (doc_id, pos) tiebreak (caught by the sf0.01
     value oracle: 6 of 4405 SA-adjacent pairs differed; the pytest
-    brute force had mirrored the filter and missed it)."""
+    brute force had mirrored the filter and missed it).
+
+    r13 DIRECT path (guide §1.2 "how many shuffles are fundamentally
+    required"): when ``slice_len <= direct_max``, each suffix's key —
+    its ENTIRE remaining slice text — is at most ``slice_len`` chars,
+    so the whole array is ONE assign_stable_ids pass ordered by
+    (k, doc_id, pos): no distinct, no rank join-back, no re-rank
+    rounds, no second stable-ids pass. Shuffle-byte math: the direct
+    pass moves ~slice_len/2 bytes per suffix ONCE; the doubling path
+    moves the k0-char key through three exchanges (distinct, range,
+    merge-join sort) plus ~3 skinny passes per quadrupling round —
+    at slice_len 256/k0=64 that is ~190B + rounds vs ~128B once, so
+    the direct form wins on bytes AND rounds; prefix doubling remains
+    the right shape once slices are long enough that whole-suffix keys
+    dominate (kept for slice_len > direct_max; crossover ~1 KiB with
+    the default k0). Measured at sf0.1: build 13.0 -> 4.8 s warm,
+    output bit-identical (full-outer join check, plus the brute-force
+    pytest fixtures run BOTH paths). The direct key is self-contained,
+    so (unlike the doubling domain) filtering min_tail positions
+    BEFORE ranking cannot change any comparison between kept suffixes
+    — the r10 hazard above is specific to iteratively-built ranks."""
     if k0 < 1 or slice_len < k0:
         raise ValueError(f"need 1 <= k0 <= slice_len, got {k0}/{slice_len}")
     sliced = docs.select(
@@ -97,6 +118,20 @@ def suffix_ranks(
     # guard BEFORE sequence(): Spark's sequence(1, stop) with stop < 1
     # generates a DESCENDING sequence, not an empty one
     sliced = sliced.filter(F.length("t") >= 1)
+    if slice_len <= direct_max:
+        kept = sliced.filter(F.length("t") >= max(1, min_tail))
+        suf = kept.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - F.lit(max(1, min_tail) - 1))
+            ).alias("pos"),
+            "t",
+        ).select(
+            "doc_id", "pos", F.expr(f"substring(t, pos, {slice_len})").alias("k")
+        )
+        return assign_stable_ids(
+            suf, order_cols=["k", "doc_id", "pos"], id_name="sa_rank"
+        ).select("doc_id", "pos", "sa_rank")
     suf = sliced.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.length("t"))).alias("pos"),

@@ -26,14 +26,21 @@ def _brute(docs, slice_len, min_tail=1):
 
 
 def _check(spark, docs, slice_len, k0, min_tail=1):
+    """Pin BOTH build paths against the brute force: the r13 direct
+    single-pass sort (slice_len <= direct_max, the default for the
+    declared 256-char-slice queries) and the prefix-doubling loop
+    (forced via direct_max=0 — the path long slices use)."""
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    got = {
-        (r.doc_id, r.pos): r.sa_rank
-        for r in suffix_ranks(
-            df, slice_len=slice_len, k0=k0, min_tail=min_tail
-        ).collect()
-    }
-    assert got == _brute(docs, slice_len, min_tail)
+    expected = _brute(docs, slice_len, min_tail)
+    for direct_max in (1024, 0):
+        got = {
+            (r.doc_id, r.pos): r.sa_rank
+            for r in suffix_ranks(
+                df, slice_len=slice_len, k0=k0, min_tail=min_tail,
+                direct_max=direct_max,
+            ).collect()
+        }
+        assert got == expected, f"direct_max={direct_max}"
 
 
 def test_suffix_ranks_match_brute_force(spark):
