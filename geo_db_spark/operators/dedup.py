@@ -416,17 +416,17 @@ def winnow_fingerprints(
             F.lit(f"winnow_fingerprints: document exceeds 2^{WINNOW_POS_BITS} chars")
         )
     )
+    # explode positions THEN substring in a plain projection (r13): the
+    # old transform(sequence, substr) HOF ran its lambda INTERPRETED per
+    # gram (~|text| per doc); explode+substring is the same rows fully
+    # inside whole-stage codegen (the shingles/suffix convention).
     grams = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(guarded_len, F.lit(0))),
-                lambda p: F.substr(F.col(text_col), p, F.lit(k)),
-            )
-        ).alias("pos0", "gram"),
-    ).select(
-        "id", (F.col("pos0") + 1).alias("pos"), "gram"
-    )
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(guarded_len, F.lit(0)))
+        ).alias("pos"),
+        F.col(text_col).alias("__wt"),
+    ).select("id", "pos", F.expr(f"substring(__wt, pos, {k})").alias("gram"))
     h = F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 8), 16, 10).cast(
         "long"
     )
@@ -452,14 +452,24 @@ def winnow_fingerprints(
         .select("id", F.col("sel").alias("key"))
         .distinct()
     )
-    back = keyed.select("id", "key", "pos", "gram")
+    # Recover (pos, gram) from the selected keys WITHOUT re-joining the
+    # full keyed gram table (r13): `key` already encodes the position
+    # (key % 2^POS_BITS) and the gram is substring(text, pos, k), so the
+    # selected (small: ~selections per doc) rows join the |docs|-row
+    # text table instead — the old back-join re-executed the whole
+    # explode+md5 lineage a second time (keyed was un-checkpointed) and
+    # shuffled |grams| rows to recover |selections| of them.
+    texts = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__bt"))
+    pos_back = F.pmod(F.col("key"), F.lit(1 << WINNOW_POS_BITS)).cast("int")
     return (
-        selected.join(back, ["id", "key"])
+        selected.join(texts, "id")
         .select(
             "id",
             F.expr(f"key div {1 << WINNOW_POS_BITS}").alias("gram_hash"),
-            "pos",
-            "gram",
+            pos_back.alias("pos"),
+            F.expr(
+                f"substring(__bt, cast(pmod(key, {1 << WINNOW_POS_BITS}) as int), {k})"
+            ).alias("gram"),
         )
     )
 

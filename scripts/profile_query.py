@@ -26,6 +26,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="+")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--gc", action="store_true",
+                    help="drop python refs + System.gc() between queries "
+                         "(isolates per-query cost from accumulated "
+                         "localCheckpoint blocks)")
     ap.add_argument("--noop", action="store_true")
     ap.add_argument("--plan-dir", default=None)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -80,6 +84,11 @@ def main() -> None:
             walls.append(round(time.perf_counter() - t0, 3))
             spark.sparkContext.setJobDescription(None)
         print(f"{name}: walls={walls} min={min(walls)} rows={n} loadavg={os.getloadavg()[0]:.2f}")
+        if args.gc:
+            import gc
+
+            gc.collect()
+            spark._jvm.System.gc()
     spark.stop()
 
 
