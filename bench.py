@@ -278,7 +278,12 @@ def main() -> None:
     # suite start and end; if the canary itself moved >1.3x, the host
     # window shifted under the run and per-query outliers are not
     # attributable to code — quiet_comparison then reports them as
-    # canary-dirty instead of flagging regressions.
+    # canary-dirty instead of flagging regressions. The canary must
+    # measure the HOST, not the session: the first q6 force() in a
+    # fresh JVM pays codegen+JIT (measured 1.0 s vs 0.38 s steady on an
+    # idle host, which mislabelled clean runs dirty), so burn two
+    # untimed warmup forces first and time min-of-2 after.
+    _canary(); _canary()
     canary_start = min(_canary(), _canary())
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
