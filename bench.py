@@ -206,9 +206,26 @@ def _quiet_comparison(timings, per_query_load, sf, canary=None):
     if canary:
         start, end = canary
         out["canary_sec"] = {"start": start, "end": end}
-        moved = max(start, end) / max(1e-9, min(start, end))
-        out["canary_ratio"] = round(moved, 3)
-        if moved > 1.3:
+        # Gate design, iterated on measurements (r13): a within-run
+        # ratio cannot work in either direction — q6 keeps JIT-warming
+        # over a 111-query session (0.42 -> 0.25 s idle, so symmetric
+        # start-vs-end flags every clean run), while a one-sided
+        # end-vs-start gate certified a run whose START window was 8x
+        # slow. The like-for-like reference is the BASELINE's canary:
+        # same query, same point in the session lifecycle. Dirty when
+        # either end of this run reads >1.3x the baseline's same-end
+        # canary; falls back to the within-run slowdown gate for
+        # baselines promoted before canaries were recorded.
+        base_canary = base.get("canary_sec")
+        if base_canary:
+            rs = start / max(1e-9, base_canary["start"])
+            re_ = end / max(1e-9, base_canary["end"])
+            out["canary_ratio"] = {"start": round(rs, 3), "end": round(re_, 3)}
+            dirty = max(rs, re_) > 1.3
+        else:
+            out["canary_ratio"] = round(end / max(1e-9, start), 3)
+            dirty = out["canary_ratio"] > 1.3
+        if dirty:
             out["status"] = "canary-dirty: host window shifted during the run"
             out["outliers_not_attributable"] = out.pop("outliers")
     return out
@@ -292,6 +309,20 @@ def main() -> None:
     for name in HEADLINE + TIER2:
         fn = qs[name]
         raw = []
+        # r13 measurement hygiene (outside every timed wall): before a
+        # query's runs, drop python-side frame references and ask both
+        # collectors to reclaim the localCheckpoint blocks they pin —
+        # accumulated blocks from EARLIER queries otherwise drag on
+        # later ones (measured: dedup_minhash_lsh_pairs 6.6 s mid-suite
+        # vs 3.2 s isolated on the same quiet host; the suffix build's
+        # gc nudge fixed the same class at 10x, SCALE.md r11). Each
+        # wall then measures the query, not the session's garbage.
+        # Placed BEFORE the runs (not after) so the end canary sees the
+        # same session state class as the start canary.
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
         # per-query 1-min loadavg, captured BEFORE this query's runs
         # (r10 verdict Next #3: a host shift is only adjudicable when
         # every committed wall carries its own load context)
@@ -347,6 +378,10 @@ def main() -> None:
                     "loadavg_start": [round(x, 2) for x in load_start],
                     "sf": full["sf"],
                     "headline_total": total,
+                    # the like-for-like reference for future runs'
+                    # canary gate (same query, same session lifecycle
+                    # points — see _quiet_comparison)
+                    "canary_sec": {"start": canary_start, "end": canary_end},
                 },
                 f,
             )
