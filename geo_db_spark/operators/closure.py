@@ -115,9 +115,12 @@ def transitive_closure_loop(
             .select("seed", F.col("__p").alias("id"))
             .dropDuplicates(["seed", "id"])
             .join(result.select("seed", "id"), ["seed", "id"], "left_anti")
-            .localCheckpoint(eager=True)
+            # lazy: the emptiness probe below is the job that
+            # materializes the round (components.py pattern — one job
+            # per round, not an eager materialize plus a probe re-scan)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         frontier = nxt
         result = result.unionByName(nxt.withColumn("step", F.lit(step)))
@@ -173,7 +176,11 @@ def transitive_closure_doubling(
             R.unionByName(comp)
             .groupBy("src", "dst")
             .agg(F.min("step").alias("step"))
-            .localCheckpoint(eager=True)
+            # lazy: the fixpoint-signature aggregate below materializes
+            # the round in the same job (components.py pattern); the
+            # self-join consumers of the NEXT round then read the cached
+            # rows, never the lineage
+            .localCheckpoint(eager=False)
         )
         row = R.agg(F.count(F.lit(1)).alias("n"), F.sum("step").alias("s")).collect()[0]
         sig = (row["n"], row["s"])

@@ -53,14 +53,19 @@ def pagerank_fixedpoint(
     if iterations is None and max_iterations < 1:
         raise ValueError(f"need max_iterations >= 1: got {max_iterations}")
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # r13: lazy checkpoints; the node-count guard below materializes
+    # `nodes` in the same job (components.py probe pattern), and `ed`
+    # rides inside the first job that consumes it — lineage truncation
+    # (each loop frame starts from materialized-or-marked rows, never a
+    # growing plan) is unchanged
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
 
     n = nodes.count()
     if n == 0:
@@ -94,9 +99,12 @@ def pagerank_fixedpoint(
                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if converge:
+            # the change-count is the round's one materializing job; in
+            # fixed-round mode the final action materializes the (plan-
+            # truncated) chain in one job
             changed = (
                 new_ranks.withColumnsRenamed({"id": "nid2", "r": "r2"})
                 .join(ranks, F.col("nid2") == ranks["id"])
@@ -256,13 +264,21 @@ def sssp_bellman_ford(
     weights and min() keep every round exact and order-independent;
     fixed-round results are identical to the dense form because
     non-improved sources can never re-improve a neighbor."""
+    # r13: every per-round materialization in this loop is a LAZY
+    # checkpoint whose materializing job is the round's frontier count
+    # (the components.py probe pattern): sym and the merged dist ride
+    # along inside the round-1 / next-round count job instead of each
+    # paying a separate eager job plus a probe re-scan — one Spark job
+    # per round where there were three (guide §2.4). Lineage is
+    # truncated at mark time either way, so the emptiness probe still
+    # never re-runs prior rounds.
     sym = edges.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v"), F.col(weight_col).alias("w")
     ).unionByName(
         edges.select(
             F.col(dst_col).alias("u"), F.col(src_col).alias("v"), F.col(weight_col).alias("w")
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     dist = sym.sparkSession.createDataFrame(
         [(int(source), 0)], "node long, dist long"
     )
@@ -290,9 +306,14 @@ def sssp_bellman_ford(
                       best["node"] == F.col("onode"), "left")
             .filter(F.col("old").isNull() | (F.col("cand") < F.col("old")))
             .select("node", F.col("cand").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if converge and improved.isEmpty():
+        # the ONE job of the round: counting the frontier evaluates the
+        # relax + min-aggregate + improvement filter, materializing
+        # `improved` (and, transitively, last round's lazy dist merge
+        # and sym on round 1) in the same pass
+        n_improved = improved.count()
+        if converge and n_improved == 0:
             break
         if converge and max_rounds is not None and r > max_rounds:
             raise ValueError(
@@ -304,10 +325,10 @@ def sssp_bellman_ford(
             dist.join(improved.select(F.col("node").alias("inode")),
                       dist["node"] == F.col("inode"), "left_anti")
             .unionByName(improved)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = improved
-        if not converge and improved.isEmpty():
+        if not converge and n_improved == 0:
             # fixed-round form: remaining rounds are identity
             break
     return dist
@@ -346,12 +367,18 @@ def kcore_peel(
     """
     if k < 1 or (rounds is not None and rounds < 1):
         raise ValueError(f"need k >= 1 and rounds >= 1: got k={k}, rounds={rounds}")
+    # r13: lazy checkpoints — in converge mode each round's degree
+    # aggregate (the probe the loop needs anyway) is the job that
+    # materializes the previous round's peeled edge list, so a round
+    # costs one job instead of a peel job plus a probe re-scan (the
+    # components.py pattern); lineage is truncated at mark time, so the
+    # probe still never re-runs prior rounds
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .unionByName(
             edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     converge = rounds is None
     r = 0
@@ -370,7 +397,7 @@ def kcore_peel(
             sym.join(alive, "u")
             .join(alive.withColumnsRenamed({"u": "v"}), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         sym.groupBy("u")

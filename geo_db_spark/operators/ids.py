@@ -89,7 +89,10 @@ def assign_stable_ids_counted(
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
     if materialize_input:
-        df = df.localCheckpoint(eager=True)
+        # lazy: the range exchange's boundary-sampling pass reads every
+        # input partition and is the first job to touch this frame, so
+        # it doubles as the materializer (one job, not two)
+        df = df.localCheckpoint(eager=False)
     if n_partitions is None:
         n_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n_partitions, *order_cols).sortWithinPartitions(
@@ -111,9 +114,16 @@ def assign_stable_ids_counted(
     # offsets would describe a partitioning the output rows don't have
     # (observed: ~3% duplicate ids at 300k rows x 32 partitions; only
     # green at small scale because the reservoir sample holds entire
-    # partitions). Same pattern as grid_knn_join_exact's per-round
-    # checkpoint: one physical exchange, every downstream job reads it.
-    marked = marked.localCheckpoint(eager=True)
+    # partitions). r13: the checkpoint is LAZY and the counts collect
+    # below is the job that materializes it (the components.py
+    # round-probe pattern) — the counts aggregate evaluates every
+    # partition, so exactly ONE job still executes the sampled
+    # exchange, and the old eager form's separate materialize job +
+    # full cache re-scan for the counts collapse into one pass (guide
+    # §2.4: remove redundant passes). Lineage is truncated either way,
+    # so a lost block after materialization is an error, never a
+    # silent re-sample.
+    marked = marked.localCheckpoint(eager=False)
     # one output row per partition; offsets are cumulative in partition
     # order and partitions are key-ordered, so ids are a 1..n permutation
     # for ANY boundary placement — but only over the ONE materialized

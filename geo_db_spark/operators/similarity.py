@@ -415,15 +415,19 @@ def kmeans_fixed_rounds(
     wq = with_prequantized if pre_quantized else with_quantized
     qdf = wq(emb, vec_col).select(
         F.col(id_col).alias("id"), F.col("q"), F.col("qnorm")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Seed from the k SMALLEST ids, not filter(id < k): 1-based or
     # sparse/hashed id spaces would otherwise silently train with fewer
     # (or zero) centroids and return a degenerate assignment. orderBy +
     # limit is a TakeOrdered — k rows through the driver plan, no full
-    # sort at scale.
+    # sort at scale. r13: both checkpoints are LAZY and the seed-guard
+    # count below is the one job that materializes them (the
+    # components.py round-probe pattern) — the TakeOrdered reads every
+    # qdf partition, so one job replaces the old three (qdf
+    # materialize, cent materialize, count re-scan).
     cent = qdf.orderBy("id").limit(k).select(
         F.col("id").alias("cent_id"), F.col("q").alias("c")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n_seeds = cent.count()
     if n_seeds < k:
         raise ValueError(
@@ -512,9 +516,11 @@ def kmeans_fixed_rounds_grouped(
     wq = with_prequantized if pre_quantized else with_quantized
     qdf = wq(emb, vec_col).select(
         F.col(group_col).alias("g"), F.col(id_col).alias("id"), "q", "qnorm"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    # r13: lazy checkpoints, materialized together by the seed-guard
+    # count (one job instead of three — see kmeans_fixed_rounds)
     seed_ids = (
-        qdf.select("id").distinct().orderBy("id").limit(k).localCheckpoint(eager=True)
+        qdf.select("id").distinct().orderBy("id").limit(k).localCheckpoint(eager=False)
         .select(F.col("id").alias("__sid"))
     )
     n_seeds = seed_ids.count()
@@ -806,8 +812,10 @@ def ivf_pq_topk(
                 F.zip_with("q", "__cc", lambda x, y: x - y).alias(vec_col),
             )
             # consumed by BOTH the codebook training input and the
-            # query-residual semi-join: materialize once
-            .localCheckpoint(eager=True)
+            # query-residual semi-join: materialize once — lazily, the
+            # coverage-guard count below being the materializing job
+            # (its anti-join evaluates every resid partition)
+            .localCheckpoint(eager=False)
         )
         # queries must be corpus members for their residuals to exist —
         # a query id outside the corpus would otherwise silently yield

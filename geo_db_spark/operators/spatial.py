@@ -327,7 +327,12 @@ def grid_knn_join_exact(
         # done_pts (derived from this frame) is re-joined against
         # `pending`, the pre-checkpoint lineage (the editjoin `gs`
         # renaming pattern).
-        ranked = ranked.localCheckpoint(eager=True).select(
+        # r13: LAZY — the round's pending-count probe below is the one
+        # job that materializes ranked (and the new pending frame) in a
+        # single pass; out is materialized by the final action. One job
+        # per round where there were four (eager ranked, eager out,
+        # eager pending, probe re-scan) — the components.py pattern.
+        ranked = ranked.localCheckpoint(eager=False).select(
             *[F.col(c).alias(c) for c in ranked.columns]
         )
         # done = k candidates found AND the worst accepted one is
@@ -402,11 +407,13 @@ def grid_knn_join_exact(
             ranked.join(done_pts, point_id, "left_semi").select(
                 point_id, site_id, "dist2", F.col("rank").cast("int").alias("rank")
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         pending = pending.join(done_pts, point_id, "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
-        # bounded-scalar convergence check (closure.py pattern)
-        if pending.limit(1).count() == 0:
+        # bounded-scalar convergence check (closure.py pattern); the
+        # full count (not limit(1)) materializes every pending
+        # partition, so the next round starts from cached rows
+        if pending.count() == 0:
             return out
         r *= 2

@@ -138,7 +138,9 @@ def suffix_ranks(
         "t",
     ).select("doc_id", "pos", F.expr(f"substring(t, pos, {k0})").alias("k"))
     suf, n_keys = _dense_rank_by(suf, ["k"])
-    suf = suf.localCheckpoint(eager=True)
+    # lazy: the suffix-count probe is the job that materializes the
+    # base ranking (components.py pattern — one job, not two)
+    suf = suf.localCheckpoint(eager=False)
     n_suffixes = suf.count()
     c = k0  # characters covered by the current rank
     while c < slice_len:

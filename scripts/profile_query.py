@@ -77,13 +77,26 @@ def main() -> None:
         walls = []
         if not args.runs:
             continue
+
+        def _njobs():
+            # r13: submitted-job counter (DAGScheduler.numTotalJobs) —
+            # the per-run delta shows the scheduler round-trips a query
+            # pays, the thing the lazy-checkpoint reworks remove
+            try:
+                return spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+            except Exception:
+                return -1
+
+        jobs = []
         for i in range(args.runs):
             spark.sparkContext.setJobDescription(f"{name} run{i}")
+            j0 = _njobs()
             t0 = time.perf_counter()
             n = force(fn(spark, args.sf_dir))
             walls.append(round(time.perf_counter() - t0, 3))
+            jobs.append(_njobs() - j0 if j0 >= 0 else -1)
             spark.sparkContext.setJobDescription(None)
-        print(f"{name}: walls={walls} min={min(walls)} rows={n} loadavg={os.getloadavg()[0]:.2f}")
+        print(f"{name}: walls={walls} min={min(walls)} jobs={jobs} rows={n} loadavg={os.getloadavg()[0]:.2f}")
         if args.gc:
             import gc
 
