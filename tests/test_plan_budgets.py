@@ -40,6 +40,11 @@ BUDGETS = {
     # itself materializes behind eager checkpoints; the visible tail is
     # the gram attach + adjacency join + loser anti-join)
     "corpus_build_pipeline": (11, 0, 0),
+    # r13 (r12 verdict Next #2): the excise capstone's visible tail —
+    # the SA build and the excision join materialize behind
+    # checkpoints; what remains is the rewrite join + near-dup/gate
+    # exchanges. Measured 6 / 0 / 0 at smoke SF.
+    "corpus_build_pipeline_excise": (6, 0, 0),
     # r8 codecs: one decode-parallelism exchange, ONE Python node each
     "mm_image_decode_jpeg": (1, 0, 1),
     "mm_image_decode_jpeg_prog": (1, 0, 1),
