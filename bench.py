@@ -398,6 +398,14 @@ def main() -> None:
     # quiet-baseline comparison on its own line (compact enough to
     # survive the driver's stdout tail next to the summary)
     print(json.dumps({"metric": "quiet_comparison", **full["quiet_comparison"]}))
+    # r14 (r13 verdict Next #2): the driver keeps only the TAIL of
+    # stdout, and the full per-query line above prints FIRST — so the
+    # "queries" dict was truncated out of every BENCH_rN.json and the
+    # driver's per-query/scaling tables stayed empty. Emit a compact
+    # walls-only line (timings only, no runs_raw/loadavg) immediately
+    # before the final summary so it survives the tail. Output-format
+    # addition only; no timed semantics change.
+    print(json.dumps({"metric": "per_query_walls", "queries": timings, "sf": full["sf"]}))
     # Compact summary LAST (r6 verdict #7): the driver records only the
     # TAIL of stdout, which truncated the full line's leading fields
     # (value included) out of every BENCH_rN.json. This short line always

@@ -77,9 +77,11 @@ def assign_stable_ids_counted(
     ranks, where #distinct keys == max rank drives the early exit) get
     it without a separate aggregation job (r13 optimization).
 
-    ``materialize_input`` eagerly localCheckpoints ``df`` first: the
-    range exchange's boundary SAMPLING pass executes the input subtree
-    in full before the exchange executes it again, so an expensive
+    ``materialize_input`` localCheckpoints ``df`` first (LAZILY — the
+    range exchange's boundary-sampling pass reads every input partition
+    and is the first job to touch the frame, so it doubles as the
+    materializer): the sampler executes the input subtree in full
+    before the exchange executes it again, so an expensive
     un-materialized input is otherwise computed twice (r13, measured on
     the suffix build's per-round distinct).
 

@@ -94,7 +94,8 @@ def main() -> None:
             t0 = time.perf_counter()
             n = force(fn(spark, args.sf_dir))
             walls.append(round(time.perf_counter() - t0, 3))
-            jobs.append(_njobs() - j0 if j0 >= 0 else -1)
+            j1 = _njobs()
+            jobs.append(j1 - j0 if (j0 >= 0 and j1 >= 0) else -1)
             spark.sparkContext.setJobDescription(None)
         print(f"{name}: walls={walls} min={min(walls)} jobs={jobs} rows={n} loadavg={os.getloadavg()[0]:.2f}")
         if args.gc:
