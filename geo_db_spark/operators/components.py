@@ -48,9 +48,14 @@ def connected_components(
     # materialization re-ran the ENTIRE upstream pair computation a
     # second time — for simjoin-fed CC that was +4.7 s of a 15.5 s wall
     # at sf0.1 (the pair join is far heavier than the edges it emits).
+    # r14: the setup frames are LAZY checkpoints — sym0 is computed (and
+    # persisted) by sym's mark-time exchange stages, sym's result stage
+    # rides round 1's job, and there is no separate labels frame at all
+    # (see below). The eager form paid three setup jobs plus a sum
+    # re-scan before the first round.
     sym0 = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # self-loops fold the "own label" term into the neighbor-min groupBy,
     # so each round is ONE join + groupBy (propagate) + one join (jump)
     # instead of carrying a separate least(own, nbr) re-join of `labels`
@@ -58,19 +63,30 @@ def connected_components(
     sym = (
         sym0.unionByName(nodes.select(F.col("id").alias("a"), F.col("id").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)  # edge list is iterated: materialize once
+        .localCheckpoint(eager=False)  # edge list is iterated: materialize once
     )
 
-    labels = nodes.withColumn("label", F.col("id")).localCheckpoint(eager=True)
-
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # r14: round 1 runs against IDENTITY labels (label == id), so the
+    # label join only renames a column — sym.groupBy(b).min(a) is the
+    # same frame with no join and no materialized labels seed. The old
+    # initial-sum probe is gone with it; convergence starts comparing at
+    # round 2 (the sentinel can never equal a sum), which only costs an
+    # extra (empty-delta) round on inputs that are already converged —
+    # i.e. graphs with no non-self edge, where the rounds are trivial.
+    labels = None
+    prev_sum: object = ()  # sentinel: sums are int | None, never ()
     converged = False
     for _ in range(max_iters):
-        stepped = (
-            sym.join(labels, sym["a"] == labels["id"])
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("label").alias("label"))
-        )
+        if labels is None:
+            stepped = sym.groupBy(F.col("b").alias("id")).agg(
+                F.min("a").alias("label")
+            )
+        else:
+            stepped = (
+                sym.join(labels, sym["a"] == labels["id"])
+                .groupBy(F.col("b").alias("id"))
+                .agg(F.min("label").alias("label"))
+            )
         # pointer jump: a label is itself a node id, so its own current
         # label exists in `stepped`; one extra hop halves label-tree
         # depth. (A second hop per round was tried in r7 and measured
@@ -91,7 +107,7 @@ def connected_components(
         )
         cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
         labels = jumped
-        if cur_sum == prev_sum:
+        if cur_sum == prev_sum:  # sentinel () on round 1: never equal
             converged = True
             break
         prev_sum = cur_sum

@@ -190,33 +190,42 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .join(deg.withColumnsRenamed({"id": "v", "dg": "dv"}), "v")
     )
     fwd = F.struct("du", "u") < F.struct("dv", "v")
-    # r13 note: checkpointing `oriented` here was measured SLOWER at
-    # sf0.1 (7.2 -> 10.0 s) despite collapsing 94 plan Exchanges to 10:
-    # a checkpointed frame loses size statistics, so the degree joins
-    # fell from BroadcastHashJoin to SortMergeJoin. The duplicated
-    # subtrees are instead bounded by the CALLER checkpointing the edge
-    # input (see g15_triangle_count), which keeps stats-driven
-    # broadcasts intact above it.
     oriented = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # r14: checkpoint the ADJACENCY table and recover everything below
+    # from it. The r13 shape consumed `oriented` from three plan
+    # branches (the wedge stream plus both adjacency joins), so the
+    # whole edges+degrees+orientation chain re-ran ~3x per query (g15's
+    # final plan: 64 Exchanges / 16 SortMergeJoins even with the edge
+    # input checkpointed by the caller); checkpointing `oriented` alone
+    # was measured SLOWER in r13 (7.2 -> 10.0 s) because the stats loss
+    # demoted ~30 duplicated-subtree broadcasts. Checkpointing adj
+    # instead leaves exactly ONE post-checkpoint join: each (src, dst)
+    # oriented edge is recovered by EXPLODING adj's own nbrs array
+    # (collect_list over the distinct oriented edges — every edge back
+    # exactly once, with the u-side array already on the row for free),
+    # so only the dst-side adjacency lookup remains a join. That join
+    # is node-scale x node-scale with sqrt(m)-bounded arrays — never
+    # broadcastable at 100 TB anyway, so the checkpoint costs no
+    # legitimate broadcast (the r13 objection does not apply).
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
     # each triangle {a,b,c} ordered a<b<c by (deg,id) is counted exactly
     # once, at its (a,b) edge: c is the common out-neighbor.
-    # inner joins: an endpoint absent from adj has no out-edges, so the
+    # inner join: an endpoint absent from adj has no out-edges, so the
     # intersection would be empty anyway — dropping the row changes nothing.
-    closed = (
-        oriented.join(
-            adj.select(F.col("src").alias("_ju"), F.col("nbrs").alias("nu")),
-            F.col("src") == F.col("_ju"),
-        )
-        .join(
-            adj.select(F.col("src").alias("_jv"), F.col("nbrs").alias("nv")),
-            F.col("dst") == F.col("_jv"),
-        )
-        .select(F.size(F.array_intersect("nu", "nv")).alias("t"))
+    wedge = adj.select(
+        F.col("nbrs").alias("nu"), F.explode("nbrs").alias("dst")
     )
+    closed = wedge.join(
+        adj.select(F.col("src").alias("_jv"), F.col("nbrs").alias("nv")),
+        F.col("dst") == F.col("_jv"),
+    ).select(F.size(F.array_intersect("nu", "nv")).alias("t"))
     return closed.agg(
         F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_triangles")
     )

@@ -478,13 +478,22 @@ def kmeans_fixed_rounds(
         per_dim = members.select("cell", F.posexplode("q").alias("d", "x")).groupBy(
             "cell", "d"
         ).agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        # r14: LAZY checkpoint — the round's shuffle stages still run at
+        # mark time (AQE materializes exchanges when the RDD is built),
+        # but the K-row result stage folds into the job that first reads
+        # the frame: the next round's centroid broadcast, or the
+        # caller's first materializing job after the final round. One
+        # fewer driver round-trip per round, identical math (the update
+        # is integer-exact and deterministic, so a concurrent first
+        # compute by two consumer stages can only duplicate work, never
+        # diverge).
         cent = per_dim.withColumn(
             "v", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
         ).groupBy("cell").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
             ).alias("c")
-        ).select(F.col("cell").alias("cent_id"), "c").localCheckpoint(eager=True)
+        ).select(F.col("cell").alias("cent_id"), "c").localCheckpoint(eager=False)
 
     return assign(cent), cent
 
@@ -573,13 +582,15 @@ def kmeans_fixed_rounds_grouped(
         ).groupBy("g", "cell", "d").agg(
             F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
         )
+        # r14: lazy for the same reason as the ungrouped trainer — the
+        # round's result stage rides the next consumer's job
         cent = per_dim.withColumn(
             "v", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
         ).groupBy("g", "cell").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("d", "v"))), lambda s: s["v"]
             ).alias("c")
-        ).select("g", F.col("cell").alias("cent_id"), "c").localCheckpoint(eager=True)
+        ).select("g", F.col("cell").alias("cent_id"), "c").localCheckpoint(eager=False)
 
     return assign(cent), cent
 
@@ -789,17 +800,50 @@ def ivf_pq_topk(
     small ints) codes table against the broadcast query cells, ADC is 4
     broadcast lookup joins, and only rescore_m candidates per query
     fetch real vectors."""
-    assigned, cent = kmeans_fixed_rounds(
-        corpus, k=coarse_k, rounds=coarse_rounds, id_col=id_col, vec_col=vec_col
-    )
-    # the assignment feeds THREE branches below (codes join, query
-    # cells, and the residual transform) — without materialization each
-    # branch re-runs the K-way scoring window over the corpus (the
-    # ids.py double-compute rule)
-    cells = assigned.select(F.col("id").alias("c_id"), "cell").localCheckpoint(
-        eager=True
-    )
-    if residual:
+    if not residual:
+        # r14 (guide §2.6): the raw-subvector PQ training chain reads
+        # ONLY the corpus — it is independent of the coarse k-means
+        # chain until the final probe query joins codes with cells.
+        # Run it on a driver thread so its jobs (slice explode + seed
+        # probe, grouped Lloyd round, dt_all materialize) back-fill the
+        # executor time the coarse chain's sequential small jobs leave
+        # idle; FIFO scheduling interleaves the two chains' stages.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(
+                inheritable_thread_target(
+                    lambda: pq_train_encode_adc(
+                        corpus, queries, m_sub, k_cent, train_rounds, dim,
+                        id_col, vec_col,
+                    )
+                )
+            )
+            assigned, cent = kmeans_fixed_rounds(
+                corpus, k=coarse_k, rounds=coarse_rounds, id_col=id_col,
+                vec_col=vec_col,
+            )
+            # the assignment feeds the codes join AND the query-cells
+            # branch below — without materialization each branch re-runs
+            # the K-way scoring over the corpus (the ids.py rule)
+            cells = assigned.select(
+                F.col("id").alias("c_id"), "cell"
+            ).localCheckpoint(eager=True)
+            codes, dts = fut.result()
+    else:
+        assigned, cent = kmeans_fixed_rounds(
+            corpus, k=coarse_k, rounds=coarse_rounds, id_col=id_col, vec_col=vec_col
+        )
+        # the assignment feeds THREE branches below (codes join, query
+        # cells, and the residual transform) — lazy (r14): the residual
+        # coverage-guard count is the first job through this frame and
+        # materializes it together with the trainer's final deferred
+        # round (one job where there were three)
+        cells = assigned.select(F.col("id").alias("c_id"), "cell").localCheckpoint(
+            eager=False
+        )
         cq = with_quantized(corpus, vec_col).select(
             F.col(id_col).alias("c_id"), "q"
         )
@@ -838,10 +882,6 @@ def ivf_pq_topk(
         codes, dts = pq_train_encode_adc(
             resid, rq, m_sub, k_cent, train_rounds, dim, id_col, vec_col,
             pre_quantized=True,
-        )
-    else:
-        codes, dts = pq_train_encode_adc(
-            corpus, queries, m_sub, k_cent, train_rounds, dim, id_col, vec_col
         )
     coded = codes.join(cells, "c_id")
     qcells = cells.withColumnsRenamed({"c_id": "q_id"}).join(
