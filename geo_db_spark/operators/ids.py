@@ -57,11 +57,14 @@ def assign_stable_ids(
     order_cols: list[str],
     id_name: str = "stable_id",
     n_partitions: int | None = None,
+    drop_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All input columns plus ``id_name`` = the 1-based rank of the row
     under ``order_cols`` — computed without any single-partition stage
     and without re-shuffling the data after the range exchange."""
-    return assign_stable_ids_counted(df, order_cols, id_name, n_partitions)[0]
+    return assign_stable_ids_counted(
+        df, order_cols, id_name, n_partitions, drop_cols=drop_cols
+    )[0]
 
 
 def assign_stable_ids_counted(
@@ -70,6 +73,7 @@ def assign_stable_ids_counted(
     id_name: str = "stable_id",
     n_partitions: int | None = None,
     materialize_input: bool = False,
+    drop_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, int]:
     """``assign_stable_ids`` that ALSO returns the exact input row count
     — the per-partition counts the offset pass collects already sum to
@@ -87,7 +91,16 @@ def assign_stable_ids_counted(
 
     ``n_partitions`` defaults to ``spark.sql.shuffle.partitions`` so the
     range exchange scales with the session's configured parallelism
-    instead of a local-mode constant."""
+    instead of a local-mode constant.
+
+    ``drop_cols`` (r14): order columns the CALLER does not need back,
+    projected away right after the within-partition sort — i.e. BEFORE
+    the checkpoint persists the rows. The suffix direct build sorts by
+    a ~slice_len-char key it immediately discards; without the drop the
+    checkpoint caches (and the counts job re-reads) that payload for
+    every row. Only sensible for columns no downstream join needs
+    (``_dense_rank_by`` joins back ON its order cols — it must not drop
+    them)."""
     if not order_cols:
         raise ValueError("order_cols must name at least one column")
     if materialize_input:
@@ -108,6 +121,11 @@ def assign_stable_ids_counted(
             "__ord": F.monotonically_increasing_id().bitwiseAND(F.lit(_LOW33)),
         }
     )
+    if drop_cols:
+        # project the dead sort keys away ABOVE the Sort (which still
+        # sees them) but BELOW the checkpoint, so the persisted rows are
+        # skinny (see docstring)
+        marked = marked.drop(*drop_cols)
     # MATERIALIZE the range exchange before anything reads it twice.
     # RangePartitioner samples boundaries with a seed derived from the
     # RDD id, which differs per JOB — so without this checkpoint the

@@ -129,8 +129,21 @@ def suffix_ranks(
         ).select(
             "doc_id", "pos", F.expr(f"substring(t, pos, {slice_len})").alias("k")
         )
+        # r14: drop the ~slice_len-char sort key right after the range
+        # sort, so the checkpoint persists skinny (doc, pos, ord) rows
+        # instead of carrying the key payload through the cache (~6x
+        # fewer cached bytes; wash-to-better at 1x, and cache pressure
+        # is exactly what thrashed the 10x build in SCALE.md r11).
+        # materialize_input was ALSO tried here (the range sampler
+        # re-runs the explode+substring subtree before the map stage
+        # runs it again — ~15 s at 10x) and measured NET-NEGATIVE at
+        # 10x: caching the 9M-row slice-wide key column (~1.2 GB) in
+        # the probe's heap displaces shuffle/sort memory and loses more
+        # than the saved pass (guide §5 — cache only when recompute
+        # beats the memory pressure it creates).
         return assign_stable_ids(
-            suf, order_cols=["k", "doc_id", "pos"], id_name="sa_rank"
+            suf, order_cols=["k", "doc_id", "pos"], id_name="sa_rank",
+            drop_cols=("k",),
         ).select("doc_id", "pos", "sa_rank")
     suf = sliced.select(
         "doc_id",
