@@ -7,6 +7,12 @@ broken bucketing (random candidates) would miss."""
 
 from __future__ import annotations
 
+import pytest
+
+# r14: recall/quality measurement rigs — minutes of wall, statistical
+# assertions; correctness of every path is oracle-gated separately
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.01"
 
 

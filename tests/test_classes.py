@@ -79,6 +79,7 @@ def test_no_unrelated_members(tag_sets):
     assert "QZ1" not in everything and "QZ2" not in everything
 
 
+@pytest.mark.slow
 def test_e2e_build_from_p279_edges(spark, tmp_path):
     """The e2e pipeline fed by edge-DERIVED class sets (not a hand dict):
     each fixture tag class is made a P279 subclass of the real root, and

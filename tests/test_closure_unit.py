@@ -3,6 +3,8 @@ diamond dedup (SURVEY.md §5 property tests; FIXTURES.md §1 graph cases)."""
 
 from __future__ import annotations
 
+import pytest
+
 from geo_db_spark.operators.closure import (
     deepest_qualifying_ancestor,
     transitive_closure,
@@ -51,6 +53,7 @@ def test_cte_closure_all_paths_bounded(spark):
     assert max(s for _, _, s in rows) == 6
 
 
+@pytest.mark.slow
 def test_loop_closure_depth100_with_cycles(spark):
     """Deep-and-cyclic guard (VERDICT r1 #7): a 105-deep chain with a
     back-edge every 10 nodes (many overlapping cycles). The CTE variant

@@ -4,6 +4,8 @@ claim fuzzed over random short strings — at depth 1 AND depth 2."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from geo_db_spark.operators.editjoin import deletion_variants, edit_distance_join
@@ -85,6 +87,7 @@ def test_editjoin_bruteforce_fuzz(spark):
     assert len(got) > 50  # the alphabet is tight enough that pairs exist
 
 
+@pytest.mark.slow
 def test_editjoin_depth2_bruteforce_fuzz(spark):
     """Depth-2 zero-false-negative HYPOTHESIS fuzz (r7 verdict #3):
     tight alphabets maximize deletion-variant collisions; for every

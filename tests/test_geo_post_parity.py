@@ -191,6 +191,7 @@ def _spark_tables(spark):
     }
 
 
+@pytest.mark.slow
 def test_post_parity_with_reference_sql(spark):
     from geo_db_spark.plans.geo_post import post_process
 

@@ -3,12 +3,15 @@ joins read shuffle-free on the bucket key, with identical contents."""
 
 from __future__ import annotations
 
+import pytest
+
 import bz2
 
 from tests.fixtures_wikidata import CLASS_SETS
 from tests.test_pipeline_e2e import _mini_dump
 
 
+@pytest.mark.slow
 def test_ingest_bucketed_object_labels(spark, tmp_path):
     from pyspark.sql import functions as F
 
@@ -40,6 +43,7 @@ def test_ingest_bucketed_object_labels(spark, tmp_path):
     assert "Bucketed: true" in plan
 
 
+@pytest.mark.slow
 def test_ingest_bucketed_custom_key_and_out_dir(spark, tmp_path):
     """Per-table bucket keys: cities_countries has no 'id' column — a
     bare int spec must raise, a (key, n) spec must work, and the files

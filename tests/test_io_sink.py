@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -421,6 +423,7 @@ def test_hilbert_index_matches_reference_and_is_a_hilbert_curve(spark):
         assert abs(x0 - x1) + abs(y0 - y1) == 1, d
 
 
+@pytest.mark.slow
 def test_hilbert_files_tighter_than_zorder(spark, tmp_path):
     """Hilbert files must be tight on BOTH dims like Z-order, and the
     total bounding-box area across files should not exceed Z-order's

@@ -3,6 +3,8 @@ independent DuckDB computation of the same pipeline."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 import duckdb
@@ -12,6 +14,7 @@ from geo_db_spark.pipeline_corpus import QualityGate, curate_corpus, write_curat
 from tests.conftest import SF_SMOKE
 
 
+@pytest.mark.slow
 def test_curate_corpus_e2e(spark, tmp_path):
     docs = load(spark, SF_SMOKE, "documents")
     curated = curate_corpus(
@@ -203,6 +206,7 @@ def test_capstone_stage_counts_observed(spark):
     assert 0 < n_final <= want_sub < want_exact
 
 
+@pytest.mark.slow
 def test_curate_corpus_substring_stage_optin(spark):
     """curate_corpus(substring_dedup=True) drops later docs sharing a
     >= min_len-char substring with an earlier doc, BEFORE the near-dup
@@ -232,6 +236,7 @@ def test_curate_corpus_substring_stage_optin(spark):
     assert {r.doc_id for r in curated.collect()} == {1, 2}
 
 
+@pytest.mark.slow
 def test_curate_corpus_substring_excise_mode(spark):
     """substring_mode='excise' rewrites text_col: duplicated spans
     (every run member but the run's (doc,pos)-minimum) cut from the slice,

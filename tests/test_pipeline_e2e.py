@@ -3,6 +3,8 @@ build_geo_db -> final cities table (FIXTURES.md §2 'End-to-end')."""
 
 from __future__ import annotations
 
+import pytest
+
 import bz2
 import json
 
@@ -85,6 +87,7 @@ def _mini_dump() -> list[str]:
     return docs
 
 
+@pytest.mark.slow
 def test_build_geo_db_from_bz2_dump(spark, tmp_path):
     from geo_db_spark.pipeline import build_geo_db
 

@@ -4,6 +4,8 @@ must then EQUAL the exact answer, not just approximate it."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -200,6 +202,7 @@ def test_grid_knn_exact_antimeridian(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exact.collect()))
 
 
+@pytest.mark.slow
 def test_grid_knn_exact_many_rounds_under_tuned_session(spark):
     """Regression (r6): with AQE on (the mid-suite tune() state) and a
     fine grid forcing MANY doubling rounds, the ring loop must neither

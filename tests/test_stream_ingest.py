@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import bz2
 
 from tests.fixtures_wikidata import CLASS_SETS
@@ -13,6 +15,7 @@ def _rows(df):
     return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_stream_ingest_matches_batch(spark, tmp_path):
     from geo_db_spark.pipeline import finalize_stream_ingest, ingest, stream_ingest
 
@@ -47,6 +50,7 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
         assert _rows(streamed2[name]) == _rows(bdf), name
 
 
+@pytest.mark.slow
 def test_ingest_ticker_records_progress(spark, tmp_path):
     """A10 parity: the listener sees every micro-batch with rows + rate."""
     from geo_db_spark.pipeline import stream_ingest

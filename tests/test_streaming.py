@@ -213,6 +213,7 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert got[w0[0]] == 2
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_stream(spark, events_dir):
     """Value-level check (ADVICE r1: the old shape-only test could not
     catch the first-batch gap bug): within ONE micro-batch, a user's

@@ -5,6 +5,8 @@ round), the descending-sequence guard, and tie handling."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from geo_db_spark.operators.suffix import suffix_ranks
@@ -68,6 +70,7 @@ def test_suffix_ranks_separate_in_last_round(spark):
     _check(spark, docs, slice_len=64, k0=4)
 
 
+@pytest.mark.slow
 def test_suffix_ranks_random_fuzz(spark):
     rng = random.Random(42)
     docs = [

@@ -45,7 +45,25 @@ def test_no_hugeint_oracle_columns():
     assert bad == {}, f"oracles with HUGEINT top-level columns (driver canon maps to float64): {bad}"
 
 
-@pytest.mark.parametrize("name", NAMES)
+# r14: the three slowest oracle replays (1-3 min each — DuckDB replays
+# a full CC / residual-PQ training chain) are `slow`-marked so the
+# driver-facing default run fits its window; the driver's OWN 212-query
+# oracle gate still covers them every round, and the slow lane runs
+# them locally per commit batch.
+SLOW_ORACLE = {
+    "emb_semdedup_survivors_recovered",
+    "ann_ivf_pq_residual_topk",
+    "dedup_simjoin_survivors",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in SLOW_ORACLE else n
+        for n in NAMES
+    ],
+)
 def test_query_matches_oracle(spark, name):
     results = run_all(spark, SF_SMOKE, only=[name])
     assert len(results) == 1
